@@ -1,0 +1,148 @@
+"""Hashing kernels over Arrow arrays.
+
+Analogue of the reference's hex/hash machinery: stored-hash-vs-source
+comparison (src/ch_eth/sync.rs:164-186), hex codecs
+(src/ch_btc/sync.rs:145-150).  Our per-row invariant is
+sha256(content) equality (BASELINE.json input_hint).
+
+sha256 has no vectorized Arrow kernel; we hash straight off the Arrow
+string buffers (zero string materialization — memoryview slices into
+the data buffer), which keeps the loop C-dominated.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _iter_chunks(arr: pa.Array | pa.ChunkedArray):
+    if isinstance(arr, pa.ChunkedArray):
+        yield from arr.chunks
+    else:
+        yield arr
+
+
+def sha256_binary(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """sha256 digest (binary(32)) of each utf8 value, off the raw buffers."""
+    n = len(arr)
+    out = bytearray(32 * n)
+    pos = 0
+    for chunk in _iter_chunks(arr):
+        if chunk.null_count:
+            chunk = chunk.fill_null("")
+        if pa.types.is_large_string(chunk.type) or pa.types.is_large_binary(chunk.type):
+            odt = np.int64
+        else:
+            odt = np.int32
+        buffers = chunk.buffers()
+        offs = np.frombuffer(buffers[1], dtype=odt)[
+            chunk.offset : chunk.offset + len(chunk) + 1
+        ]
+        data = memoryview(buffers[2]) if buffers[2] is not None else memoryview(b"")
+        for i in range(len(chunk)):
+            d = hashlib.sha256(data[offs[i] : offs[i + 1]]).digest()
+            out[pos : pos + 32] = d
+            pos += 32
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(32), n, [None, pa.py_buffer(bytes(out))]
+    )
+
+
+def sha256_hex(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """sha256 hex string of each utf8 value (matches DuckDB ``sha256``)."""
+    hexes = []
+    for chunk in _iter_chunks(arr):
+        if chunk.null_count:
+            chunk = chunk.fill_null("")
+        buffers = chunk.buffers()
+        odt = (
+            np.int64
+            if pa.types.is_large_string(chunk.type) or pa.types.is_large_binary(chunk.type)
+            else np.int32
+        )
+        offs = np.frombuffer(buffers[1], dtype=odt)[
+            chunk.offset : chunk.offset + len(chunk) + 1
+        ]
+        data = memoryview(buffers[2]) if buffers[2] is not None else memoryview(b"")
+        hexes.extend(
+            hashlib.sha256(data[offs[i] : offs[i + 1]]).hexdigest()
+            for i in range(len(chunk))
+        )
+    return pa.array(hexes, pa.string())
+
+
+def key_hash64(*cols: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic 64-bit hash of the row-wise key tuple.
+
+    Used for hash partitioning (part_id = key_hash64 % P) — the
+    Ray-native replacement for the reference's single sequential range
+    (SURVEY.md §4 'sharding: none' → our design).  Must be a pure
+    function of the VALUES, stable across processes and array layouts
+    (pandas' hash_pandas_object is not: its categorize path yields
+    different hashes for the same string depending on call context, a
+    bug we hit in testing).  crc32 straight off the Arrow string
+    buffers is C-fast and layout-independent; 32 bits is ample for
+    choosing among O(10^3) partitions.
+    """
+    import zlib
+
+    import pyarrow.compute as pc
+
+    joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(
+        *[c.cast(pa.string()) for c in cols], "\x00"
+    )
+    n = len(joined)
+    out = np.empty(n, dtype=np.uint64)
+    pos = 0
+    crc32 = zlib.crc32
+    for chunk in _iter_chunks(joined):
+        if chunk.null_count:
+            chunk = chunk.fill_null("")
+        buffers = chunk.buffers()
+        odt = (
+            np.int64
+            if pa.types.is_large_string(chunk.type)
+            else np.int32
+        )
+        offs = np.frombuffer(buffers[1], dtype=odt)[
+            chunk.offset : chunk.offset + len(chunk) + 1
+        ]
+        data = memoryview(buffers[2]) if buffers[2] is not None else memoryview(b"")
+        for i in range(len(chunk)):
+            out[pos] = crc32(data[offs[i] : offs[i + 1]])
+            pos += 1
+    return out
+
+
+def rolling_fingerprint(arr: pa.Array | pa.ChunkedArray, window: int = 64) -> pa.Array:
+    """Document fingerprint: min of rolling polynomial hashes (winnowing-
+    style, deterministic).  Vectorized with numpy per value."""
+    B = np.uint64(1000003)
+    out = []
+    for chunk in _iter_chunks(arr):
+        for v in chunk.to_pylist():
+            if not v:
+                out.append(0)
+                continue
+            b = np.frombuffer(v.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+            if len(b) <= window:
+                h = np.uint64(0)
+                for x in b:
+                    h = h * B + x
+                out.append(int(h))
+                continue
+            # rolling hash over windows via cumulative powers (mod 2^64)
+            pows = np.ones(len(b), dtype=np.uint64)
+            np.multiply.accumulate(np.full(len(b) - 1, B, dtype=np.uint64), out=pows[1:])
+            weighted = b * pows[::-1]
+            csum = np.cumsum(weighted, dtype=np.uint64)
+            win = csum[window - 1 :].copy()
+            win[1:] -= csum[:-window]
+            # normalize each window to its own basis
+            win = win // pows[::-1][window - 1 :]
+            out.append(int(win.min()))
+    return pa.array(out, pa.uint64())

@@ -1,0 +1,114 @@
+"""Last-writer-wins fold kernels (vectorized Arrow, no Python row loops).
+
+The engine analogue of ClickHouse ``ReplacingMergeTree ORDER BY key``
+(every reference table, e.g. src/ch_eth/init.rs:169-170): duplicate
+keys converge to the max-``commit_seq`` writer.  Two levels:
+
+- ``partial_lww`` runs inside ``map_batches`` BEFORE the shuffle — the
+  combiner that collapses each block to one row per key, so the
+  all-to-all exchange moves O(distinct keys per block), not O(events).
+  This is the scale unlock for hot keys (a key with 10^6 events ships
+  at most one row per block) and most of the skew answer.
+- ``final_lww`` runs per hash partition after the shuffle (merge stage).
+
+Orphaned events (rollback ranges) never win the fold but are carried as
+compact counter rows (op = ``__orphans__``) so per-partition watermarks
+and lineage counters stay exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: sentinel op for lineage counter rows riding the same shuffle
+ORPHAN_OP = "__orphans__"
+
+
+def _first_of_key_mask(repo: pa.Array, path: pa.Array) -> np.ndarray:
+    """Boolean mask of first occurrence per (repo,path) in a key-sorted
+    table: True where the key differs from the previous row."""
+    k = pc.binary_join_element_wise(repo, path, "\x00")
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    n = len(k)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    neq = pc.not_equal(k.slice(1), k.slice(0, n - 1))
+    mask = np.ones(n, dtype=bool)
+    mask[1:] = neq.to_numpy(zero_copy_only=False)
+    return mask
+
+
+def fold_lww(t: pa.Table, count_col: str = "n_events") -> pa.Table:
+    """Keep the max-commit_seq row per (repo, path); sum ``count_col``
+    over the folded rows.  Ties on commit_seq (duplicate delivery of the
+    same event) keep a single copy — the at-least-once tolerance the
+    reference gets from ReplacingMergeTree (src/ch_eth/init.rs:435-448
+    re-inserts every loop and survives only because of it)."""
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by(
+        [("repo", "ascending"), ("path", "ascending"), ("commit_seq", "descending")]
+    )
+    mask = _first_of_key_mask(t.column("repo"), t.column("path"))
+    counts = t.column(count_col).to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(mask)
+    summed = np.add.reduceat(counts, starts) if len(starts) else counts[:0]
+    out = t.filter(pa.array(mask))
+    idx = out.schema.get_field_index(count_col)
+    return out.set_column(idx, count_col, pa.array(summed, pa.int64()))
+
+
+def partial_lww(batch: pa.Table) -> pa.Table:
+    """Per-block combiner: fold live rows, compress orphans to counters."""
+    if batch.num_rows == 0:
+        return batch.append_column("n_events", pa.array([], pa.int64()))
+    batch = batch.append_column(
+        "n_events", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+    )
+    orphaned = batch.column("orphaned")
+    live = batch.filter(pc.invert(orphaned))
+    winners = fold_lww(live)
+    orphans = batch.filter(orphaned)
+    nullable = pa.schema([f.with_nullable(True) for f in winners.schema])
+    winners = winners.cast(nullable)
+    if orphans.num_rows:
+        winners = pa.concat_tables(
+            [winners, _orphan_counters(orphans).cast(nullable)]
+        )
+    return winners
+
+
+def _orphan_counters(orphans: pa.Table) -> pa.Table:
+    """One counter row per (part_id) summarizing orphaned events in this
+    block: n_events = count, commit_seq = max seq (keeps watermarks
+    monotonic past rolled-back ranges)."""
+    grouped = (
+        orphans.select(["part_id", "commit_seq", "n_events", "schema_version"])
+        .group_by("part_id")
+        .aggregate(
+            [("commit_seq", "max"), ("n_events", "sum"), ("schema_version", "max")]
+        )
+    )
+    n = grouped.num_rows
+    empty_str = pa.nulls(n, pa.string()).fill_null("")
+    return pa.table(
+        {
+            "repo": empty_str,
+            "path": empty_str,
+            "commit": empty_str,
+            "lang": empty_str,
+            "content": empty_str,
+            "commit_seq": grouped.column("commit_seq_max"),
+            "op": pa.nulls(n, pa.string()).fill_null(ORPHAN_OP),
+            "metadata": pa.nulls(n, pa.map_(pa.string(), pa.string())),
+            "size_bytes": pa.nulls(n, pa.int64()),
+            "content_sha256": pa.nulls(n, pa.binary(32)),
+            "part_id": grouped.column("part_id"),
+            "orphaned": pa.nulls(n, pa.bool_()).fill_null(True),
+            "schema_version": grouped.column("schema_version_max").cast(pa.int8()),
+            "n_events": grouped.column("n_events_sum"),
+        }
+    )

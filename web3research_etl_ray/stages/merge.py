@@ -1,0 +1,161 @@
+"""Partition merge stage — the stateful LWW upsert sink (actor pool).
+
+The engine analogue of ClickHouse's ReplacingMergeTree merge +
+``OPTIMIZE FINAL DEDUPLICATE`` (reference DDL src/ch_eth/init.rs:169-170,
+compaction scripts/optimize_db.py:26-28), run as a
+``groupby(part_id).map_groups(Merger, concurrency=N)`` actor pool: each
+group is one hash partition's worth of pre-combined (partial-LWW)
+rows; the actor folds them with the partition's prior Parquet state
+(merge-on-write), applies tombstones, writes the new partition file
+under the *next* generation dir, and returns a one-row lineage entry
+(watermark + counters) for the manifest.
+
+Partitions flagged for repair (a rollback orphaned already-applied
+state — the reference's delete-all + reinsert, src/ch_eth/sync.rs:92-116)
+ignore their prior file and rebuild from the full event history that the
+pipeline routed to them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..schema import LAKE_SCHEMA
+from ..state.manifest import PartitionEntry, partition_relpath
+from .lww import ORPHAN_OP, fold_lww
+
+#: columns the in-flight rows carry beyond LAKE_SCHEMA
+_FLIGHT_ONLY = ["op", "part_id", "orphaned", "schema_version", "n_events"]
+
+ENTRY_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int64()),
+        ("file", pa.string()),
+        ("num_rows", pa.int64()),
+        ("watermark_seq", pa.int64()),
+        ("events_applied", pa.int64()),
+        ("events_superseded", pa.int64()),
+        ("events_rolled_back", pa.int64()),
+        ("schema_version", pa.int64()),
+    ]
+)
+
+
+def _prior_as_events(prior: pa.Table) -> pa.Table:
+    """Lift a stored partition back into in-flight form (op=upsert,
+    n_events=0 so lineage doesn't double count)."""
+    n = prior.num_rows
+    t = prior.append_column("op", pa.array(["upsert"] * n, pa.string()))
+    t = t.append_column("part_id", pa.array([0] * n, pa.int64()))
+    t = t.append_column("orphaned", pa.array([False] * n))
+    t = t.append_column("schema_version", pa.array([1] * n, pa.int8()))
+    t = t.append_column("n_events", pa.array([0] * n, pa.int64()))
+    return t
+
+
+class Merger:
+    """Callable-class stage for ``map_groups`` (one actor per pool slot;
+    construction — config, prior-manifest lookup table — happens once
+    per actor, the reference's create-once-reuse client pattern
+    src/ch_eth/init.rs:125-137)."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        generation: int,
+        prior_files: dict[int, str | None],
+        prior_entries: dict[int, dict],
+        repair_pids: frozenset[int] = frozenset(),
+    ):
+        self.lake_dir = lake_dir
+        self.generation = generation
+        self.prior_files = prior_files
+        self.prior_entries = prior_entries
+        self.repair_pids = repair_pids
+        os.makedirs(
+            os.path.join(lake_dir, "data", f"gen={generation:06d}"), exist_ok=True
+        )
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = int(group.column("part_id")[0].as_py())
+        is_counter = pc.equal(group.column("op"), ORPHAN_OP)
+        counters = group.filter(is_counter)
+        real = group.filter(pc.invert(is_counter))
+
+        new_events_total = int(
+            pc.sum(real.column("n_events")).as_py() or 0
+        )
+        rolled_back = int(pc.sum(counters.column("n_events")).as_py() or 0)
+        max_seq_vals = [
+            v
+            for v in (
+                pc.max(group.column("commit_seq")).as_py(),
+                (self.prior_entries.get(pid) or {}).get("watermark_seq"),
+            )
+            if v is not None
+        ]
+        watermark = max(max_seq_vals) if max_seq_vals else -1
+
+        folded = fold_lww(real)
+        repair = pid in self.repair_pids
+        prior_path = None if repair else self.prior_files.get(pid)
+        if prior_path:
+            prior = pq.read_table(prior_path)
+            # new rows first: stable sort keeps the fresh copy on seq ties
+            folded = pa.concat_tables(
+                [folded, _prior_as_events(prior)], promote_options="default"
+            )
+            folded = fold_lww(folded)
+
+        n_events_col = folded.column("n_events").to_numpy(zero_copy_only=False)
+        applied = int((n_events_col > 0).sum())
+        superseded = new_events_total - applied
+
+        live = folded.filter(pc.not_equal(folded.column("op"), "delete"))
+        live = live.drop_columns([c for c in _FLIGHT_ONLY if c in live.column_names])
+        live = live.select(LAKE_SCHEMA.names).cast(LAKE_SCHEMA)
+        live = live.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+        # Repair rebuilds the partition from the full event history, so
+        # cumulative counters restart from this fold (carrying the prior
+        # counters forward would double-count the re-applied events).
+        prior_entry = {} if repair else (self.prior_entries.get(pid) or {})
+        schema_version = max(
+            int(pc.max(group.column("schema_version")).as_py() or 1),
+            int((self.prior_entries.get(pid) or {}).get("schema_version", 1)),
+        )
+
+        relpath = None
+        if live.num_rows:
+            relpath = partition_relpath(self.generation, pid)
+            pq.write_table(live, os.path.join(self.lake_dir, relpath))
+
+        entry = PartitionEntry(
+            part_id=pid,
+            file=relpath,
+            num_rows=live.num_rows,
+            watermark_seq=watermark,
+            events_applied=int(prior_entry.get("events_applied", 0)) + applied,
+            events_superseded=int(prior_entry.get("events_superseded", 0))
+            + superseded,
+            events_rolled_back=int(prior_entry.get("events_rolled_back", 0))
+            + rolled_back,
+            schema_version=schema_version,
+        )
+        return pa.table(
+            {
+                "part_id": [entry.part_id],
+                "file": [entry.file],
+                "num_rows": [entry.num_rows],
+                "watermark_seq": [entry.watermark_seq],
+                "events_applied": [entry.events_applied],
+                "events_superseded": [entry.events_superseded],
+                "events_rolled_back": [entry.events_rolled_back],
+                "schema_version": [entry.schema_version],
+            },
+            schema=ENTRY_SCHEMA,
+        )

@@ -1,0 +1,75 @@
+"""Normalize stage: schema-unify + sha256 + hash partition id + orphan
+tagging.  One vectorized ``map_batches`` pass over zero-copy Arrow
+batches.
+
+Re-expresses the reference's per-block transform fan-out
+(src/ch_eth/schema.rs:32-63 BlockRow::from_ethers and friends — project
++ normalize + hash-format) as a single batch projection, plus the
+rollback orphan-range check that the reference does per-head as
+DELETE+reinsert (src/ch_eth/sync.rs:92-116): in a batch fold we instead
+*tag* orphaned events so they never win LWW but still advance
+watermarks and lineage counters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import key_hash64, sha256_binary
+from ..schema import UNIFIED_EVENT_SCHEMA, schema_version_of, unify_to
+
+
+def orphan_mask(seqs: np.ndarray, ranges: list[tuple[int, int]]) -> np.ndarray:
+    """Vectorized membership of commit_seq in any orphan range.
+
+    ``ranges`` is the small rollback control table (FIXTURES.md §2),
+    broadcast by closure — never shuffled.
+    """
+    if not ranges:
+        return np.zeros(len(seqs), dtype=bool)
+    starts = np.array([lo for lo, _ in sorted(ranges)], dtype=np.int64)
+    ends = np.array([hi for _, hi in sorted(ranges)], dtype=np.int64)
+    idx = np.searchsorted(starts, seqs, side="right") - 1
+    ok = idx >= 0
+    out = np.zeros(len(seqs), dtype=bool)
+    out[ok] = seqs[ok] <= ends[idx[ok]]
+    return out
+
+
+class Normalize:
+    """Callable stage for ``map_batches``.
+
+    Stateless enough to run as tasks, but shaped as a class so the
+    compiled setup (range arrays) happens once per actor when used with
+    ``concurrency=`` (actor pool) — the pattern the reference uses for
+    its per-module clients created once and reused
+    (src/ch_eth/init.rs:125-137).
+    """
+
+    def __init__(self, num_partitions: int, orphan_ranges: list[tuple[int, int]]):
+        self.num_partitions = num_partitions
+        self.ranges = sorted(orphan_ranges)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        version = schema_version_of(batch.schema)
+        batch = unify_to(batch, UNIFIED_EVENT_SCHEMA)
+        seqs = batch.column("commit_seq").to_numpy(zero_copy_only=False)
+        orphaned = orphan_mask(seqs, self.ranges)
+        pid = (
+            key_hash64(batch.column("repo"), batch.column("path"))
+            % np.uint64(self.num_partitions)
+        ).astype(np.int64)
+        sha = sha256_binary(batch.column("content"))
+        if isinstance(sha, pa.Array):
+            sha = pa.chunked_array([sha])
+        return batch.append_column(
+            "content_sha256", sha
+        ).append_column(
+            "part_id", pa.array(pid, pa.int64())
+        ).append_column(
+            "orphaned", pa.array(orphaned)
+        ).append_column(
+            "schema_version", pa.array(np.full(len(batch), version, dtype=np.int8))
+        )

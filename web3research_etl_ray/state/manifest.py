@@ -1,0 +1,158 @@
+"""Two-phase manifest commit — the exactly-once sink.
+
+The reference is *not* exactly-once: it re-inserts whole buffers every
+loop iteration (src/ch_eth/init.rs:435-448), lets deletes fail silently
+(`.ok()`, src/ch_eth/sync.rs:110) and leans on ReplacingMergeTree LWW to
+absorb duplicates.  Our design makes the same at-least-once producer
+safe *and* adds an exactly-once boundary: merge tasks write partition
+Parquet files under ``data/gen=G/``, but a generation only becomes real
+when its manifest JSON is atomically published (tmp + os.replace) and
+the ``LATEST`` pointer is swapped.  A killed job leaves staged files
+that the rerun simply overwrites; readers and resume trust only the
+manifest — so retries/restarts cause neither duplicate nor lost applies.
+
+The manifest also carries the per-partition watermark (analogue of the
+reference's ``SELECT max(number)`` progress probe,
+src/ch_eth/sync.rs:341-344) and lineage counters, and records applied
+rollbacks + schema version (FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PartitionEntry:
+    part_id: int
+    file: str | None  # relative to lake dir; None = empty partition
+    num_rows: int = 0
+    watermark_seq: int = -1
+    events_applied: int = 0
+    events_superseded: int = 0
+    events_rolled_back: int = 0
+    schema_version: int = 1
+
+
+@dataclass
+class Manifest:
+    generation: int
+    num_partitions: int
+    partitions: dict[int, PartitionEntry] = field(default_factory=dict)
+    applied_rollbacks: list[list[int]] = field(default_factory=list)  # [from, to]
+    schema_version: int = 1
+    parent_generation: int | None = None
+
+    @property
+    def min_watermark(self) -> int:
+        if not self.partitions:
+            return -1
+        return min(p.watermark_seq for p in self.partitions.values())
+
+    @property
+    def max_watermark(self) -> int:
+        if not self.partitions:
+            return -1
+        return max(p.watermark_seq for p in self.partitions.values())
+
+    def data_files(self, lake_dir: str) -> list[str]:
+        return [
+            os.path.join(lake_dir, p.file)
+            for p in sorted(self.partitions.values(), key=lambda e: e.part_id)
+            if p.file
+        ]
+
+    def totals(self) -> dict:
+        return {
+            "rows": sum(p.num_rows for p in self.partitions.values()),
+            "events_applied": sum(p.events_applied for p in self.partitions.values()),
+            "events_superseded": sum(
+                p.events_superseded for p in self.partitions.values()
+            ),
+            "events_rolled_back": sum(
+                p.events_rolled_back for p in self.partitions.values()
+            ),
+        }
+
+
+def gen_dir(lake_dir: str, generation: int) -> str:
+    return os.path.join(lake_dir, "data", f"gen={generation:06d}")
+
+
+def partition_relpath(generation: int, part_id: int) -> str:
+    return os.path.join("data", f"gen={generation:06d}", f"part-{part_id:05d}.parquet")
+
+
+def _manifest_path(lake_dir: str, generation: int) -> str:
+    return os.path.join(lake_dir, f"manifest-{generation:06d}.json")
+
+
+def commit_manifest(lake_dir: str, manifest: Manifest) -> None:
+    """Phase 2: atomically publish. Write manifest JSON via tmp+rename,
+    then swap the LATEST pointer (also tmp+rename).  Crash between the
+    two renames leaves LATEST on the parent generation — the new
+    generation's files are invisible and the rerun overwrites them."""
+    os.makedirs(lake_dir, exist_ok=True)
+    doc = asdict(manifest)
+    doc["partitions"] = {str(k): asdict(v) for k, v in manifest.partitions.items()}
+    path = _manifest_path(lake_dir, manifest.generation)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    ptr_tmp = os.path.join(lake_dir, "LATEST.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(str(manifest.generation))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(ptr_tmp, os.path.join(lake_dir, "LATEST"))
+
+
+def load_manifest(lake_dir: str, generation: int) -> Manifest:
+    with open(_manifest_path(lake_dir, generation)) as fh:
+        doc = json.load(fh)
+    parts = {
+        int(k): PartitionEntry(**v) for k, v in doc.pop("partitions", {}).items()
+    }
+    return Manifest(partitions=parts, **doc)
+
+
+def load_latest(lake_dir: str) -> Manifest | None:
+    ptr = os.path.join(lake_dir, "LATEST")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        generation = int(fh.read().strip())
+    return load_manifest(lake_dir, generation)
+
+
+def gc_generations(lake_dir: str, keep: int = 2) -> list[int]:
+    """Snapshot GC — the analogue of the reference's backup rotation
+    (scripts/backup_db.py keeps per-table BACKUPs): keep the newest
+    ``keep`` generations' files + manifests, delete older ones.  Never
+    touches the generation LATEST points to."""
+    latest = load_latest(lake_dir)
+    if latest is None:
+        return []
+    import glob
+    import shutil
+
+    gens = sorted(
+        int(os.path.basename(p).split("-")[1].split(".")[0])
+        for p in glob.glob(os.path.join(lake_dir, "manifest-*.json"))
+    )
+    chain_keep = set(gens[-keep:]) | {latest.generation}
+    removed = []
+    for g in gens:
+        if g in chain_keep:
+            continue
+        d = gen_dir(lake_dir, g)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.remove(_manifest_path(lake_dir, g))
+        removed.append(g)
+    return removed
