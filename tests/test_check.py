@@ -1,0 +1,95 @@
+"""check / repair / tail pipeline tests (reference check.rs + sync.rs)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from web3research_etl_ray.oracle import oracle_fold, tables_equal
+from web3research_etl_ray.pipelines.check import check, check_and_repair, verify_integrity
+from web3research_etl_ray.pipelines.replay import lake_table, replay
+from web3research_etl_ray.pipelines.tail import sync
+from web3research_etl_ray.state.manifest import load_latest
+
+
+def test_check_clean_lake(tiny_stream, lake_dir):
+    replay(tiny_stream, lake_dir, num_partitions=8)
+    report = check(tiny_stream, lake_dir)
+    assert report.ok, report
+    assert report.rows_expected == report.rows_in_lake > 0
+
+
+def test_check_detects_and_repairs_corruption(tiny_stream, lake_dir):
+    replay(tiny_stream, lake_dir, num_partitions=8)
+    # corrupt one partition file: drop half its rows (simulated data loss)
+    m = load_latest(lake_dir)
+    victim = next(e for e in m.partitions.values() if e.file and e.num_rows > 2)
+    path = os.path.join(lake_dir, victim.file)
+    t = pq.read_table(path)
+    pq.write_table(t.slice(0, t.num_rows // 2), path)
+
+    report = check(tiny_stream, lake_dir)
+    assert not report.ok and report.missing > 0
+    assert victim.part_id in report.bad_partitions
+
+    report2 = check_and_repair(tiny_stream, lake_dir)
+    final = check(tiny_stream, lake_dir)
+    assert final.ok, final
+    assert tables_equal(lake_table(lake_dir), oracle_fold(tiny_stream))
+
+
+def test_integrity_detects_bitrot(tiny_stream, lake_dir):
+    replay(tiny_stream, lake_dir, num_partitions=8)
+    assert sum(verify_integrity(lake_dir).values()) == 0
+    # flip content of one row, keeping the stored (now stale) sha256
+    m = load_latest(lake_dir)
+    victim = next(e for e in m.partitions.values() if e.file and e.num_rows > 0)
+    path = os.path.join(lake_dir, victim.file)
+    t = pq.read_table(path)
+    import pyarrow as pa
+
+    contents = t.column("content").to_pylist()
+    contents[0] = contents[0] + "_BITROT"
+    t = t.set_column(
+        t.schema.get_field_index("content"), "content", pa.array(contents)
+    )
+    pq.write_table(t, path)
+    bad = verify_integrity(lake_dir)
+    assert bad.get(victim.part_id, 0) == 1
+    report = check(tiny_stream, lake_dir)
+    assert report.corrupt == 1 and victim.part_id in report.bad_partitions
+
+
+def test_sync_ticks_with_growing_stream(tmp_path, tiny_stream):
+    """Simulate tailing: start with a prefix of segments, add the rest,
+    tick again — converges to full-replay state."""
+    import shutil
+
+    stream = str(tmp_path / "stream")
+    os.makedirs(stream)
+    segs = sorted(glob.glob(f"{tiny_stream}/events-*.parquet"))
+    shutil.copy(f"{tiny_stream}/rollbacks.parquet", stream)
+    for s in segs[:2]:
+        shutil.copy(s, stream)
+    lake = str(tmp_path / "lake")
+    sync(stream, lake, max_ticks=1, num_partitions=8)
+    wm1 = load_latest(lake).max_watermark
+    for s in segs[2:]:
+        shutil.copy(s, stream)
+    sync(stream, lake, max_ticks=1, check_every=1, num_partitions=8)
+    assert load_latest(lake).max_watermark > wm1
+    assert tables_equal(lake_table(lake), oracle_fold(tiny_stream))
+
+
+def test_cli_roundtrip(tmp_path):
+    """Drive the CLI surface end-to-end in-process (gen → init → check)."""
+    from web3research_etl_ray.__main__ import main
+
+    stream = str(tmp_path / "s")
+    lake = str(tmp_path / "l")
+    assert main(["gen", "--out", stream, "--n-events", "500", "--seed", "1"]) == 0
+    assert (
+        main(["init", "--stream", stream, "--lake", lake, "--partitions", "4"]) == 0
+    )
+    assert main(["check", "--stream", stream, "--lake", lake]) == 0
+    assert tables_equal(lake_table(lake), oracle_fold(stream))

@@ -1,0 +1,89 @@
+"""Unit tests for the LWW fold kernels (no Ray needed)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from web3research_etl_ray.schema import UNIFIED_EVENT_SCHEMA
+from web3research_etl_ray.stages.lww import ORPHAN_OP, fold_lww, partial_lww
+from web3research_etl_ray.stages.normalize import Normalize, orphan_mask
+
+
+def _events(rows):
+    """rows: list of (repo, path, seq, op)"""
+    return pa.table(
+        {
+            "repo": [r[0] for r in rows],
+            "path": [r[1] for r in rows],
+            "commit": [f"c{r[2]}" for r in rows],
+            "lang": ["py"] * len(rows),
+            "content": [f"body-{r[0]}-{r[1]}-{r[2]}" for r in rows],
+            "commit_seq": pa.array([r[2] for r in rows], pa.int64()),
+            "op": [r[3] for r in rows],
+        }
+    )
+
+
+def _normalized(rows, parts=4, ranges=()):
+    return Normalize(parts, list(ranges))(_events(rows))
+
+
+def test_fold_keeps_max_seq_out_of_order():
+    t = _normalized(
+        [("r", "a", 5, "upsert"), ("r", "a", 9, "upsert"), ("r", "a", 7, "upsert"),
+         ("r", "b", 1, "upsert")]
+    )
+    t = t.append_column("n_events", pa.array([1] * 4, pa.int64()))
+    out = fold_lww(t)
+    got = {(r["repo"], r["path"]): (r["commit_seq"], r["n_events"]) for r in out.to_pylist()}
+    assert got == {("r", "a"): (9, 3), ("r", "b"): (1, 1)}
+
+
+def test_fold_duplicate_delivery_single_copy():
+    t = _normalized([("r", "a", 5, "upsert"), ("r", "a", 5, "upsert")])
+    t = t.append_column("n_events", pa.array([1, 1], pa.int64()))
+    out = fold_lww(t)
+    assert out.num_rows == 1 and out.column("n_events")[0].as_py() == 2
+
+
+def test_partial_emits_orphan_counters():
+    t = _normalized(
+        [("r", "a", 5, "upsert"), ("r", "a", 8, "upsert"), ("r", "b", 7, "upsert")],
+        ranges=[(6, 9)],
+    )
+    out = partial_lww(t)
+    counters = out.filter(pc.equal(out["op"], ORPHAN_OP))
+    real = out.filter(pc.not_equal(out["op"], ORPHAN_OP))
+    assert {r["commit_seq"] for r in real.to_pylist()} == {5}
+    assert int(pc.sum(counters["n_events"]).as_py()) == 2
+    # watermark must advance past orphaned seqs
+    assert int(pc.max(out["commit_seq"]).as_py()) == 8
+
+
+def test_orphan_mask_vectorized():
+    seqs = np.array([1, 5, 6, 9, 10, 100])
+    m = orphan_mask(seqs, [(5, 6), (90, 110)])
+    assert m.tolist() == [False, True, True, False, False, True]
+    assert orphan_mask(seqs, []).sum() == 0
+
+
+def test_delete_wins_then_dropped_at_merge():
+    t = _normalized([("r", "a", 5, "upsert"), ("r", "a", 6, "delete")])
+    t = t.append_column("n_events", pa.array([1, 1], pa.int64()))
+    out = fold_lww(t)
+    assert out.num_rows == 1 and out.column("op")[0].as_py() == "delete"
+
+
+def test_normalize_unifies_v1_batch():
+    t = _events([("r", "a", 1, "upsert")])
+    out = Normalize(4, [])(t)
+    for name in UNIFIED_EVENT_SCHEMA.names:
+        assert name in out.column_names
+    assert out.column("metadata")[0].as_py() is None
+    assert out.column("size_bytes")[0].as_py() is None
+    import hashlib
+
+    assert (
+        out.column("content_sha256")[0].as_py()
+        == hashlib.sha256(b"body-r-a-1").digest()
+    )

@@ -1,0 +1,125 @@
+"""Golden replay + metamorphic/property tests (SURVEY.md §5).
+
+The reference has no tests; its correctness is operational (check/
+health_check self-conformance, src/ch_eth/sync.rs:157-327).  These
+tests are the from-scratch suite BASELINE.json requires: golden replay
+vs oracle, at-least-once tolerance, kill+resume exactly-once, late
+rollback repair.
+"""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from web3research_etl_ray.gen import generate_events
+from web3research_etl_ray.oracle import diff_tables, oracle_fold, tables_equal
+from web3research_etl_ray.pipelines.replay import lake_table, read_lake, replay
+from web3research_etl_ray.state.manifest import load_latest
+
+
+def assert_lake_equals_oracle(lake_dir, stream_dir, **fold_kw):
+    lake = lake_table(lake_dir)
+    exp = oracle_fold(stream_dir, **fold_kw)
+    assert tables_equal(lake, exp), diff_tables(lake, exp)
+
+
+def test_golden_replay(tiny_stream, lake_dir):
+    m = replay(tiny_stream, lake_dir, num_partitions=8)
+    assert m.generation == 0
+    assert_lake_equals_oracle(lake_dir, tiny_stream)
+    totals = m.totals()
+    n_events = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{tiny_stream}/events-*.parquet")
+    )
+    assert (
+        totals["events_applied"]
+        + totals["events_superseded"]
+        + totals["events_rolled_back"]
+        == n_events
+    )
+
+
+def test_retick_idempotent(tiny_stream, lake_dir):
+    replay(tiny_stream, lake_dir, num_partitions=8)
+    m2 = replay(tiny_stream, lake_dir, num_partitions=8)
+    assert m2.generation == 1
+    assert_lake_equals_oracle(lake_dir, tiny_stream)
+
+
+def test_partial_then_resume(tiny_stream, lake_dir):
+    """Kill-at-barrier analogue: bounded replay then resume must equal
+    the uninterrupted replay (0 duplicate / 0 lost applies)."""
+    replay(tiny_stream, lake_dir, num_partitions=8, upto_seq=999)
+    assert_lake_equals_oracle(lake_dir, tiny_stream, upto_seq=999)
+    replay(tiny_stream, lake_dir, num_partitions=8)
+    assert_lake_equals_oracle(lake_dir, tiny_stream)
+
+
+def test_staged_without_commit_invisible(tiny_stream, lake_dir):
+    """Exactly-once: files staged by a crashed generation are invisible
+    until a manifest commit publishes them."""
+    m = replay(tiny_stream, lake_dir, num_partitions=8)
+    # simulate a crashed next generation: stage files, never commit
+    staged = os.path.join(lake_dir, "data", "gen=000001")
+    os.makedirs(staged, exist_ok=True)
+    with open(os.path.join(staged, "part-00000.parquet"), "w") as fh:
+        fh.write("garbage")
+    assert load_latest(lake_dir).generation == 0
+    assert_lake_equals_oracle(lake_dir, tiny_stream)
+    # rerun overwrites the staged garbage and commits cleanly
+    m2 = replay(tiny_stream, lake_dir, num_partitions=8)
+    assert m2.generation == 1
+    assert_lake_equals_oracle(lake_dir, tiny_stream)
+
+
+def test_late_rollback_triggers_repair(tmp_path):
+    """Reorg after apply: replay with no rollbacks known, then reveal
+    the rollback table — the engine must detect affected partitions via
+    footer stats and rebuild them (reference delete+reinsert,
+    src/ch_eth/sync.rs:92-116)."""
+    stream = str(tmp_path / "stream")
+    generate_events(stream, n_events=1500, seed=7)
+    hidden = os.path.join(stream, "rollbacks.parquet.hidden")
+    os.replace(os.path.join(stream, "rollbacks.parquet"), hidden)
+    lake = str(tmp_path / "lake")
+    replay(stream, lake, num_partitions=8)
+    assert_lake_equals_oracle(lake, stream)  # no rollbacks applied yet
+    os.replace(hidden, os.path.join(stream, "rollbacks.parquet"))
+    m = replay(stream, lake, num_partitions=8)
+    assert_lake_equals_oracle(lake, stream)
+    assert m.totals()["events_rolled_back"] > 0
+
+
+def test_duplicated_batch_at_least_once(tmp_path, tiny_stream):
+    """Replaying a stream with ~a segment duplicated converges to the
+    same state (at-least-once producer tolerance)."""
+    dup = str(tmp_path / "dup_stream")
+    shutil.copytree(tiny_stream, dup)
+    seg = sorted(glob.glob(f"{dup}/events-*.parquet"))[1]
+    shutil.copy(seg, seg.replace("events-", "events-9"))
+    lake = str(tmp_path / "lake")
+    replay(dup, lake, num_partitions=8)
+    lake_t = lake_table(lake)
+    exp = oracle_fold(tiny_stream)
+    assert tables_equal(lake_t, exp), diff_tables(lake_t, exp)
+
+
+def test_read_lake_dataset(tiny_stream, lake_dir):
+    replay(tiny_stream, lake_dir, num_partitions=8)
+    ds = read_lake(lake_dir, columns=["repo", "path", "commit_seq"])
+    assert ds.count() == oracle_fold(tiny_stream).num_rows
+    assert set(ds.schema().names) == {"repo", "path", "commit_seq"}
+
+
+def test_schema_evolution_visible_in_lake(tiny_stream, lake_dir):
+    m = replay(tiny_stream, lake_dir, num_partitions=8)
+    assert m.schema_version == 3
+    lake = lake_table(lake_dir)
+    by_seq = sorted(lake.to_pylist(), key=lambda r: r["commit_seq"])
+    assert by_seq[0]["metadata"] is None and by_seq[0]["size_bytes"] is None
+    last = by_seq[-1]
+    assert last["size_bytes"] == len(last["content"])

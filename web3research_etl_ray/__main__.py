@@ -1,0 +1,131 @@
+"""CLI — mirrors the reference's subcommand surface (src/main.rs:16-118:
+init / sync / check per chain; plus our gen / compact / bench helpers).
+
+    python -m web3research_etl_ray gen     --out DIR --n-events N [--seed S]
+    python -m web3research_etl_ray init    --stream DIR --lake DIR [--from-seq A --to-seq B]
+    python -m web3research_etl_ray sync    --stream DIR --lake DIR [--ticks K --check-every E]
+    python -m web3research_etl_ray check   --stream DIR --lake DIR [--repair]
+    python -m web3research_etl_ray compact --lake DIR [--keep K]
+
+This entry point owns the Ray session (guarded init; library code never
+calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session():
+    """Init Ray iff nobody else owns the session (returns ray, owns)."""
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray, owns
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="web3research_etl_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic event stream")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-events", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+
+    for name in ("init", "sync", "check"):
+        s = sub.add_parser(name)
+        s.add_argument("--stream", required=True)
+        s.add_argument("--lake", required=True)
+        s.add_argument("--partitions", type=int, default=32)
+        if name == "init":
+            s.add_argument("--to-seq", type=int, default=None)
+        if name == "sync":
+            s.add_argument("--ticks", type=int, default=1)
+            s.add_argument("--check-every", type=int, default=0)
+        if name == "check":
+            s.add_argument("--repair", action="store_true")
+
+    c = sub.add_parser("compact")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--keep", type=int, default=2)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .gen import generate_events
+
+        info = generate_events(args.out, n_events=args.n_events, seed=args.seed)
+        print(json.dumps({k: v for k, v in info.items() if k != "files"}))
+        return 0
+
+    if args.cmd == "compact":
+        from .state.manifest import gc_generations
+
+        removed = gc_generations(args.lake, keep=args.keep)
+        print(json.dumps({"removed_generations": removed}))
+        return 0
+
+    ray, owns_session = _ray_session()
+    try:
+        if args.cmd == "init":
+            from .pipelines.replay import replay
+
+            m = replay(
+                args.stream,
+                args.lake,
+                num_partitions=args.partitions,
+                upto_seq=args.to_seq,
+            )
+            print(json.dumps({"generation": m.generation, **m.totals()}))
+        elif args.cmd == "sync":
+            from .pipelines.tail import sync
+
+            reports = sync(
+                args.stream,
+                args.lake,
+                max_ticks=args.ticks,
+                check_every=args.check_every,
+                num_partitions=args.partitions,
+            )
+            print(
+                json.dumps(
+                    {
+                        "ticks": args.ticks,
+                        "checks": [r.__dict__ for r in reports],
+                    }
+                )
+            )
+        elif args.cmd == "check":
+            from .pipelines.check import check, repair
+
+            report = check(args.stream, args.lake)
+            print(json.dumps(report.__dict__))
+            if args.repair and not report.ok:
+                repair(args.stream, args.lake, report.bad_partitions)
+                report2 = check(args.stream, args.lake)
+                print(json.dumps(report2.__dict__))
+                return 0 if report2.ok else 1
+            return 0 if report.ok else 1
+    finally:
+        if owns_session:
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,230 @@
+"""Verification + repair — the reference's ``check`` subcommand and
+``interval_health_check`` (src/ch_eth/check.rs:10-66,
+src/ch_eth/sync.rs:157-327) re-expressed as a distributed compare.
+
+Two layers, mirroring the reference's probes:
+
+1. **Integrity** (stored hash vs stored payload): recompute
+   sha256(content) per lake row and compare to ``content_sha256`` —
+   the analogue of the stored-vs-chain hash equality check
+   (src/ch_eth/sync.rs:164-186).  A pure streaming ``map_batches``.
+2. **Conformance** (lake vs source-of-truth events): re-derive the
+   expected winner per key from the event stream and compare against
+   the lake per hash partition — the analogue of health_check's
+   missing-block / count probes (src/ch_eth/sync.rs:170-325).  Both
+   sides ride one union → groupby(part_id) exchange of *folded* rows.
+
+``repair`` = replay with the bad partitions forced into rebuild mode —
+the delete-all + reinsert of the reference (src/ch_eth/sync.rs:92-116),
+scoped to hash partitions instead of block numbers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.hashing import key_hash64, sha256_binary
+from ..oracle import load_rollback_ranges
+from ..stages.lww import ORPHAN_OP, fold_lww, partial_lww
+from ..stages.normalize import Normalize
+from ..state.manifest import load_latest
+from .replay import event_files, read_lake, replay
+
+_CMP_COLS = ["repo", "path", "commit_seq", "content_sha256", "op", "part_id", "n_events", "src"]
+
+
+@dataclass
+class CheckReport:
+    partitions_checked: int = 0
+    rows_expected: int = 0
+    rows_in_lake: int = 0
+    missing: int = 0  # expected key absent from lake
+    extra: int = 0  # lake key not expected
+    mismatched: int = 0  # key present, wrong (commit_seq, sha256)
+    corrupt: int = 0  # stored sha256 != recompute(content)
+    bad_partitions: list[int] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return not (self.missing or self.extra or self.mismatched or self.corrupt)
+
+
+def verify_integrity(lake_dir: str) -> dict[int, int]:
+    """Per-partition count of rows whose stored content_sha256 does not
+    match a recompute over the stored content."""
+    manifest = load_latest(lake_dir)
+    if manifest is None or not manifest.data_files(lake_dir):
+        return {}
+    ds = read_lake(lake_dir, columns=["repo", "path", "content", "content_sha256"])
+    num_partitions = manifest.num_partitions
+
+    def _chk(t: pa.Table) -> pa.Table:
+        fresh = sha256_binary(t.column("content"))
+        bad = pc.not_equal(fresh, t.column("content_sha256").combine_chunks())
+        pid = (
+            key_hash64(t.column("repo"), t.column("path"))
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part_id": pa.array(pid),
+                "bad": pa.array(bad.to_numpy(zero_copy_only=False).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_chk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part_id")
+        .sum("bad")
+        .take_all()
+    )
+    return {int(r["part_id"]): int(r["sum(bad)"]) for r in agg}
+
+
+def _compare_groups(group: pa.Table) -> pa.Table:
+    """Per-partition compare of expected (folded events) vs lake rows."""
+    pid = int(group.column("part_id")[0].as_py())
+    exp = group.filter(pc.equal(group.column("src"), "e"))
+    exp = exp.filter(pc.not_equal(exp.column("op"), ORPHAN_OP))
+    exp = fold_lww(exp)
+    exp = exp.filter(pc.not_equal(exp.column("op"), "delete"))
+    lake = group.filter(pc.equal(group.column("src"), "l"))
+
+    def keyed(t):
+        return {
+            (r["repo"], r["path"]): (r["commit_seq"], r["content_sha256"])
+            for r in t.select(
+                ["repo", "path", "commit_seq", "content_sha256"]
+            ).to_pylist()
+        }
+
+    ek, lk = keyed(exp), keyed(lake)
+    missing = sum(1 for k in ek if k not in lk)
+    extra = sum(1 for k in lk if k not in ek)
+    mismatched = sum(1 for k, v in ek.items() if k in lk and lk[k] != v)
+    return pa.table(
+        {
+            "part_id": [pid],
+            "n_expected": [len(ek)],
+            "n_lake": [len(lk)],
+            "missing": [missing],
+            "extra": [extra],
+            "mismatched": [mismatched],
+        }
+    )
+
+
+def check(
+    stream_dir: str,
+    lake_dir: str,
+    *,
+    from_seq: int | None = None,
+    batch_size: int = 8192,
+) -> CheckReport:
+    """Distributed conformance + integrity check.
+
+    ``from_seq`` bounds the re-check window by last-writer seq (the
+    reference re-checks the trailing 100k blocks every 4h,
+    src/ch_eth/sync.rs:348-350): only keys whose winner commit_seq >=
+    from_seq are compared.
+    """
+    manifest = load_latest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake under {lake_dir}")
+    P = manifest.num_partitions
+    ranges = load_rollback_ranges(stream_dir)
+    files = event_files(stream_dir)
+
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        groups.setdefault(tuple(pq.ParquetFile(f).schema_arrow.names), []).append(f)
+    normalize = Normalize(P, ranges)
+
+    def _tag_exp(t: pa.Table) -> pa.Table:
+        t = t.select(_CMP_COLS[:-1])
+        return t.append_column("src", pa.array(["e"] * t.num_rows))
+
+    exp_parts = [
+        ray.data.read_parquet(g)
+        .map_batches(normalize, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+        .map_batches(partial_lww, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+        .map_batches(_tag_exp, batch_format="pyarrow", zero_copy_batch=True)
+        for g in groups.values()
+    ]
+
+    def _tag_lake(t: pa.Table) -> pa.Table:
+        pid = (
+            key_hash64(t.column("repo"), t.column("path")) % np.uint64(P)
+        ).astype(np.int64)
+        n = t.num_rows
+        t = t.select(["repo", "path", "commit_seq", "content_sha256"])
+        t = t.append_column("op", pa.array(["upsert"] * n))
+        t = t.append_column("part_id", pa.array(pid))
+        t = t.append_column("n_events", pa.array(np.zeros(n, dtype=np.int64)))
+        return t.append_column("src", pa.array(["l"] * n))
+
+    lake_ds = read_lake(
+        lake_dir, columns=["repo", "path", "commit_seq", "content_sha256"]
+    ).map_batches(_tag_lake, batch_format="pyarrow", zero_copy_batch=True)
+
+    ds = exp_parts[0]
+    for p in exp_parts[1:]:
+        ds = ds.union(p)
+    ds = ds.union(lake_ds)
+    if from_seq is not None:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("commit_seq"), from_seq)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    rows = ds.groupby("part_id").map_groups(
+        _compare_groups, batch_format="pyarrow"
+    ).take_all()
+
+    report = CheckReport(partitions_checked=len(rows))
+    for r in rows:
+        report.rows_expected += int(r["n_expected"])
+        report.rows_in_lake += int(r["n_lake"])
+        report.missing += int(r["missing"])
+        report.extra += int(r["extra"])
+        report.mismatched += int(r["mismatched"])
+        if r["missing"] or r["extra"] or r["mismatched"]:
+            report.bad_partitions.append(int(r["part_id"]))
+    for pid, bad in verify_integrity(lake_dir).items():
+        if bad:
+            report.corrupt += bad
+            if pid not in report.bad_partitions:
+                report.bad_partitions.append(pid)
+    report.bad_partitions.sort()
+    return report
+
+
+def repair(
+    stream_dir: str, lake_dir: str, bad_partitions: list[int], **replay_kw
+):
+    """Rebuild the given partitions from full event history (the
+    reference's delete-all + reinsert, scoped to hash partitions)."""
+    manifest = load_latest(lake_dir)
+    return replay(
+        stream_dir,
+        lake_dir,
+        num_partitions=manifest.num_partitions,
+        force_repair_pids=frozenset(bad_partitions),
+        **replay_kw,
+    )
+
+
+def check_and_repair(stream_dir: str, lake_dir: str, **check_kw) -> CheckReport:
+    report = check(stream_dir, lake_dir, **check_kw)
+    if not report.ok:
+        repair(stream_dir, lake_dir, report.bad_partitions)
+    return report

@@ -1,0 +1,59 @@
+"""Tail loop — the reference's ``sync`` subcommand
+(src/ch_eth/sync.rs:357-434): follow new heads + periodic self-heal.
+
+The reference subscribes to a WS push stream and handles each head
+serially (listen_updates, src/ch_eth/sync.rs:118-145), plus a 4-hour
+interval health check over the trailing 100k blocks (:406-431).  Our
+source is an append-only Parquet event log, so "subscribe" becomes a
+poll: each tick runs one incremental replay generation (which reads
+only events past the stored watermark via Parquet predicate pushdown)
+and every ``check_every`` ticks a bounded conformance re-check + repair
+runs over the trailing ``check_window`` commit range.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from ..state.manifest import Manifest, load_latest
+from .check import CheckReport, check_and_repair
+from .replay import replay
+
+
+def tail_once(stream_dir: str, lake_dir: str, **replay_kw) -> Manifest:
+    """One sync tick: apply all events past the watermark, commit."""
+    return replay(stream_dir, lake_dir, **replay_kw)
+
+
+def sync(
+    stream_dir: str,
+    lake_dir: str,
+    *,
+    max_ticks: int | None = None,
+    poll_interval_s: float = 0.0,
+    check_every: int = 0,
+    check_window: int = 100_000,
+    on_tick: Callable[[int, Manifest], None] | None = None,
+    **replay_kw,
+) -> list[CheckReport]:
+    """Run the tail loop.  ``max_ticks`` bounds it for tests/CLI;
+    ``check_every=k`` runs the trailing-window health check every k
+    ticks (reference cadence: every 4h over 100k blocks,
+    src/ch_eth/sync.rs:348,406)."""
+    reports: list[CheckReport] = []
+    tick = 0
+    while max_ticks is None or tick < max_ticks:
+        manifest = tail_once(stream_dir, lake_dir, **replay_kw)
+        if on_tick:
+            on_tick(tick, manifest)
+        tick += 1
+        if check_every and tick % check_every == 0:
+            latest = load_latest(lake_dir)
+            from_seq = max(0, latest.max_watermark - check_window)
+            reports.append(
+                check_and_repair(stream_dir, lake_dir, from_seq=from_seq)
+            )
+        if poll_interval_s and (max_ticks is None or tick < max_ticks):
+            time.sleep(poll_interval_s)
+    return reports

@@ -146,6 +146,15 @@ def gc_generations(lake_dir: str, keep: int = 2) -> list[int]:
         for p in glob.glob(os.path.join(lake_dir, "manifest-*.json"))
     )
     chain_keep = set(gens[-keep:]) | {latest.generation}
+    # a kept manifest may reference files carried forward from older
+    # generations (untouched partitions) — their gen dirs must survive
+    referenced = set()
+    for g in chain_keep:
+        m = load_manifest(lake_dir, g)
+        for e in m.partitions.values():
+            if e.file:
+                referenced.add(int(e.file.split("gen=")[1].split(os.sep)[0]))
+    chain_keep |= referenced
     removed = []
     for g in gens:
         if g in chain_keep:
