@@ -1,0 +1,103 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry and its oracle_sql() side-by-side in DuckDB, compare
+row-count + (order-insensitive) values with columns sorted by name.
+Used by tests/test_queries.py and ad-hoc from the CLI:
+
+    python tests/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        obj = pa.Table.from_pylist(obj.take_all())
+    if isinstance(obj, pa.Table):
+        obj = obj.to_pandas()
+    return obj
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, ray_result, sql: str, con) -> tuple[bool, str]:
+    a = canon(to_pandas(ray_result))
+    b = canon(con.sql(sql).df())
+    if list(a.columns) != list(b.columns):
+        return False, f"columns {list(a.columns)} != {list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"rows {len(a)} != {len(b)}"
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
+                                      rtol=1e-12, atol=1e-12)
+    except AssertionError as e:
+        return False, str(e).split("\n")[0] + " | " + str(e)[:400]
+    return True, f"{len(a)} rows"
+
+
+def run(sf_dir: str, only: list[str] | None = None) -> dict[str, tuple[bool, str]]:
+    import __ray_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            out = fn(sf_dir)
+            if name in oracles:
+                results[name] = compare(name, out, oracles[name], con)
+            else:
+                n = len(to_pandas(out))
+                results[name] = (n >= 0, f"rows-only: {n} rows")
+        except Exception as e:  # noqa: BLE001
+            import traceback
+
+            results[name] = (False, traceback.format_exc(limit=3).replace("\n", " | ")[:500])
+    return results
+
+
+if __name__ == "__main__":
+    import ray
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2:] or None
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    ok = True
+    for name, (passed, msg) in run(sf_dir, only).items():
+        print(f"{'PASS' if passed else 'FAIL'} {name}: {msg}")
+        ok = ok and passed
+    ray.shutdown()
+    sys.exit(0 if ok else 1)

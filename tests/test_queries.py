@@ -1,0 +1,49 @@
+"""Driver-contract gate, run locally: every queries() entry vs its
+DuckDB oracle at sf0.001 (the driver repeats this at sf0.01)."""
+
+import pytest
+
+from . import parity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def results():
+    return parity.run(SF_DIR)
+
+
+def test_all_queries_present(results):
+    import __ray_entry__ as e
+
+    assert set(results) == set(e.queries())
+    # every oracle key must have a query
+    assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_entry_smoke():
+    import __ray_entry__ as e
+
+    out = e.entry()
+    import pyarrow as pa
+
+    assert isinstance(out, pa.Table) and out.num_rows > 0
+    assert "content_sha256" in out.column_names
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "cdc_replay_lake", "lww_upsert_events", "watermark_events",
+        "per_type_counts", "orphan_filter_events", "json_extract_events",
+        "explode_embeddings", "top_events", "sha256_documents",
+        "exact_dedup_documents", "token_stats_documents", "doc_quality",
+        "ngram_jaccard_pairs", "knn_cosine", "embedding_neardup",
+        "broadcast_join_segment", "tpch_q1", "lang_id_documents",
+        "simhash_documents", "fingerprint_documents", "minhash_lsh_pairs",
+        "knn_lsh", "multimodal_features",
+    ],
+)
+def test_query(results, name):
+    passed, msg = results[name]
+    assert passed, f"{name}: {msg}"

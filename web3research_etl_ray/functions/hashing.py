@@ -145,4 +145,5 @@ def rolling_fingerprint(arr: pa.Array | pa.ChunkedArray, window: int = 64) -> pa
             # normalize each window to its own basis
             win = win // pows[::-1][window - 1 :]
             out.append(int(win.min()))
-    return pa.array(out, pa.uint64())
+    # int64 view keeps downstream pylist/pandas round-trips overflow-free
+    return pa.array(np.array(out, dtype=np.uint64).view(np.int64), pa.int64())

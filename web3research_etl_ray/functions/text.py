@@ -1,0 +1,139 @@
+"""Text-analysis kernels for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All vectorized over Arrow batches via RE2-backed pyarrow.compute
+kernels (``count_substring_regex``), which share regex semantics with
+DuckDB's RE2 — so the pytest/driver oracles can express the same
+counts in SQL (``len(regexp_extract_all(...))``) and match exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\w+"
+PUNCT_RE = r"[^\w\s]"
+DIGIT_RE = r"[0-9]"
+UPPER_RE = r"[A-Z]"
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic; CJK is detected by codepoint range instead.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "dans"),
+    "es": ("el", "la", "los", "las", "es", "una", "que", "por"),
+}
+CJK_RE = r"[一-鿿]"
+
+
+def _count(arr, pattern: str) -> pa.Array:
+    c = pc.count_substring_regex(arr, pattern)
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_chars_calc / n_tokens / n_punct / n_digits columns."""
+    t = batch.column(text_col)
+    return (
+        batch.append_column("n_chars_calc", pc.utf8_length(t).cast(pa.int64()))
+        .append_column("n_tokens", _count(t, TOKEN_RE).cast(pa.int64()))
+        .append_column("n_punct", _count(t, PUNCT_RE).cast(pa.int64()))
+        .append_column("n_digits", _count(t, DIGIT_RE).cast(pa.int64()))
+    )
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality score in [0,1]: long enough, word-dense, not
+    punctuation/digit heavy.  Pure double arithmetic on the counted
+    components, so an SQL oracle computing the same formula matches
+    bit-for-bit."""
+    t = token_stats(batch, text_col)
+    n_chars = t.column("n_chars_calc").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_tokens = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_punct = t.column("n_punct").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_digits = t.column("n_digits").to_numpy(zero_copy_only=False).astype(np.float64)
+    denom = np.maximum(n_chars, 1.0)
+    score = (
+        np.minimum(n_chars / 200.0, 1.0) * 0.4
+        + np.minimum(n_tokens / 40.0, 1.0) * 0.4
+        + (1.0 - np.minimum(n_punct / denom * 5.0, 1.0)) * 0.1
+        + (1.0 - np.minimum(n_digits / denom * 5.0, 1.0)) * 0.1
+    )
+    return t.append_column("quality", pa.array(score))
+
+
+def lang_scores(batch: pa.Table, text_col: str = "text") -> dict[str, np.ndarray]:
+    """Per-language stopword hit counts (vectorized, one RE2 scan per
+    language) + CJK codepoint count."""
+    t = pc.utf8_lower(batch.column(text_col))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = _count(t, pattern).to_numpy(zero_copy_only=False).astype(np.int64)
+    out["zh"] = (
+        _count(batch.column(text_col), CJK_RE)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return out
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``lang_pred``: argmax of stopword/CJK scores, 'und' when
+    nothing matches.  Deterministic tie-break = language name order."""
+    scores = lang_scores(batch, text_col)
+    langs = sorted(scores)
+    mat = np.stack([scores[lg] for lg in langs])  # [L, n]
+    best = np.argmax(mat, axis=0)  # first max wins (sorted order)
+    hit = mat.max(axis=0) > 0
+    pred = np.where(hit, np.array(langs, dtype=object)[best], "und")
+    return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
+
+
+def word_shingles(text: str, k: int = 3) -> set[str]:
+    """k-word shingles of the RE2-lowercased token stream (the unit for
+    n-gram Jaccard and MinHash)."""
+    import re
+
+    words = re.findall(TOKEN_RE, text.lower())
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def simhash64(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over token hashes (Charikar).  Deterministic:
+    token hash = blake2b-8 of the token bytes."""
+    import hashlib
+    import re
+
+    token_re = re.compile(TOKEN_RE)
+    out = np.zeros(batch.num_rows, dtype=np.uint64)
+    texts = batch.column(text_col).to_pylist()
+    for i, text in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in token_re.findall((text or "").lower()):
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        out[i] = np.uint64(
+            int("".join("1" if b > 0 else "0" for b in acc[::-1]), 2)
+        )
+    # expose as int64 (two's-complement view): uint64 values overflow
+    # many downstream consumers (pylist round-trips, pandas, JSON)
+    return batch.append_column("simhash", pa.array(out.view(np.int64), pa.int64()))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of xor between uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt

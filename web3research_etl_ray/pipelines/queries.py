@@ -1,0 +1,860 @@
+"""Driver-contract query surface: one entry per operator family from
+SURVEY.md §2 plus the training-data operators, each over the driver's
+parquet tables (region/nation/customer/supplier/part/orders/lineitem/
+events/documents/embeddings) with a DuckDB oracle where the semantics
+are SQL-expressible.
+
+Parity rules that make the value-hash comparison exact:
+- float SUMs are integer-ized first (``CAST(ROUND(x*100) AS BIGINT)``;
+  Ray side uses round_mode=half_towards_infinity to match DuckDB) —
+  integer sums are order-independent, double sums are not.
+- regex counts use RE2 on both sides (pyarrow.compute and DuckDB).
+- top-k ties are broken by id so the selected SET is deterministic.
+- column names are identical on both sides (AS aliases).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.dedup import exact_dedup_groups, minhash_lsh_pairs
+from ..functions.hashing import rolling_fingerprint, sha256_hex
+from ..functions.multimodal import media_feature_pipeline
+from ..functions.similarity import cosine_neardup_pairs, knn_brute, knn_lsh
+from ..functions.text import lang_id, quality_score, simhash64, token_stats, word_shingles
+from ..stages.lww import fold_lww
+
+_ROUND = pc.RoundOptions(ndigits=0, round_mode="half_towards_infinity")
+
+
+def _tbl(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
+    kw = {"columns": columns} if columns else {}
+    return ray.data.read_parquet(_tbl(sf_dir, name), **kw)
+
+
+def _cents(col) -> pa.Array:
+    return pc.round(pc.multiply(col, pa.scalar(100.0)), options=_ROUND).cast(pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# 1. Flagship: CDC replay with a fully SQL-expressible event derivation
+# ---------------------------------------------------------------------------
+
+_ORPHAN_LO, _ORPHAN_HI = 200_000, 200_050
+
+
+def _derive_cdc_stream(sf_dir: str) -> str:
+    """Deterministically derive a (repo, path, commit, lang, content,
+    commit_seq, op) change-event stream from the documents table — 3
+    commits per doc, deletes on doc_id%37 at i=2, an orphaned range at
+    [200000, 200050] — and stage it as a stream dir for the engine.
+    The same derivation is expressed in the oracle SQL CTE, so the full
+    engine replay has an exact DuckDB oracle."""
+    docs = pq.read_table(_tbl(sf_dir, "documents"))
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out_dir = f"/tmp/w3r_cdc/{tag}"
+    marker = os.path.join(out_dir, "events-00000.parquet")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    parts = []
+    n = docs.num_rows
+    doc_id = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    for i in range(3):
+        repo = docs.column("source")
+        path = pa.array([f"docs/{d}.txt" for d in doc_id], pa.string())
+        seq = pa.array(i * 100_000 + doc_id, pa.int64())
+        content = pc.binary_join_element_wise(
+            docs.column("text").cast(pa.string()), f" v{i}", ""
+        )
+        commit_src = pc.binary_join_element_wise(
+            repo.cast(pa.string()),
+            pc.binary_join_element_wise(
+                path, pc.cast(seq, pa.string()), "@"
+            ),
+            "/",
+        )
+        op = pa.array(
+            [
+                "delete" if (i == 2 and d % 37 == 0) else "upsert"
+                for d in doc_id
+            ],
+            pa.string(),
+        )
+        parts.append(
+            pa.table(
+                {
+                    "repo": repo.cast(pa.string()),
+                    "path": path,
+                    "commit": sha256_hex(commit_src),
+                    "lang": docs.column("lang").cast(pa.string()),
+                    "content": content,
+                    "commit_seq": seq,
+                    "op": op,
+                }
+            )
+        )
+    events = pa.concat_tables(parts).sort_by([("commit_seq", "ascending")])
+    pq.write_table(events, marker)
+    pq.write_table(
+        pa.table(
+            {
+                "barrier_seq": pa.array([_ORPHAN_HI + 1], pa.int64()),
+                "orphan_from": pa.array([_ORPHAN_LO], pa.int64()),
+                "orphan_to": pa.array([_ORPHAN_HI], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "rollbacks.parquet"),
+    )
+    return out_dir
+
+
+def q_cdc_replay_lake(sf_dir: str) -> pa.Table:
+    """Full engine replay (normalize → partial LWW → partitioned merge
+    → manifest) of the derived stream; returns the converged lake."""
+    import shutil
+
+    from .replay import lake_table, replay
+
+    stream = _derive_cdc_stream(sf_dir)
+    lake_dir = stream + "-lake"
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    replay(stream, lake_dir, num_partitions=8)
+    lake = lake_table(lake_dir)
+    out = pa.table(
+        {
+            "repo": lake.column("repo"),
+            "path": lake.column("path"),
+            "commit": lake.column("commit"),
+            "lang": lake.column("lang"),
+            "content": lake.column("content"),
+            "content_sha256": sha256_hex(lake.column("content")),
+            "commit_seq": lake.column("commit_seq"),
+        }
+    )
+    return out.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+_CDC_SQL = f"""
+WITH ev AS (
+  SELECT source AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         i * 100000 + doc_id AS commit_seq,
+         lang,
+         text || ' v' || CAST(i AS VARCHAR) AS content,
+         CASE WHEN i = 2 AND doc_id % 37 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM documents, (SELECT UNNEST([0, 1, 2]) AS i)
+),
+eff AS (
+  SELECT * FROM ev WHERE commit_seq NOT BETWEEN {_ORPHAN_LO} AND {_ORPHAN_HI}
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM eff
+)
+SELECT repo, path,
+       sha256(repo || '/' || path || '@' || CAST(commit_seq AS VARCHAR)) AS commit,
+       lang, content, sha256(content) AS content_sha256, commit_seq
+FROM win WHERE rn = 1 AND op <> 'delete'
+ORDER BY repo, path
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. CDC-core operator analogues over the generic events table
+# ---------------------------------------------------------------------------
+
+
+def q_lww_upsert_events(sf_dir: str) -> pa.Table:
+    """Generic keyed LWW upsert (ReplacingMergeTree analogue) applied
+    to the events table: key (user_id, event_type), order event_id.
+    partial fold per batch → groupby → final fold per group."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return fold_lww(t, None, ("user_id", "event_type"), "event_id")
+
+    def final(g: pa.Table) -> pa.Table:
+        w = fold_lww(g, None, ("user_id", "event_type"), "event_id")
+        return pa.table(
+            {
+                "user_id": w.column("user_id").cast(pa.int64()),
+                "event_type": w.column("event_type"),
+                "last_event_id": w.column("event_id").cast(pa.int64()),
+                "last_value_cents": _cents(w.column("value")),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .map_groups(final, batch_format="pyarrow")
+    )
+    return rows
+
+
+ORACLE_LWW = """
+SELECT user_id, event_type,
+       max(event_id) AS last_event_id,
+       CAST(ROUND(arg_max(value, event_id) * 100) AS BIGINT) AS last_value_cents
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_watermark_events(sf_dir: str) -> pa.Table:
+    """Watermark probe — SELECT max(number) analogue
+    (reference src/ch_eth/sync.rs:341-344)."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    agg = ds.aggregate(Max("event_id", alias_name="max_event_id"),
+                       Count(alias_name="n_events"))
+    return pa.table(
+        {"max_event_id": [agg["max_event_id"]], "n_events": [agg["n_events"]]}
+    )
+
+
+def q_per_type_counts(sf_dir: str) -> pa.Table:
+    """Per-key integrity counts (health_check count probes,
+    reference src/ch_eth/sync.rs:204-325), pre-aggregated per batch."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("value_cents", _cents(t.column("value")))
+        return (
+            t.select(["event_type", "event_id", "value_cents"])
+            .group_by("event_type")
+            .aggregate(
+                [("event_id", "count"), ("value_cents", "sum"),
+                 ("event_id", "min"), ("event_id", "max")]
+            )
+            .rename_columns(
+                ["event_type", "n", "sum_value_cents", "min_event_id", "max_event_id"]
+            )
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+            Min("min_event_id", alias_name="min_event_id"),
+            Max("max_event_id", alias_name="max_event_id"),
+        )
+    )
+
+
+ORACLE_PER_TYPE = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+FROM events GROUP BY event_type
+"""
+
+_EVENT_ORPHANS = [(1000, 1999), (5000, 5499)]
+
+
+def q_orphan_filter_events(sf_dir: str) -> pa.Table:
+    """Rollback orphan-range filter (reorg delete analogue) over the
+    generic events table, then per-type live counts."""
+    from ..stages.normalize import orphan_mask
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def live(t: pa.Table) -> pa.Table:
+        seqs = t.column("event_id").to_numpy(zero_copy_only=False)
+        keep = ~orphan_mask(seqs, _EVENT_ORPHANS)
+        t = t.filter(pa.array(keep))
+        return (
+            t.group_by("event_type")
+            .aggregate([("event_id", "count")])
+            .rename_columns(["event_type", "n_live"])
+        )
+
+    return (
+        ds.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n_live", alias_name="n_live"))
+    )
+
+
+ORACLE_ORPHAN = """
+SELECT event_type, count(*) AS n_live FROM events
+WHERE event_id NOT BETWEEN 1000 AND 1999
+  AND event_id NOT BETWEEN 5000 AND 5499
+GROUP BY event_type
+"""
+
+
+def q_json_extract_events(sf_dir: str) -> pa.Table:
+    """Untyped-JSON field extraction (Arbitrum extra-field analogue,
+    reference src/ch_arb_one/schema.rs:72-104): pull props.k, sum per
+    type."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        groups = pc.extract_regex(t.column("props"), r'"k": (?P<k>[0-9]+)')
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        k = pc.struct_field(groups, "k").cast(pa.int64())
+        t = pa.table({"event_type": t.column("event_type"), "k": k})
+        return (
+            t.group_by("event_type")
+            .aggregate([("k", "sum"), ("k", "count")])
+            .rename_columns(["event_type", "sum_k", "n"])
+        )
+
+    return (
+        ds.map_batches(ext, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_explode_embeddings(sf_dir: str) -> pa.Table:
+    """List explode (flat_map) — the topics/withdrawals explode analogue
+    (reference src/ch_eth/schema.rs:165-190): (vec_id, pos, val)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("vec_id"), 20))
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64()),
+                 "val": pa.array([], pa.float64())}
+            )
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        lens = np.asarray([len(v) for v in emb])
+        vec_ids = np.repeat(
+            t.column("vec_id").to_numpy(zero_copy_only=False), lens
+        )
+        pos = np.concatenate([np.arange(n) for n in lens])
+        flat = emb.flatten().cast(pa.float64())
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "val": flat,
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_EXPLODE = """
+SELECT vec_id,
+       UNNEST(range(len(embedding))) AS pos,
+       CAST(UNNEST(embedding) AS DOUBLE) AS val
+FROM embeddings WHERE vec_id < 20
+"""
+
+
+def q_top_events(sf_dir: str) -> pa.Table:
+    """Sort + limit (top-k) with deterministic tie-break."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    top = ds.sort([("value"), ("event_id")], descending=[True, False]).limit(100)
+    t = pa.Table.from_pylist(top.take_all())
+    return pa.table(
+        {
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "value_cents": _cents(t.column("value")),
+        }
+    )
+
+
+ORACLE_TOP = """
+SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+FROM events ORDER BY value DESC, event_id LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Hash / dedup / text-analysis operators over documents
+# ---------------------------------------------------------------------------
+
+
+def q_sha256_documents(sf_dir: str) -> pa.Table:
+    """Scalar hash kernel (stored-hash invariant, BASELINE.json)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "text_sha256": sha256_hex(t.column("text")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ORACLE_SHA = "SELECT doc_id, sha256(text) AS text_sha256 FROM documents"
+
+
+def q_exact_dedup_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup_groups(ds)
+
+
+ORACLE_DEDUP = """
+SELECT sha256(text) AS text_sha256, min(doc_id) AS rep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_token_stats_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: token_stats(t).select(
+            ["doc_id", "n_chars_calc", "n_tokens", "n_punct", "n_digits"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ORACLE_TOKENS = r"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(regexp_extract_all(text, '\w+')) AS n_tokens,
+       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digits
+FROM documents
+"""
+
+
+def q_doc_quality(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: quality_score(t).select(["doc_id", "quality"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ORACLE_QUALITY = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digits
+  FROM documents
+)
+SELECT doc_id,
+       least(n_chars / 200.0, 1.0) * 0.4
+     + least(n_tokens / 40.0, 1.0) * 0.4
+     + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.1
+     + (1.0 - least(n_digits / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.1 AS quality
+FROM c
+"""
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact word-3-shingle Jaccard >= 0.5 pairs, computed distributed:
+    per-doc DISTINCT shingles explode → groupby(shingle) pairs →
+    pair-count groupby; integer counts only → exact SQL parity."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    import re
+
+    from ..functions.text import TOKEN_RE
+
+    token_re = re.compile(TOKEN_RE)
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids, sh = [], []
+        for did, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            # same tokenization as the SQL oracle (RE2 \w+); docs with
+            # <3 tokens produce no 3-shingles on either side
+            if len(token_re.findall((text or "").lower())) < 3:
+                continue
+            for s in word_shingles(text or "", 3):
+                ids.append(did)
+                sh.append(s)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "s": pa.array(sh, pa.string())}
+        )
+
+    shingles = ds.map_batches(
+        shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    sizes = {
+        int(r["doc_id"]): int(r["n"])
+        for r in shingles.groupby("doc_id")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
+
+    pair_counts = (
+        shingles.groupby("s")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_inter"))
+        .take_all()
+    )
+    id_a, id_b, n_i, n_u = [], [], [], []
+    for r in sorted(pair_counts, key=lambda r: (r["id_a"], r["id_b"])):
+        inter = int(r["n_inter"])
+        union = sizes[int(r["id_a"])] + sizes[int(r["id_b"])] - inter
+        if 2 * inter >= union:
+            id_a.append(int(r["id_a"]))
+            id_b.append(int(r["id_b"]))
+            n_i.append(inter)
+            n_u.append(union)
+    return pa.table(
+        {
+            "id_a": pa.array(id_a, pa.int64()),
+            "id_b": pa.array(id_b, pa.int64()),
+            "n_inter": pa.array(n_i, pa.int64()),
+            "n_union": pa.array(n_u, pa.int64()),
+        }
+    )
+
+
+ORACLE_NGRAM = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, sa.n + sb.n - n_inter AS n_union
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 2 * n_inter >= sa.n + sb.n - n_inter
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _load_queries(sf_dir: str, n: int = 5):
+    t = pq.read_table(_tbl(sf_dir, "embeddings"))
+    t = t.filter(pc.less(t.column("vec_id"), n))
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    return ids, mat
+
+
+def q_knn_cosine(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-10 for the first 5 vectors (broadcast
+    query matrix, per-batch float64 matmul, driver-side k-merge)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids, mat = _load_queries(sf_dir)
+    out = knn_brute(ds, ids, mat, k=10)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
+ORACLE_KNN = """
+WITH s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 5
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_embedding_neardup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs (tau=0.4 for this synthetic
+    data; margin to the threshold verified >> float error)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = pq.read_table(_tbl(sf_dir, "embeddings"))
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    out = cosine_neardup_pairs(ds, ids, mat, tau=0.4)
+    return out.select(["id_a", "id_b"])
+
+
+ORACLE_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Broadcast join (small-side lookup, no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def q_broadcast_join_segment(sf_dir: str) -> pa.Table:
+    """orders ⋈ customer via broadcast dict (ray.put once, lookup per
+    batch) → per-mktsegment totals."""
+    import ray as _ray
+
+    cust = pq.read_table(_tbl(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = _ray.put(
+        dict(
+            zip(
+                cust.column("c_custkey").to_pylist(),
+                cust.column("c_mktsegment").to_pylist(),
+            )
+        )
+    )
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join(t: pa.Table) -> pa.Table:
+        lookup = _ray.get(lookup_ref)
+        seg = pa.array(
+            [lookup.get(k) for k in t.column("o_custkey").to_pylist()], pa.string()
+        )
+        t = pa.table(
+            {"c_mktsegment": seg, "price_cents": _cents(t.column("o_totalprice"))}
+        )
+        return (
+            t.group_by("c_mktsegment")
+            .aggregate([("price_cents", "sum"), ("price_cents", "count")])
+            .rename_columns(["c_mktsegment", "sum_price_cents", "n_orders"])
+        )
+
+    return (
+        ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+ORACLE_BROADCAST = """
+SELECT c_mktsegment,
+       sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_price_cents,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_tpch_q1(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-style pricing summary (grouped aggregate benchmark
+    headline), integer-cents sums for exact parity."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us")))
+        )
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        g = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_cents": _cents(t.column("l_quantity")),
+                "price_cents": _cents(t.column("l_extendedprice")),
+                "disc_price_cents": _cents(disc_price),
+            }
+        )
+        return (
+            g.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [("qty_cents", "sum"), ("price_cents", "sum"),
+                 ("disc_price_cents", "sum"), ("qty_cents", "count")]
+            )
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "sum_qty_cents",
+                 "sum_base_price_cents", "sum_disc_price_cents", "count_order"]
+            )
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+       sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Rows-only operators (no SQL-expressible oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(
+        lambda t: lang_id(t).select(["doc_id", "lang", "lang_pred"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_simhash_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: simhash64(t).select(["doc_id", "simhash"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_fingerprint_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "fingerprint": rolling_fingerprint(t.column("text")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_knn_lsh(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids, mat = _load_queries(sf_dir)
+    return knn_lsh(ds, ids, mat, k=10).select(["query_id", "neighbor_id", "rank"])
+
+
+def q_multimodal_features(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = media_feature_pipeline(ds)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["media_id"])
+    return pa.table(
+        {
+            "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+            "payload_bytes": pa.array([r["payload_bytes"] for r in rows], pa.int64()),
+            "feat0": pa.array([float(r["features"][0]) for r in rows], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_replay_lake": q_cdc_replay_lake,
+    "lww_upsert_events": q_lww_upsert_events,
+    "watermark_events": q_watermark_events,
+    "per_type_counts": q_per_type_counts,
+    "orphan_filter_events": q_orphan_filter_events,
+    "json_extract_events": q_json_extract_events,
+    "explode_embeddings": q_explode_embeddings,
+    "top_events": q_top_events,
+    "sha256_documents": q_sha256_documents,
+    "exact_dedup_documents": q_exact_dedup_documents,
+    "token_stats_documents": q_token_stats_documents,
+    "doc_quality": q_doc_quality,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "knn_cosine": q_knn_cosine,
+    "embedding_neardup": q_embedding_neardup,
+    "broadcast_join_segment": q_broadcast_join_segment,
+    "tpch_q1": q_tpch_q1,
+    "lang_id_documents": q_lang_id_documents,
+    "simhash_documents": q_simhash_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "knn_lsh": q_knn_lsh,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE_SQL = {
+    "cdc_replay_lake": _CDC_SQL,
+    "lww_upsert_events": ORACLE_LWW,
+    "watermark_events": "SELECT max(event_id) AS max_event_id, count(*) AS n_events FROM events",
+    "per_type_counts": ORACLE_PER_TYPE,
+    "orphan_filter_events": ORACLE_ORPHAN,
+    "json_extract_events": ORACLE_JSON,
+    "explode_embeddings": ORACLE_EXPLODE,
+    "top_events": ORACLE_TOP,
+    "sha256_documents": ORACLE_SHA,
+    "exact_dedup_documents": ORACLE_DEDUP,
+    "token_stats_documents": ORACLE_TOKENS,
+    "doc_quality": ORACLE_QUALITY,
+    "ngram_jaccard_pairs": ORACLE_NGRAM,
+    "knn_cosine": ORACLE_KNN,
+    "embedding_neardup": ORACLE_NEARDUP,
+    "broadcast_join_segment": ORACLE_BROADCAST,
+    "tpch_q1": ORACLE_Q1,
+    # lang_id/simhash/fingerprint/minhash_lsh/knn_lsh/multimodal:
+    # model-scoring / probabilistic / stub ops → rows-only check
+}

@@ -26,10 +26,12 @@ import pyarrow.compute as pc
 ORPHAN_OP = "__orphans__"
 
 
-def _first_of_key_mask(repo: pa.Array, path: pa.Array) -> np.ndarray:
-    """Boolean mask of first occurrence per (repo,path) in a key-sorted
+def _first_of_key_mask(*key_arrays: pa.Array) -> np.ndarray:
+    """Boolean mask of first occurrence per key tuple in a key-sorted
     table: True where the key differs from the previous row."""
-    k = pc.binary_join_element_wise(repo, path, "\x00")
+    cols = [a.cast(pa.string()) if not pa.types.is_string(a.type) else a
+            for a in key_arrays]
+    k = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, "\x00")
     if isinstance(k, pa.ChunkedArray):
         k = k.combine_chunks()
     n = len(k)
@@ -41,24 +43,33 @@ def _first_of_key_mask(repo: pa.Array, path: pa.Array) -> np.ndarray:
     return mask
 
 
-def fold_lww(t: pa.Table, count_col: str = "n_events") -> pa.Table:
-    """Keep the max-commit_seq row per (repo, path); sum ``count_col``
-    over the folded rows.  Ties on commit_seq (duplicate delivery of the
-    same event) keep a single copy — the at-least-once tolerance the
-    reference gets from ReplacingMergeTree (src/ch_eth/init.rs:435-448
-    re-inserts every loop and survives only because of it)."""
+def fold_lww(
+    t: pa.Table,
+    count_col: str | None = "n_events",
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    order_col: str = "commit_seq",
+) -> pa.Table:
+    """Keep the max-``order_col`` row per key tuple; sum ``count_col``
+    over the folded rows (skipped if None/absent).  Ties on order
+    (duplicate delivery of the same event) keep a single copy — the
+    at-least-once tolerance the reference gets from ReplacingMergeTree
+    (src/ch_eth/init.rs:435-448 re-inserts every loop and survives only
+    because of it).  Generic over key/order so it doubles as the
+    engine's keyed-dedup operator for arbitrary tables (TableSpec)."""
     if t.num_rows == 0:
         return t
     t = t.sort_by(
-        [("repo", "ascending"), ("path", "ascending"), ("commit_seq", "descending")]
+        [(k, "ascending") for k in key_cols] + [(order_col, "descending")]
     )
-    mask = _first_of_key_mask(t.column("repo"), t.column("path"))
-    counts = t.column(count_col).to_numpy(zero_copy_only=False)
-    starts = np.flatnonzero(mask)
-    summed = np.add.reduceat(counts, starts) if len(starts) else counts[:0]
+    mask = _first_of_key_mask(*[t.column(k) for k in key_cols])
     out = t.filter(pa.array(mask))
-    idx = out.schema.get_field_index(count_col)
-    return out.set_column(idx, count_col, pa.array(summed, pa.int64()))
+    if count_col and count_col in t.column_names:
+        counts = t.column(count_col).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(mask)
+        summed = np.add.reduceat(counts, starts) if len(starts) else counts[:0]
+        idx = out.schema.get_field_index(count_col)
+        out = out.set_column(idx, count_col, pa.array(summed, pa.int64()))
+    return out
 
 
 def partial_lww(batch: pa.Table) -> pa.Table:
