@@ -81,9 +81,13 @@ def test_normalize_unifies_v1_batch():
         assert name in out.column_names
     assert out.column("metadata")[0].as_py() is None
     assert out.column("size_bytes")[0].as_py() is None
+    # content_sha256 is computed at merge time (winners only), not here
+    assert "content_sha256" not in out.column_names
     import hashlib
 
+    from web3research_etl_ray.functions.hashing import sha256_binary
+
     assert (
-        out.column("content_sha256")[0].as_py()
+        sha256_binary(out.column("content"))[0].as_py()
         == hashlib.sha256(b"body-r-a-1").digest()
     )

@@ -69,13 +69,15 @@ def exact_dedup_groups(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+#: Mersenne prime 2^31-1: keeps a*h+b inside uint64 so the whole
+#: permutation bank evaluates as ONE vectorized numpy expression
+_MERSENNE = (1 << 31) - 1
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -94,21 +96,15 @@ class MinHasher:
             return np.zeros(self.num_perm, dtype=np.uint64)
         hv = np.array(
             [
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                )
+                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "big")
                 % _MERSENNE
                 for s in sh
             ],
-            dtype=object,
-        )
-        # sig_i = min((a_i * h + b_i) mod p) over shingles
-        sig = np.array(
-            [int(((self.a[i] * hv + self.b[i]) % _MERSENNE).min())
-             for i in range(self.num_perm)],
             dtype=np.uint64,
         )
-        return sig
+        # sig_i = min((a_i * h + b_i) mod p): [P,1]*[1,S] stays < 2^62
+        prods = (self.a[:, None] * hv[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return prods.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t or "") for t in batch.column("text").to_pylist()]

@@ -167,6 +167,37 @@ def _metadata_for(seed: int, commit_seq: int):
     ]
 
 
+def _write_segment(args) -> dict:
+    """Worker: generate one segment file (pure function of its args —
+    safe to run in any process, in any order)."""
+    out_dir, seed, n_repos, seg, lo, hi, v2_from, v3_from = args
+    uni = KeyUniverse(seed, n_repos)
+    rows = [_event_row(seed, uni, s) for s in range(lo, hi)]
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    arrays = {
+        "repo": pa.array(cols["repo"], pa.string()),
+        "path": pa.array(cols["path"], pa.string()),
+        "commit": pa.array(cols["commit"], pa.string()),
+        "lang": pa.array(cols["lang"], pa.string()),
+        "content": pa.array(cols["content"], pa.string()),
+        "commit_seq": pa.array(cols["commit_seq"], pa.int64()),
+        "op": pa.array(cols["op"], pa.string()),
+    }
+    version = 1
+    if seg >= v2_from:
+        version = 2
+        meta = [_metadata_for(seed, s) for s in range(lo, hi)]
+        arrays["metadata"] = pa.array(meta, pa.map_(pa.string(), pa.string()))
+    if seg >= v3_from:
+        version = 3
+        arrays["lang"] = arrays["lang"].dictionary_encode()
+        arrays["size_bytes"] = pa.array([len(c) for c in cols["content"]], pa.int64())
+    fname = f"events-{seg:05d}.parquet"
+    pq.write_table(pa.table(arrays), os.path.join(out_dir, fname))
+    return {"file": fname, "segment": seg, "schema_version": version,
+            "seq_from": lo, "seq_to": hi - 1}
+
+
 def generate_events(
     out_dir: str,
     n_events: int = 5_000,
@@ -174,6 +205,7 @@ def generate_events(
     n_repos: int | None = None,
     n_segments: int | None = None,
     n_rollbacks: int | None = None,
+    workers: int | None = None,
 ) -> dict:
     """Write the full fixture set; returns the parameter/manifest dict.
 
@@ -185,47 +217,32 @@ def generate_events(
     if n_repos is None:
         n_repos = 20 if n_events <= 10_000 else 200
     if n_segments is None:
-        n_segments = max(4, min(16, n_events // 2500))
+        n_segments = max(4, min(64, n_events // 25_000))
     if n_rollbacks is None:
         n_rollbacks = 1 if n_events <= 10_000 else 3
 
     os.makedirs(out_dir, exist_ok=True)
-    uni = KeyUniverse(seed, n_repos)
     v2_from = n_segments // 2
     v3_from = (3 * n_segments) // 4
     per_seg = n_events // n_segments
 
-    files = []
+    jobs = []
     for seg in range(n_segments):
         lo = seg * per_seg
         hi = n_events if seg == n_segments - 1 else (seg + 1) * per_seg
-        rows = [_event_row(seed, uni, s) for s in range(lo, hi)]
-        cols = {k: [r[k] for r in rows] for k in rows[0]}
-        arrays = {
-            "repo": pa.array(cols["repo"], pa.string()),
-            "path": pa.array(cols["path"], pa.string()),
-            "commit": pa.array(cols["commit"], pa.string()),
-            "lang": pa.array(cols["lang"], pa.string()),
-            "content": pa.array(cols["content"], pa.string()),
-            "commit_seq": pa.array(cols["commit_seq"], pa.int64()),
-            "op": pa.array(cols["op"], pa.string()),
-        }
-        version = 1
-        if seg >= v2_from:
-            version = 2
-            meta = [_metadata_for(seed, s) for s in range(lo, hi)]
-            arrays["metadata"] = pa.array(meta, pa.map_(pa.string(), pa.string()))
-        if seg >= v3_from:
-            version = 3
-            arrays["lang"] = arrays["lang"].dictionary_encode()
-            arrays["size_bytes"] = pa.array(
-                [len(c) for c in cols["content"]], pa.int64()
-            )
-        table = pa.table(arrays)
-        fname = f"events-{seg:05d}.parquet"
-        pq.write_table(table, os.path.join(out_dir, fname))
-        files.append({"file": fname, "segment": seg, "schema_version": version,
-                      "seq_from": lo, "seq_to": hi - 1})
+        jobs.append((out_dir, seed, n_repos, seg, lo, hi, v2_from, v3_from))
+
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1, n_segments)
+    if workers > 1 and n_events >= 50_000:
+        # segments are pure functions of their args → embarrassingly
+        # parallel; output identical to the sequential path
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(workers) as pool:
+            files = pool.map(_write_segment, jobs)
+    else:
+        files = [_write_segment(j) for j in jobs]
 
     rollbacks = _make_rollbacks(seed, n_events, n_segments, n_rollbacks)
     pq.write_table(

@@ -141,24 +141,23 @@ def check(
     ranges = load_rollback_ranges(stream_dir)
     files = event_files(stream_dir)
 
-    import pyarrow.parquet as pq
-
-    groups: dict[tuple, list[str]] = {}
-    for f in files:
-        groups.setdefault(tuple(pq.ParquetFile(f).schema_arrow.names), []).append(f)
     normalize = Normalize(P, ranges)
 
-    def _tag_exp(t: pa.Table) -> pa.Table:
+    def _exp_stage(t: pa.Table) -> pa.Table:
+        """Fused normalize → partial fold → compare-column projection
+        (one call per schema-homogeneous block, batch_size=None).
+        content_sha256 is computed here on the folded winners only —
+        the per-event stream carries no hash column."""
+        t = partial_lww(normalize(t))
+        t = t.append_column("content_sha256", sha256_binary(t.column("content")))
         t = t.select(_CMP_COLS[:-1])
         return t.append_column("src", pa.array(["e"] * t.num_rows))
 
-    exp_parts = [
-        ray.data.read_parquet(g)
-        .map_batches(normalize, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
-        .map_batches(partial_lww, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
-        .map_batches(_tag_exp, batch_format="pyarrow", zero_copy_batch=True)
-        for g in groups.values()
-    ]
+    exp_ds = ray.data.read_parquet(
+        files, override_num_blocks=len(files)
+    ).map_batches(
+        _exp_stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
     def _tag_lake(t: pa.Table) -> pa.Table:
         pid = (
@@ -175,10 +174,7 @@ def check(
         lake_dir, columns=["repo", "path", "commit_seq", "content_sha256"]
     ).map_batches(_tag_lake, batch_format="pyarrow", zero_copy_batch=True)
 
-    ds = exp_parts[0]
-    for p in exp_parts[1:]:
-        ds = ds.union(p)
-    ds = ds.union(lake_ds)
+    ds = exp_ds.union(lake_ds)
     if from_seq is not None:
         ds = ds.map_batches(
             lambda t: t.filter(pc.greater_equal(t.column("commit_seq"), from_seq)),

@@ -198,12 +198,15 @@ def q_lww_upsert_events(sf_dir: str) -> pa.Table:
             }
         )
 
-    rows = (
+    # two-level fold: vectorized partial per block, then one fold over
+    # the reduced rows (thousands) — avoids per-group task overhead of
+    # groupby().map_groups with O(keys) tiny groups
+    return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "event_type"])
-        .map_groups(final, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
     )
-    return rows
 
 
 ORACLE_LWW = """

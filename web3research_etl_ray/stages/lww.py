@@ -116,7 +116,6 @@ def _orphan_counters(orphans: pa.Table) -> pa.Table:
             "op": pa.nulls(n, pa.string()).fill_null(ORPHAN_OP),
             "metadata": pa.nulls(n, pa.map_(pa.string(), pa.string())),
             "size_bytes": pa.nulls(n, pa.int64()),
-            "content_sha256": pa.nulls(n, pa.binary(32)),
             "part_id": grouped.column("part_id"),
             "orphaned": pa.nulls(n, pa.bool_()).fill_null(True),
             "schema_version": grouped.column("schema_version_max").cast(pa.int8()),

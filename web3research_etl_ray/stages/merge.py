@@ -1,19 +1,27 @@
-"""Partition merge stage — the stateful LWW upsert sink (actor pool).
+"""Partition merge stage — the stateful LWW upsert sink.
 
 The engine analogue of ClickHouse's ReplacingMergeTree merge +
 ``OPTIMIZE FINAL DEDUPLICATE`` (reference DDL src/ch_eth/init.rs:169-170,
-compaction scripts/optimize_db.py:26-28), run as a
-``groupby(part_id).map_groups(Merger, concurrency=N)`` actor pool: each
-group is one hash partition's worth of pre-combined (partial-LWW)
-rows; the actor folds them with the partition's prior Parquet state
-(merge-on-write), applies tombstones, writes the new partition file
-under the *next* generation dir, and returns a one-row lineage entry
-(watermark + counters) for the manifest.
+compaction scripts/optimize_db.py:26-28).  Each merge unit is one hash
+partition's worth of pre-combined (partial-LWW) rows, read back from
+the partitioned spool exchange; the merger folds them with the
+partition's prior Parquet state (merge-on-write), applies tombstones,
+computes content_sha256 for the surviving winners (per-winner, not
+per-event — the lake invariant costs O(keys), not O(events)), writes
+the new partition file under the *next* generation dir, and returns a
+one-row lineage entry (watermark + counters) for the manifest.
 
 Partitions flagged for repair (a rollback orphaned already-applied
 state — the reference's delete-all + reinsert, src/ch_eth/sync.rs:92-116)
 ignore their prior file and rebuild from the full event history that the
 pipeline routed to them.
+
+``SpoolMerger`` is the Dataset-stage wrapper: a pipeline over partition
+ids where each call reads its partition's spool files.  Run it as
+stateless tasks (default — per-generation merge state is partition-
+local, so a pool buys no reuse within a generation) or as an actor pool
+(``concurrency=N``) when mergers should cache partition state across
+batches.
 """
 
 from __future__ import annotations
@@ -22,13 +30,15 @@ import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
+from ..functions.hashing import sha256_binary
 from ..schema import LAKE_SCHEMA
 from ..state.manifest import PartitionEntry, partition_relpath
 from .lww import ORPHAN_OP, fold_lww
 
-#: columns the in-flight rows carry beyond LAKE_SCHEMA
+#: columns the in-flight rows carry beyond the lake payload
 _FLIGHT_ONLY = ["op", "part_id", "orphaned", "schema_version", "n_events"]
 
 ENTRY_SCHEMA = pa.schema(
@@ -48,9 +58,10 @@ ENTRY_SCHEMA = pa.schema(
 def _prior_as_events(prior: pa.Table) -> pa.Table:
     """Lift a stored partition back into in-flight form (op=upsert,
     n_events=0 so lineage doesn't double count)."""
+    if "content_sha256" in prior.column_names:
+        prior = prior.drop_columns(["content_sha256"])  # recomputed on write
     n = prior.num_rows
     t = prior.append_column("op", pa.array(["upsert"] * n, pa.string()))
-    t = t.append_column("part_id", pa.array([0] * n, pa.int64()))
     t = t.append_column("orphaned", pa.array([False] * n))
     t = t.append_column("schema_version", pa.array([1] * n, pa.int8()))
     t = t.append_column("n_events", pa.array([0] * n, pa.int64()))
@@ -58,10 +69,9 @@ def _prior_as_events(prior: pa.Table) -> pa.Table:
 
 
 class Merger:
-    """Callable-class stage for ``map_groups`` (one actor per pool slot;
-    construction — config, prior-manifest lookup table — happens once
-    per actor, the reference's create-once-reuse client pattern
-    src/ch_eth/init.rs:125-137)."""
+    """Core per-partition merge (construction once — config + prior-
+    manifest lookup tables — the reference's create-once-reuse client
+    pattern, src/ch_eth/init.rs:125-137)."""
 
     def __init__(
         self,
@@ -76,24 +86,25 @@ class Merger:
         self.prior_files = prior_files
         self.prior_entries = prior_entries
         self.repair_pids = repair_pids
-        os.makedirs(
-            os.path.join(lake_dir, "data", f"gen={generation:06d}"), exist_ok=True
-        )
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        """map_groups-compatible entry: pid from the group rows."""
         pid = int(group.column("part_id")[0].as_py())
+        return self.merge(pid, group)
+
+    def merge(self, pid: int, group: pa.Table) -> pa.Table:
+        if "part_id" in group.column_names:
+            group = group.drop_columns(["part_id"])
         is_counter = pc.equal(group.column("op"), ORPHAN_OP)
         counters = group.filter(is_counter)
         real = group.filter(pc.invert(is_counter))
 
-        new_events_total = int(
-            pc.sum(real.column("n_events")).as_py() or 0
-        )
+        new_events_total = int(pc.sum(real.column("n_events")).as_py() or 0)
         rolled_back = int(pc.sum(counters.column("n_events")).as_py() or 0)
         max_seq_vals = [
             v
             for v in (
-                pc.max(group.column("commit_seq")).as_py(),
+                pc.max(group.column("commit_seq")).as_py() if group.num_rows else None,
                 (self.prior_entries.get(pid) or {}).get("watermark_seq"),
             )
             if v is not None
@@ -117,6 +128,9 @@ class Merger:
 
         live = folded.filter(pc.not_equal(folded.column("op"), "delete"))
         live = live.drop_columns([c for c in _FLIGHT_ONLY if c in live.column_names])
+        live = live.append_column(
+            "content_sha256", sha256_binary(live.column("content"))
+        )
         live = live.select(LAKE_SCHEMA.names).cast(LAKE_SCHEMA)
         live = live.sort_by([("repo", "ascending"), ("path", "ascending")])
 
@@ -124,15 +138,23 @@ class Merger:
         # cumulative counters restart from this fold (carrying the prior
         # counters forward would double-count the re-applied events).
         prior_entry = {} if repair else (self.prior_entries.get(pid) or {})
+        group_sv = (
+            int(pc.max(group.column("schema_version")).as_py() or 1)
+            if group.num_rows
+            else 1
+        )
         schema_version = max(
-            int(pc.max(group.column("schema_version")).as_py() or 1),
+            group_sv,
             int((self.prior_entries.get(pid) or {}).get("schema_version", 1)),
         )
 
         relpath = None
         if live.num_rows:
             relpath = partition_relpath(self.generation, pid)
-            pq.write_table(live, os.path.join(self.lake_dir, relpath))
+            path = os.path.join(self.lake_dir, relpath)
+            # makedirs at write time: the task/actor may run on any node
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(live, path)
 
         entry = PartitionEntry(
             part_id=pid,
@@ -159,3 +181,34 @@ class Merger:
             },
             schema=ENTRY_SCHEMA,
         )
+
+
+def _empty_group() -> pa.Table:
+    from ..schema import UNIFIED_EVENT_SCHEMA
+
+    cols = {f.name: pa.nulls(0, f.type) for f in UNIFIED_EVENT_SCHEMA}
+    cols["orphaned"] = pa.nulls(0, pa.bool_())
+    cols["schema_version"] = pa.nulls(0, pa.int8())
+    cols["n_events"] = pa.nulls(0, pa.int64())
+    return pa.table(cols)
+
+
+class SpoolMerger:
+    """Dataset stage over partition-id rows: read the partition's spool
+    files (hive-partitioned combined rows written by the map side of
+    the exchange) and run the core merge."""
+
+    def __init__(self, spool_dir: str, *merger_args):
+        self.spool_dir = spool_dir
+        self.merger = Merger(*merger_args)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        entries = []
+        for pid in batch.column("pid").to_pylist():
+            pid = int(pid)
+            d = os.path.join(self.spool_dir, f"part_id={pid}")
+            group = (
+                pads.dataset(d).to_table() if os.path.isdir(d) else _empty_group()
+            )
+            entries.append(self.merger.merge(pid, group))
+        return pa.concat_tables(entries)

@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import key_hash64, sha256_binary
+from ..functions.hashing import key_hash64
 from ..schema import UNIFIED_EVENT_SCHEMA, schema_version_of, unify_to
 
 
@@ -61,12 +61,10 @@ class Normalize:
             key_hash64(batch.column("repo"), batch.column("path"))
             % np.uint64(self.num_partitions)
         ).astype(np.int64)
-        sha = sha256_binary(batch.column("content"))
-        if isinstance(sha, pa.Array):
-            sha = pa.chunked_array([sha])
+        # content_sha256 is deliberately NOT computed here: hashing every
+        # event costs O(events); the merge stage hashes only the winners
+        # that reach the lake (O(keys)).
         return batch.append_column(
-            "content_sha256", sha
-        ).append_column(
             "part_id", pa.array(pid, pa.int64())
         ).append_column(
             "orphaned", pa.array(orphaned)
