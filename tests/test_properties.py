@@ -1,0 +1,62 @@
+"""Property/metamorphic tests (SURVEY.md §5, no Ray needed):
+the LWW fold must be invariant to cross-key event order and to
+duplicate delivery — the algebra that makes distributed replay safe."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from web3research_etl_ray.stages.lww import fold_lww
+
+KEYS = [("r1", "a"), ("r1", "b"), ("r2", "a")]
+
+
+def _table(events):
+    return pa.table(
+        {
+            "repo": [k[0] for k, _ in events],
+            "path": [k[1] for k, _ in events],
+            "commit_seq": pa.array([s for _, s in events], pa.int64()),
+            "op": ["upsert"] * len(events),
+            "n_events": pa.array([1] * len(events), pa.int64()),
+        }
+    )
+
+
+def _state(t):
+    return {
+        (r["repo"], r["path"]): r["commit_seq"]
+        for r in t.select(["repo", "path", "commit_seq"]).to_pylist()
+    }
+
+
+events_strategy = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(0, 50)), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(events=events_strategy, seed=st.randoms(use_true_random=False))
+def test_fold_order_invariant(events, seed):
+    shuffled = list(events)
+    seed.shuffle(shuffled)
+    assert _state(fold_lww(_table(events))) == _state(fold_lww(_table(shuffled)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(events=events_strategy, dup_idx=st.integers(0, 39))
+def test_fold_duplicate_delivery_invariant(events, dup_idx):
+    duplicated = events + [events[dup_idx % len(events)]]
+    assert _state(fold_lww(_table(events))) == _state(fold_lww(_table(duplicated)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(events=events_strategy, split=st.integers(1, 39))
+def test_fold_associative_partial_then_final(events, split):
+    """fold(fold(A) ∪ fold(B)) == fold(A ∪ B) — the partial/final
+    two-level reduction used around the shuffle."""
+    i = split % max(1, len(events))
+    a, b = events[:i], events[i:]
+    parts = [fold_lww(_table(p)) for p in (a, b) if p]
+    two_level = fold_lww(pa.concat_tables(parts))
+    assert _state(two_level) == _state(fold_lww(_table(events)))

@@ -92,8 +92,11 @@ def key_hash64(*cols: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
     import pyarrow.compute as pc
 
+    cols = [
+        c if pa.types.is_string(c.type) else c.cast(pa.string()) for c in cols
+    ]
     joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(
-        *[c.cast(pa.string()) for c in cols], "\x00"
+        *cols, "\x00"
     )
     n = len(joined)
     out = np.empty(n, dtype=np.uint64)

@@ -748,6 +748,136 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_hash_join_orders_customer(sf_dir: str) -> pa.Table:
+    """Partitioned hash join, both sides treated as large (bucket
+    exchange + per-bucket vectorized merge) — the general-join
+    companion to the broadcast join."""
+    from ..functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_join(
+        orders,
+        cust,
+        "o_custkey",
+        left_cols=["o_orderkey", "o_totalprice"],
+        right_cols=["c_mktsegment"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "o_totalprice_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_HASH_JOIN = """
+SELECT o_orderkey, c_mktsegment,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_asof_join_clicks_views(sf_dir: str) -> pa.Table:
+    """As-of join (absent from both the reference and Ray Data —
+    implemented as bucketed merge_asof): for each click, the latest
+    view by the same user at or before the click."""
+    from ..functions.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click"))
+        .drop_columns(["event_type"])
+        .rename_columns(["click_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    views = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "view"))
+        .drop_columns(["event_type"])
+        .rename_columns(["view_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = asof_join(
+        clicks, views, by="user_id", on="ts",
+        left_cols=["click_id"], right_cols=["view_id"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        vid = t.column("view_id").cast(pa.int64()).fill_null(-1)
+        return pa.table(
+            {
+                "click_id": t.column("click_id").cast(pa.int64()),
+                "view_id": vid,
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_ASOF = """
+SELECT c.event_id AS click_id, COALESCE(v.event_id, -1) AS view_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+def q_repo_stats_lake(sf_dir: str) -> pa.Table:
+    """Derived second table from the CDC lake (the reference's one-
+    block→many-tables fan-out, src/ch_eth/init.rs:373-400, expressed as
+    a downstream aggregate of the converged lake)."""
+    lake = q_cdc_replay_lake(sf_dir)
+    stats = (
+        pa.table(
+            {
+                "repo": lake.column("repo"),
+                "n_chars": pc.utf8_length(lake.column("content")).cast(pa.int64()),
+                "commit_seq": lake.column("commit_seq"),
+            }
+        )
+        .group_by("repo")
+        .aggregate(
+            [("n_chars", "count"), ("n_chars", "sum"), ("commit_seq", "max")]
+        )
+        .rename_columns(["repo", "n_paths", "sum_chars", "last_seq"])
+    )
+    return stats.sort_by([("repo", "ascending")])
+
+
+ORACLE_REPO_STATS = f"""
+WITH ev AS (
+  SELECT source AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         i * 100000 + doc_id AS commit_seq,
+         text || ' v' || CAST(i AS VARCHAR) AS content,
+         CASE WHEN i = 2 AND doc_id % 37 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM documents, (SELECT UNNEST([0, 1, 2]) AS i)
+),
+eff AS (
+  SELECT * FROM ev WHERE commit_seq NOT BETWEEN {_ORPHAN_LO} AND {_ORPHAN_HI}
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM eff
+),
+lake AS (SELECT * FROM win WHERE rn = 1 AND op <> 'delete')
+SELECT repo, count(*) AS n_paths, sum(length(content)) AS sum_chars,
+       max(commit_seq) AS last_seq
+FROM lake GROUP BY repo
+"""
+
+
 # ---------------------------------------------------------------------------
 # 6. Rows-only operators (no SQL-expressible oracle)
 # ---------------------------------------------------------------------------
@@ -831,6 +961,9 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
     "broadcast_join_segment": q_broadcast_join_segment,
+    "hash_join_orders_customer": q_hash_join_orders_customer,
+    "asof_join_clicks_views": q_asof_join_clicks_views,
+    "repo_stats_lake": q_repo_stats_lake,
     "tpch_q1": q_tpch_q1,
     "lang_id_documents": q_lang_id_documents,
     "simhash_documents": q_simhash_documents,
@@ -857,6 +990,9 @@ ORACLE_SQL = {
     "knn_cosine": ORACLE_KNN,
     "embedding_neardup": ORACLE_NEARDUP,
     "broadcast_join_segment": ORACLE_BROADCAST,
+    "hash_join_orders_customer": ORACLE_HASH_JOIN,
+    "asof_join_clicks_views": ORACLE_ASOF,
+    "repo_stats_lake": ORACLE_REPO_STATS,
     "tpch_q1": ORACLE_Q1,
     # lang_id/simhash/fingerprint/minhash_lsh/knn_lsh/multimodal:
     # model-scoring / probabilistic / stub ops → rows-only check

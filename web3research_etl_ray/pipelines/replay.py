@@ -101,6 +101,7 @@ def replay(
     batch_size: int = 8192,
     merge_concurrency: int | None = None,
     merge_compute: str = "tasks",
+    salt_buckets: int = 0,
     upto_seq: int | None = None,
     force_repair_pids: frozenset[int] = frozenset(),
 ) -> Manifest:
@@ -162,7 +163,16 @@ def replay(
                 pc.is_in(t.column("part_id"), value_set=repair_set),
             )
             t = t.filter(keep)
-        return partial_lww(t)
+        t = partial_lww(t)
+        if salt_buckets:
+            # salt-based skew splitting (BASELINE.json): the spool for a
+            # hot partition fans out over salt=K subdirs, and the merge
+            # folds shard-by-shard with O(winners + shard) memory
+            seqs = t.column("commit_seq").to_numpy(zero_copy_only=False)
+            t = t.append_column(
+                "salt", pa.array((seqs % salt_buckets).astype("int32"))
+            )
+        return t
 
     ds = ray.data.read_parquet(
         files, override_num_blocks=len(files), **read_kwargs
@@ -205,7 +215,8 @@ def replay(
     import shutil
 
     shutil.rmtree(spool_dir, ignore_errors=True)
-    ds.write_parquet(spool_dir, partition_cols=["part_id"])
+    spool_cols = ["part_id", "salt"] if salt_buckets else ["part_id"]
+    ds.write_parquet(spool_dir, partition_cols=spool_cols)
 
     try:
         spooled_pids = sorted(

@@ -39,7 +39,7 @@ from ..state.manifest import PartitionEntry, partition_relpath
 from .lww import ORPHAN_OP, fold_lww
 
 #: columns the in-flight rows carry beyond the lake payload
-_FLIGHT_ONLY = ["op", "part_id", "orphaned", "schema_version", "n_events"]
+_FLIGHT_ONLY = ["op", "part_id", "salt", "orphaned", "schema_version", "n_events"]
 
 ENTRY_SCHEMA = pa.schema(
     [
@@ -207,8 +207,29 @@ class SpoolMerger:
         for pid in batch.column("pid").to_pylist():
             pid = int(pid)
             d = os.path.join(self.spool_dir, f"part_id={pid}")
-            group = (
-                pads.dataset(d).to_table() if os.path.isdir(d) else _empty_group()
-            )
-            entries.append(self.merger.merge(pid, group))
+            entries.append(self.merger.merge(pid, self._load_group(d)))
         return pa.concat_tables(entries)
+
+    def _load_group(self, d: str) -> pa.Table:
+        """Load one partition's spool.  With salted spools (salt=K
+        subdirs — the hot-repo splitting of BASELINE.json), fold each
+        salt shard into the running winners instead of materializing
+        the whole partition: memory stays O(winners + one shard) even
+        when a hot repo made the partition's raw spool huge.  Folding
+        counters through fold_lww is sound: counter rows share the
+        sentinel key and their n_events SUM across folds."""
+        if not os.path.isdir(d):
+            return _empty_group()
+        salts = sorted(x for x in os.listdir(d) if x.startswith("salt="))
+        if not salts:
+            return pads.dataset(d).to_table()
+        winners: pa.Table | None = None
+        for s in salts:
+            shard = pads.dataset(os.path.join(d, s)).to_table()
+            if winners is None:
+                winners = fold_lww(shard)
+            else:
+                winners = fold_lww(
+                    pa.concat_tables([winners, shard], promote_options="default")
+                )
+        return winners if winners is not None else _empty_group()
