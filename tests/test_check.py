@@ -93,3 +93,16 @@ def test_cli_roundtrip(tmp_path):
     )
     assert main(["check", "--stream", stream, "--lake", lake]) == 0
     assert tables_equal(lake_table(lake), oracle_fold(stream))
+
+
+def test_demux_roundtrip(tmp_path):
+    import ray.data
+
+    from web3research_etl_ray.pipelines.demux import demux_to_tables, read_demuxed
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    info = demux_to_tables(ds, "event_type", str(tmp_path / "demux"))
+    assert sum(v["rows"] for v in info.values()) == 1000
+    one = next(iter(info))
+    sub = read_demuxed(str(tmp_path / "demux"), "event_type", one)
+    assert sub.count() == info[one]["rows"]

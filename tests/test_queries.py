@@ -36,7 +36,8 @@ def test_entry_smoke():
     [
         "cdc_replay_lake", "lww_upsert_events", "watermark_events",
         "per_type_counts", "orphan_filter_events", "json_extract_events",
-        "explode_embeddings", "top_events", "sha256_documents",
+        "explode_embeddings", "spread_embeddings", "demux_events",
+        "top_events", "sha256_documents",
         "exact_dedup_documents", "token_stats_documents", "doc_quality",
         "ngram_jaccard_pairs", "knn_cosine", "embedding_neardup",
         "broadcast_join_segment", "hash_join_orders_customer",

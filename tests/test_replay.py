@@ -123,3 +123,16 @@ def test_schema_evolution_visible_in_lake(tiny_stream, lake_dir):
     assert by_seq[0]["metadata"] is None and by_seq[0]["size_bytes"] is None
     last = by_seq[-1]
     assert last["size_bytes"] == len(last["content"])
+
+
+def test_lookup_key_point_read(tiny_stream, lake_dir):
+    from web3research_etl_ray.pipelines.replay import lookup_key
+
+    replay(tiny_stream, lake_dir, num_partitions=8)
+    exp = oracle_fold(tiny_stream).to_pylist()
+    row = exp[len(exp) // 2]
+    got = lookup_key(lake_dir, row["repo"], row["path"])
+    assert got is not None
+    assert got["commit_seq"] == row["commit_seq"]
+    assert got["content_sha256"] == row["content_sha256"]
+    assert lookup_key(lake_dir, "no-such-org/repo", "nope.py") is None

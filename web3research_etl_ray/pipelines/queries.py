@@ -374,6 +374,57 @@ FROM embeddings WHERE vec_id < 20
 """
 
 
+def q_spread_embeddings(sf_dir: str) -> pa.Table:
+    """List → fixed sparse columns (the reference's topics Vec →
+    topic0..topic3 spread, src/ch_eth/schema.rs:165-190): first 4
+    embedding elements as e0..e3 columns."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def spread(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        cols = {"vec_id": t.column("vec_id").cast(pa.int64())}
+        for i in range(4):
+            cols[f"e{i}"] = pc.list_element(emb, i).cast(pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(spread, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SPREAD = """
+SELECT vec_id,
+       CAST(embedding[1] AS DOUBLE) AS e0, CAST(embedding[2] AS DOUBLE) AS e1,
+       CAST(embedding[3] AS DOUBLE) AS e2, CAST(embedding[4] AS DOUBLE) AS e3
+FROM embeddings
+"""
+
+
+def q_demux_events(sf_dir: str) -> pa.Table:
+    """Type demux (the Tron 40-way contract demultiplexer,
+    src/ch_tron/init.rs:374-820): one tagging pass + partitioned write
+    fans events into per-type sub-tables; returns per-type row/file
+    counts read back from the demuxed layout."""
+    import shutil
+
+    from .demux import demux_to_tables
+
+    out_dir = f"/tmp/w3r_demux/{hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    info = demux_to_tables(ds, "event_type", out_dir)
+    types = sorted(info)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array([info[t]["rows"] for t in types], pa.int64()),
+        }
+    )
+
+
+ORACLE_DEMUX = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
 def q_top_events(sf_dir: str) -> pa.Table:
     """Sort + limit (top-k) with deterministic tie-break."""
     ds = _read(sf_dir, "events", ["event_id", "value"])
@@ -952,6 +1003,8 @@ QUERIES = {
     "orphan_filter_events": q_orphan_filter_events,
     "json_extract_events": q_json_extract_events,
     "explode_embeddings": q_explode_embeddings,
+    "spread_embeddings": q_spread_embeddings,
+    "demux_events": q_demux_events,
     "top_events": q_top_events,
     "sha256_documents": q_sha256_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
@@ -981,6 +1034,8 @@ ORACLE_SQL = {
     "orphan_filter_events": ORACLE_ORPHAN,
     "json_extract_events": ORACLE_JSON,
     "explode_embeddings": ORACLE_EXPLODE,
+    "spread_embeddings": ORACLE_SPREAD,
+    "demux_events": ORACLE_DEMUX,
     "top_events": ORACLE_TOP,
     "sha256_documents": ORACLE_SHA,
     "exact_dedup_documents": ORACLE_DEDUP,

@@ -326,6 +326,33 @@ def read_lake(lake_dir: str, columns: list[str] | None = None) -> ray.data.Datas
     return ray.data.read_parquet(files, **kwargs)
 
 
+def lookup_key(lake_dir: str, repo: str, path: str) -> dict | None:
+    """Point lookup by upsert key — the reference's stored-hash probe
+    for one block (src/ch_eth/sync.rs:164-169).  Partition-pruned: the
+    key hashes to exactly one partition file, and the Parquet read
+    filters by (repo, path) via row-group statistics — O(1) files
+    touched regardless of lake size."""
+    import numpy as np
+
+    from ..functions.hashing import key_hash64
+
+    manifest = load_latest(lake_dir)
+    if manifest is None:
+        return None
+    pid = int(
+        key_hash64(pa.array([repo]), pa.array([path]))[0]
+        % np.uint64(manifest.num_partitions)
+    )
+    entry = manifest.partitions.get(pid)
+    if entry is None or not entry.file:
+        return None
+    t = pq.read_table(
+        os.path.join(lake_dir, entry.file),
+        filters=[("repo", "=", repo), ("path", "=", path)],
+    )
+    return t.to_pylist()[0] if t.num_rows else None
+
+
 def lake_table(lake_dir: str):
     """Driver-side pyarrow.Table of the lake (tests / small results only)."""
     manifest = load_latest(lake_dir)
