@@ -88,3 +88,14 @@ def test_partition_key_balance_under_repo_skew(tmp_path):
     m = replay(stream, lake, num_partitions=8)
     sizes = [e.num_rows for e in m.partitions.values()]
     assert max(sizes) <= 3 * max(1, int(np.median(sizes)))
+
+
+def test_targeted_salt_hot_pids(tmp_path):
+    """Salting only flagged-hot partitions: same converged state, and
+    only the hot partitions' spools fan out."""
+    stream = str(tmp_path / "stream")
+    generate_events(stream, n_events=3000, seed=11)
+    lake = str(tmp_path / "lake")
+    replay(stream, lake, num_partitions=8, salt_buckets=4,
+           salt_hot_pids=frozenset({0, 3}))
+    assert tables_equal(lake_table(lake), oracle_fold(stream))

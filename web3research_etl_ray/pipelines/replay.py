@@ -93,6 +93,49 @@ def _find_repair_pids(
     return frozenset(out)
 
 
+def _file_seq_ranges(files: list[str], lake_dir: str) -> dict[str, tuple[int, int]]:
+    """(min, max) commit_seq per event file from Parquet footers, with a
+    persistent cache in the lake dir so a tail tick only opens footers
+    of files it has never seen.  Pure optimization: a stale/missing
+    cache only costs a re-read, which the idempotent LWW sink absorbs."""
+    import json
+
+    cache_path = os.path.join(lake_dir, "file-ranges.json")
+    cache: dict[str, list[int]] = {}
+    if os.path.exists(cache_path):
+        try:
+            with open(cache_path) as fh:
+                cache = json.load(fh)
+        except (OSError, ValueError):
+            cache = {}
+    dirty = False
+    out = {}
+    for f in files:
+        key = os.path.basename(f)
+        if key not in cache:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("commit_seq")
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = -1, 2**62
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            cache[key] = [int(lo if lo is not None else -1),
+                          int(hi if hi is not None else 2**62)]
+            dirty = True
+        out[f] = tuple(cache[key])
+    if dirty:
+        os.makedirs(lake_dir, exist_ok=True)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cache, fh)
+        os.replace(tmp, cache_path)
+    return out
+
+
 def replay(
     stream_dir: str,
     lake_dir: str,
@@ -102,6 +145,7 @@ def replay(
     merge_concurrency: int | None = None,
     merge_compute: str = "tasks",
     salt_buckets: int = 0,
+    salt_hot_pids: frozenset[int] | None = None,
     upto_seq: int | None = None,
     force_repair_pids: frozenset[int] = frozenset(),
 ) -> Manifest:
@@ -134,7 +178,24 @@ def replay(
             # repartitioning the lake = rebuild everything from history
             repair_pids = frozenset(range(num_partitions))
 
-    # --- read: prune row groups via commit_seq pushdown --------------------
+    # --- read: prune whole files, then row groups, via commit_seq ----------
+    if watermark >= 0 and not repair_pids:
+        # tail tick: skip event files fully applied already (footer-stat
+        # cache → only NEW files' footers are opened)
+        ranges_by_file = _file_seq_ranges(files, lake_dir)
+        files = [f for f in files if ranges_by_file[f][1] > watermark]
+        if not files:
+            # nothing new: republish the prior state as a new generation
+            manifest = Manifest(
+                generation=generation,
+                num_partitions=num_partitions,
+                partitions=dict(prior.partitions),
+                applied_rollbacks=sorted([list(r) for r in ranges]),
+                schema_version=prior.schema_version,
+                parent_generation=prior.generation,
+            )
+            commit_manifest(lake_dir, manifest)
+            return manifest
     expr = None
     if watermark >= 0 and not repair_pids:
         expr = pc.field("commit_seq") > watermark
@@ -165,13 +226,21 @@ def replay(
             t = t.filter(keep)
         t = partial_lww(t)
         if salt_buckets:
-            # salt-based skew splitting (BASELINE.json): the spool for a
-            # hot partition fans out over salt=K subdirs, and the merge
-            # folds shard-by-shard with O(winners + shard) memory
+            # salt-based skew splitting (BASELINE.json): a hot
+            # partition's spool fans out over salt=K subdirs, and the
+            # merge folds shard-by-shard with O(winners + shard) memory.
+            # Only the flagged-hot partitions pay the file fan-out
+            # (salt_hot_pids=None salts everything — e.g. uniform-heavy
+            # workloads or tests).
             seqs = t.column("commit_seq").to_numpy(zero_copy_only=False)
-            t = t.append_column(
-                "salt", pa.array((seqs % salt_buckets).astype("int32"))
-            )
+            salt = (seqs % salt_buckets).astype("int32")
+            if salt_hot_pids is not None:
+                pids = t.column("part_id").to_numpy(zero_copy_only=False)
+                import numpy as _np
+
+                hot = _np.isin(pids, list(salt_hot_pids))
+                salt = _np.where(hot, salt, 0).astype("int32")
+            t = t.append_column("salt", pa.array(salt))
         return t
 
     ds = ray.data.read_parquet(
