@@ -45,6 +45,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..oracle import load_rollback_ranges
+from ..schema import REPO_FILES, TableSpec
 from ..stages.lww import partial_lww
 from ..stages.merge import SpoolMerger
 from ..stages.normalize import Normalize, orphan_mask
@@ -93,7 +94,9 @@ def _find_repair_pids(
     return frozenset(out)
 
 
-def _file_seq_ranges(files: list[str], lake_dir: str) -> dict[str, tuple[int, int]]:
+def _file_seq_ranges(
+    files: list[str], lake_dir: str, order_col: str = "commit_seq"
+) -> dict[str, tuple[int, int]]:
     """(min, max) commit_seq per event file from Parquet footers, with a
     persistent cache in the lake dir so a tail tick only opens footers
     of files it has never seen.  Pure optimization: a stale/missing
@@ -114,7 +117,7 @@ def _file_seq_ranges(files: list[str], lake_dir: str) -> dict[str, tuple[int, in
         key = os.path.basename(f)
         if key not in cache:
             md = pq.ParquetFile(f).metadata
-            idx = md.schema.to_arrow_schema().get_field_index("commit_seq")
+            idx = md.schema.to_arrow_schema().get_field_index(order_col)
             lo, hi = None, None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
@@ -146,6 +149,7 @@ def replay(
     merge_compute: str = "tasks",
     salt_buckets: int = 0,
     salt_hot_pids: frozenset[int] | None = None,
+    spec: TableSpec = REPO_FILES,
     upto_seq: int | None = None,
     force_repair_pids: frozenset[int] = frozenset(),
 ) -> Manifest:
@@ -182,7 +186,7 @@ def replay(
     if watermark >= 0 and not repair_pids:
         # tail tick: skip event files fully applied already (footer-stat
         # cache → only NEW files' footers are opened)
-        ranges_by_file = _file_seq_ranges(files, lake_dir)
+        ranges_by_file = _file_seq_ranges(files, lake_dir, spec.order_col)
         files = [f for f in files if ranges_by_file[f][1] > watermark]
         if not files:
             # nothing new: republish the prior state as a new generation
@@ -198,9 +202,9 @@ def replay(
             return manifest
     expr = None
     if watermark >= 0 and not repair_pids:
-        expr = pc.field("commit_seq") > watermark
+        expr = pc.field(spec.order_col) > watermark
     if upto_seq is not None:
-        e = pc.field("commit_seq") <= upto_seq
+        e = pc.field(spec.order_col) <= upto_seq
         expr = e if expr is None else (expr & e)
     read_kwargs = {"filter": expr} if expr is not None else {}
     # Files arrive in multiple schema versions (v1/v2/v3 — FIXTURES.md §3).
@@ -209,7 +213,7 @@ def replay(
     # fused normalize+partial stage runs per block (batch_size=None) so
     # unification happens before any cross-block coalescing.  One file =
     # one task is also the natural granularity at lake scale.
-    normalize = Normalize(num_partitions, ranges)
+    normalize = Normalize(num_partitions, ranges, spec)
     # incremental + repair tick: keep fresh events everywhere, full
     # history only for partitions being rebuilt (routed between
     # normalize and the partial fold so lineage counts stay exact)
@@ -220,11 +224,11 @@ def replay(
         t = normalize(t)
         if route_wm is not None:
             keep = pc.or_(
-                pc.greater(t.column("commit_seq"), route_wm),
+                pc.greater(t.column(spec.order_col), route_wm),
                 pc.is_in(t.column("part_id"), value_set=repair_set),
             )
             t = t.filter(keep)
-        t = partial_lww(t)
+        t = partial_lww(t, spec)
         if salt_buckets:
             # salt-based skew splitting (BASELINE.json): a hot
             # partition's spool fans out over salt=K subdirs, and the
@@ -232,7 +236,7 @@ def replay(
             # Only the flagged-hot partitions pay the file fan-out
             # (salt_hot_pids=None salts everything — e.g. uniform-heavy
             # workloads or tests).
-            seqs = t.column("commit_seq").to_numpy(zero_copy_only=False)
+            seqs = t.column(spec.order_col).to_numpy(zero_copy_only=False)
             salt = (seqs % salt_buckets).astype("int32")
             if salt_hot_pids is not None:
                 pids = t.column("part_id").to_numpy(zero_copy_only=False)
@@ -306,6 +310,7 @@ def replay(
             prior_files,
             prior_entries,
             repair_pids,
+            spec,
         )
         pid_ds = ray.data.from_items(
             [{"pid": p} for p in merge_pids]

@@ -122,20 +122,31 @@ LANG_BY_SUFFIX = {
 
 @dataclass(frozen=True)
 class TableSpec:
-    """One logical lake table: schema + upsert key + LWW ordering.
+    """One logical lake table: schemas + upsert key + LWW ordering.
 
     Equivalent of one ``ReplacingMergeTree`` table in the reference
     (ORDER BY = upsert key, e.g. src/ch_eth/init.rs:169-170): duplicate
     inserts with the same key converge to the last writer by
-    ``order_col``.
+    ``order_col``.  This is the engine's user-extension surface
+    (SURVEY.md §2.10): the reference's per-chain module shape
+    (schema.rs structs + DDL) collapses to a spec; a new "chain" is a
+    new spec + optional per-batch normalize fn, the engine core
+    untouched.
     """
 
     name: str
-    schema: pa.Schema
+    schema: pa.Schema  # lake (at-rest) schema
     key: tuple[str, ...]
     order_col: str = "commit_seq"
-    delete_col: str | None = "op"  # column whose value 'delete' tombstones a key
+    op_col: str = "op"  # op column; value 'delete' tombstones a key
+    event_schema: pa.Schema | None = None  # unified in-flight schema
+    hash_source: str | None = None  # column to sha256 into hash_col at merge
+    hash_col: str | None = None
     extra: dict = field(default_factory=dict)
+
+    @property
+    def flight_schema(self) -> pa.Schema:
+        return self.event_schema if self.event_schema is not None else self.schema
 
 
 REPO_FILES = TableSpec(
@@ -143,6 +154,9 @@ REPO_FILES = TableSpec(
     schema=LAKE_SCHEMA,
     key=("repo", "path"),
     order_col="commit_seq",
+    event_schema=UNIFIED_EVENT_SCHEMA,
+    hash_source="content",
+    hash_col="content_sha256",
 )
 
 

@@ -72,8 +72,13 @@ def fold_lww(
     return out
 
 
-def partial_lww(batch: pa.Table) -> pa.Table:
-    """Per-block combiner: fold live rows, compress orphans to counters."""
+def partial_lww(batch: pa.Table, spec=None) -> pa.Table:
+    """Per-block combiner: fold live rows, compress orphans to counters.
+    Generic over TableSpec (key/order/op columns); default = the
+    repo-files CDC spec."""
+    from ..schema import REPO_FILES
+
+    spec = spec or REPO_FILES
     if batch.num_rows == 0:
         return batch.append_column("n_events", pa.array([], pa.int64()))
     batch = batch.append_column(
@@ -81,44 +86,50 @@ def partial_lww(batch: pa.Table) -> pa.Table:
     )
     orphaned = batch.column("orphaned")
     live = batch.filter(pc.invert(orphaned))
-    winners = fold_lww(live)
+    winners = fold_lww(live, "n_events", spec.key, spec.order_col)
     orphans = batch.filter(orphaned)
     nullable = pa.schema([f.with_nullable(True) for f in winners.schema])
     winners = winners.cast(nullable)
     if orphans.num_rows:
-        winners = pa.concat_tables(
-            [winners, _orphan_counters(orphans).cast(nullable)]
-        )
+        counters = _orphan_counters(orphans, nullable, spec)
+        winners = pa.concat_tables([winners, counters.cast(nullable)])
     return winners
 
 
-def _orphan_counters(orphans: pa.Table) -> pa.Table:
+def _orphan_counters(orphans: pa.Table, schema: pa.Schema, spec) -> pa.Table:
     """One counter row per (part_id) summarizing orphaned events in this
-    block: n_events = count, commit_seq = max seq (keeps watermarks
-    monotonic past rolled-back ranges)."""
+    block: n_events = count, order col = max seq (keeps watermarks
+    monotonic past rolled-back ranges).  All payload columns null except
+    the sentinel key (empty strings can't collide with real keys)."""
     grouped = (
-        orphans.select(["part_id", "commit_seq", "n_events", "schema_version"])
+        orphans.select(["part_id", spec.order_col, "n_events", "schema_version"])
         .group_by("part_id")
         .aggregate(
-            [("commit_seq", "max"), ("n_events", "sum"), ("schema_version", "max")]
+            [(spec.order_col, "max"), ("n_events", "sum"), ("schema_version", "max")]
         )
     )
     n = grouped.num_rows
-    empty_str = pa.nulls(n, pa.string()).fill_null("")
-    return pa.table(
-        {
-            "repo": empty_str,
-            "path": empty_str,
-            "commit": empty_str,
-            "lang": empty_str,
-            "content": empty_str,
-            "commit_seq": grouped.column("commit_seq_max"),
-            "op": pa.nulls(n, pa.string()).fill_null(ORPHAN_OP),
-            "metadata": pa.nulls(n, pa.map_(pa.string(), pa.string())),
-            "size_bytes": pa.nulls(n, pa.int64()),
-            "part_id": grouped.column("part_id"),
-            "orphaned": pa.nulls(n, pa.bool_()).fill_null(True),
-            "schema_version": grouped.column("schema_version_max").cast(pa.int8()),
-            "n_events": grouped.column("n_events_sum"),
-        }
-    )
+    cols = []
+    for f in schema:
+        if f.name == spec.order_col:
+            cols.append(grouped.column(f"{spec.order_col}_max").cast(f.type))
+        elif f.name == spec.op_col:
+            cols.append(pa.array([ORPHAN_OP] * n, pa.string()).cast(f.type))
+        elif f.name == "part_id":
+            cols.append(grouped.column("part_id").cast(f.type))
+        elif f.name == "orphaned":
+            cols.append(pa.array([True] * n).cast(f.type))
+        elif f.name == "schema_version":
+            cols.append(grouped.column("schema_version_max").cast(f.type))
+        elif f.name == "n_events":
+            cols.append(grouped.column("n_events_sum").cast(f.type))
+        elif f.name in spec.key and pa.types.is_string(f.type):
+            cols.append(pa.array([""] * n, pa.string()))
+        elif f.name in spec.key and pa.types.is_integer(f.type):
+            # sentinel far outside any real key space
+            cols.append(pa.nulls(n, f.type).fill_null(-(2**62)))
+        elif f.name in spec.key:
+            cols.append(pa.nulls(n, f.type))
+        else:
+            cols.append(pa.nulls(n, f.type))
+    return pa.table(cols, schema=schema)

@@ -34,7 +34,7 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from ..functions.hashing import sha256_binary
-from ..schema import LAKE_SCHEMA
+from ..schema import REPO_FILES, TableSpec
 from ..state.manifest import PartitionEntry, partition_relpath
 from .lww import ORPHAN_OP, fold_lww
 
@@ -55,13 +55,13 @@ ENTRY_SCHEMA = pa.schema(
 )
 
 
-def _prior_as_events(prior: pa.Table) -> pa.Table:
+def _prior_as_events(prior: pa.Table, spec: TableSpec) -> pa.Table:
     """Lift a stored partition back into in-flight form (op=upsert,
     n_events=0 so lineage doesn't double count)."""
-    if "content_sha256" in prior.column_names:
-        prior = prior.drop_columns(["content_sha256"])  # recomputed on write
+    if spec.hash_col and spec.hash_col in prior.column_names:
+        prior = prior.drop_columns([spec.hash_col])  # recomputed on write
     n = prior.num_rows
-    t = prior.append_column("op", pa.array(["upsert"] * n, pa.string()))
+    t = prior.append_column(spec.op_col, pa.array(["upsert"] * n, pa.string()))
     t = t.append_column("orphaned", pa.array([False] * n))
     t = t.append_column("schema_version", pa.array([1] * n, pa.int8()))
     t = t.append_column("n_events", pa.array([0] * n, pa.int64()))
@@ -80,12 +80,14 @@ class Merger:
         prior_files: dict[int, str | None],
         prior_entries: dict[int, dict],
         repair_pids: frozenset[int] = frozenset(),
+        spec: TableSpec = REPO_FILES,
     ):
         self.lake_dir = lake_dir
         self.generation = generation
         self.prior_files = prior_files
         self.prior_entries = prior_entries
         self.repair_pids = repair_pids
+        self.spec = spec
 
     def __call__(self, group: pa.Table) -> pa.Table:
         """map_groups-compatible entry: pid from the group rows."""
@@ -93,9 +95,10 @@ class Merger:
         return self.merge(pid, group)
 
     def merge(self, pid: int, group: pa.Table) -> pa.Table:
+        spec = self.spec
         if "part_id" in group.column_names:
             group = group.drop_columns(["part_id"])
-        is_counter = pc.equal(group.column("op"), ORPHAN_OP)
+        is_counter = pc.equal(group.column(spec.op_col), ORPHAN_OP)
         counters = group.filter(is_counter)
         real = group.filter(pc.invert(is_counter))
 
@@ -104,35 +107,37 @@ class Merger:
         max_seq_vals = [
             v
             for v in (
-                pc.max(group.column("commit_seq")).as_py() if group.num_rows else None,
+                pc.max(group.column(spec.order_col)).as_py() if group.num_rows else None,
                 (self.prior_entries.get(pid) or {}).get("watermark_seq"),
             )
             if v is not None
         ]
         watermark = max(max_seq_vals) if max_seq_vals else -1
 
-        folded = fold_lww(real)
+        folded = fold_lww(real, "n_events", spec.key, spec.order_col)
         repair = pid in self.repair_pids
         prior_path = None if repair else self.prior_files.get(pid)
         if prior_path:
             prior = pq.read_table(prior_path)
             # new rows first: stable sort keeps the fresh copy on seq ties
             folded = pa.concat_tables(
-                [folded, _prior_as_events(prior)], promote_options="default"
+                [folded, _prior_as_events(prior, spec)], promote_options="default"
             )
-            folded = fold_lww(folded)
+            folded = fold_lww(folded, "n_events", spec.key, spec.order_col)
 
         n_events_col = folded.column("n_events").to_numpy(zero_copy_only=False)
         applied = int((n_events_col > 0).sum())
         superseded = new_events_total - applied
 
-        live = folded.filter(pc.not_equal(folded.column("op"), "delete"))
-        live = live.drop_columns([c for c in _FLIGHT_ONLY if c in live.column_names])
-        live = live.append_column(
-            "content_sha256", sha256_binary(live.column("content"))
-        )
-        live = live.select(LAKE_SCHEMA.names).cast(LAKE_SCHEMA)
-        live = live.sort_by([("repo", "ascending"), ("path", "ascending")])
+        live = folded.filter(pc.not_equal(folded.column(spec.op_col), "delete"))
+        flight_only = [c for c in _FLIGHT_ONLY if c != "op"] + [spec.op_col]
+        live = live.drop_columns([c for c in flight_only if c in live.column_names])
+        if spec.hash_source and spec.hash_col:
+            live = live.append_column(
+                spec.hash_col, sha256_binary(live.column(spec.hash_source))
+            )
+        live = live.select(spec.schema.names).cast(spec.schema)
+        live = live.sort_by([(k, "ascending") for k in spec.key])
 
         # Repair rebuilds the partition from the full event history, so
         # cumulative counters restart from this fold (carrying the prior
@@ -183,10 +188,8 @@ class Merger:
         )
 
 
-def _empty_group() -> pa.Table:
-    from ..schema import UNIFIED_EVENT_SCHEMA
-
-    cols = {f.name: pa.nulls(0, f.type) for f in UNIFIED_EVENT_SCHEMA}
+def _empty_group(spec: TableSpec = REPO_FILES) -> pa.Table:
+    cols = {f.name: pa.nulls(0, f.type) for f in spec.flight_schema}
     cols["orphaned"] = pa.nulls(0, pa.bool_())
     cols["schema_version"] = pa.nulls(0, pa.int8())
     cols["n_events"] = pa.nulls(0, pa.int64())
@@ -219,17 +222,18 @@ class SpoolMerger:
         counters through fold_lww is sound: counter rows share the
         sentinel key and their n_events SUM across folds."""
         if not os.path.isdir(d):
-            return _empty_group()
+            return _empty_group(self.merger.spec)
         salts = sorted(x for x in os.listdir(d) if x.startswith("salt="))
         if not salts:
             return pads.dataset(d).to_table()
+        spec = self.merger.spec
         winners: pa.Table | None = None
         for s in salts:
             shard = pads.dataset(os.path.join(d, s)).to_table()
-            if winners is None:
-                winners = fold_lww(shard)
-            else:
-                winners = fold_lww(
-                    pa.concat_tables([winners, shard], promote_options="default")
-                )
-        return winners if winners is not None else _empty_group()
+            merged = (
+                shard
+                if winners is None
+                else pa.concat_tables([winners, shard], promote_options="default")
+            )
+            winners = fold_lww(merged, "n_events", spec.key, spec.order_col)
+        return winners if winners is not None else _empty_group(spec)

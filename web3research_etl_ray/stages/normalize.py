@@ -1,6 +1,5 @@
-"""Normalize stage: schema-unify + sha256 + hash partition id + orphan
-tagging.  One vectorized ``map_batches`` pass over zero-copy Arrow
-batches.
+"""Normalize stage: schema-unify + hash partition id + orphan tagging.
+One vectorized ``map_batches`` pass over zero-copy Arrow batches.
 
 Re-expresses the reference's per-block transform fan-out
 (src/ch_eth/schema.rs:32-63 BlockRow::from_ethers and friends — project
@@ -9,6 +8,10 @@ rollback orphan-range check that the reference does per-head as
 DELETE+reinsert (src/ch_eth/sync.rs:92-116): in a batch fold we instead
 *tag* orphaned events so they never win LWW but still advance
 watermarks and lineage counters.
+
+Generic over :class:`~web3research_etl_ray.schema.TableSpec` — the key
+columns, LWW order column, op column and unified schema all come from
+the spec (default: the repo-files CDC table).
 """
 
 from __future__ import annotations
@@ -18,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import key_hash64
-from ..schema import UNIFIED_EVENT_SCHEMA, schema_version_of, unify_to
+from ..schema import REPO_FILES, TableSpec, schema_version_of, unify_to
 
 
 def orphan_mask(seqs: np.ndarray, ranges: list[tuple[int, int]]) -> np.ndarray:
@@ -42,28 +45,40 @@ class Normalize:
     """Callable stage for ``map_batches``.
 
     Stateless enough to run as tasks, but shaped as a class so the
-    compiled setup (range arrays) happens once per actor when used with
-    ``concurrency=`` (actor pool) — the pattern the reference uses for
-    its per-module clients created once and reused
+    compiled setup (range arrays, spec) happens once and travels as a
+    broadcast closure — the reference's create-once-reuse pattern
     (src/ch_eth/init.rs:125-137).
     """
 
-    def __init__(self, num_partitions: int, orphan_ranges: list[tuple[int, int]]):
+    def __init__(
+        self,
+        num_partitions: int,
+        orphan_ranges: list[tuple[int, int]],
+        spec: TableSpec = REPO_FILES,
+    ):
         self.num_partitions = num_partitions
         self.ranges = sorted(orphan_ranges)
+        self.spec = spec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        spec = self.spec
         version = schema_version_of(batch.schema)
-        batch = unify_to(batch, UNIFIED_EVENT_SCHEMA)
-        seqs = batch.column("commit_seq").to_numpy(zero_copy_only=False)
+        batch = unify_to(batch, spec.flight_schema)
+        if batch.column(spec.op_col).null_count:
+            # sources without an op column are pure upsert streams
+            idx = batch.schema.get_field_index(spec.op_col)
+            batch = batch.set_column(
+                idx, spec.op_col, pc.fill_null(batch.column(spec.op_col), "upsert")
+            )
+        seqs = batch.column(spec.order_col).to_numpy(zero_copy_only=False)
         orphaned = orphan_mask(seqs, self.ranges)
         pid = (
-            key_hash64(batch.column("repo"), batch.column("path"))
+            key_hash64(*[batch.column(k) for k in spec.key])
             % np.uint64(self.num_partitions)
         ).astype(np.int64)
-        # content_sha256 is deliberately NOT computed here: hashing every
-        # event costs O(events); the merge stage hashes only the winners
-        # that reach the lake (O(keys)).
+        # any content-hash column is deliberately NOT computed here:
+        # hashing every event costs O(events); the merge stage hashes
+        # only the winners that reach the lake (O(keys)).
         return batch.append_column(
             "part_id", pa.array(pid, pa.int64())
         ).append_column(
