@@ -106,3 +106,16 @@ def test_demux_roundtrip(tmp_path):
     one = next(iter(info))
     sub = read_demuxed(str(tmp_path / "demux"), "event_type", one)
     assert sub.count() == info[one]["rows"]
+
+
+def test_stats_cli_and_exec_profile(tmp_path):
+    from web3research_etl_ray.__main__ import main
+
+    stream = str(tmp_path / "s")
+    lake = str(tmp_path / "l")
+    assert main(["gen", "--out", stream, "--n-events", "400", "--seed", "2"]) == 0
+    assert main(["init", "--stream", stream, "--lake", lake, "--partitions", "4"]) == 0
+    assert main(["stats", "--lake", lake, "--partitions"]) == 0
+    # per-generation execution profile persisted beside the lake
+    logs = os.listdir(os.path.join(lake, "logs"))
+    assert any(f.startswith("gen-000000") for f in logs)

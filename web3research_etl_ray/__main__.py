@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--lake", required=True)
     c.add_argument("--keep", type=int, default=2)
 
+    st = sub.add_parser("stats", help="lake lineage/watermark summary")
+    st.add_argument("--lake", required=True)
+    st.add_argument("--partitions", action="store_true",
+                    help="include per-partition entries")
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -78,6 +83,31 @@ def main(argv: list[str] | None = None) -> int:
 
         removed = gc_generations(args.lake, keep=args.keep)
         print(json.dumps({"removed_generations": removed}))
+        return 0
+
+    if args.cmd == "stats":
+        from dataclasses import asdict
+
+        from .state.manifest import load_latest
+
+        m = load_latest(args.lake)
+        if m is None:
+            print(json.dumps({"error": "no committed manifest"}))
+            return 1
+        doc = {
+            "generation": m.generation,
+            "num_partitions": m.num_partitions,
+            "min_watermark": m.min_watermark,
+            "max_watermark": m.max_watermark,
+            "schema_version": m.schema_version,
+            "applied_rollbacks": m.applied_rollbacks,
+            **m.totals(),
+        }
+        if args.partitions:
+            doc["partitions"] = {
+                str(k): asdict(v) for k, v in sorted(m.partitions.items())
+            }
+        print(json.dumps(doc))
         return 0
 
     ray, owns_session = _ray_session()

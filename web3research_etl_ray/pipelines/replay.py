@@ -5,11 +5,13 @@ The Ray-Data-native re-expression of the reference's ``init`` loop
 batched idempotent insert) and of one ``sync`` head-handling tick
 (src/ch_eth/sync.rs:92-145).  Both collapse into ONE streaming plan:
 
-    read_parquet(events, filter=commit_seq>watermark)   # prune at read
-      → map_batches(Normalize)      # unify schema, sha256, part_id, orphan tag
-      → map_batches(partial_lww)    # per-block combiner (pre-shuffle reduce)
-      → groupby(part_id)            # the only all-to-all, over combined rows
-          .map_groups(Merger, ...)  # actor-pool LWW merge + partition write
+    read_parquet(events, filter=order>watermark)   # file+row-group pruning
+      → map_batches(Normalize ∘ partial_lww)  # unify, partition id, orphan
+                                              # tag, per-block LWW combine
+      → write_parquet(partition_cols=[part_id(,salt)])   # spool exchange
+      → map_batches(SpoolMerger over pids)    # per-partition LWW merge +
+                                              # partition write (tasks or
+                                              # actor pool)
       → take_all()                  # P small lineage rows only
       → commit manifest             # two-phase exactly-once publish
 
@@ -345,6 +347,18 @@ def replay(
             )
         # P small lineage rows — the only driver-side materialization
         entries_rows = entries_ds.take_all()
+        # persist the execution profile beside the lake (observability:
+        # per-stage wall/cpu/rows — the engine's answer to the
+        # reference's merge-progress polling, scripts/optimize_db.py:39-42)
+        try:
+            log_dir = os.path.join(lake_dir, "logs")
+            os.makedirs(log_dir, exist_ok=True)
+            with open(
+                os.path.join(log_dir, f"gen-{generation:06d}-stats.txt"), "w"
+            ) as fh:
+                fh.write(entries_ds.stats())
+        except Exception:  # noqa: BLE001 - stats are best-effort
+            pass
     rows = entries_rows
     shutil.rmtree(spool_dir, ignore_errors=True)
 
