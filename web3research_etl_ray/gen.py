@@ -236,10 +236,13 @@ def generate_events(
         workers = min(8, os.cpu_count() or 1, n_segments)
     if workers > 1 and n_events >= 50_000:
         # segments are pure functions of their args → embarrassingly
-        # parallel; output identical to the sequential path
+        # parallel; output identical to the sequential path.  fork, not
+        # spawn: spawn re-imports the caller's __main__ (hangs when the
+        # caller holds a Ray session); forked workers only run pure
+        # numpy/pyarrow code and never touch inherited Ray state.
         import multiprocessing as mp
 
-        with mp.get_context("spawn").Pool(workers) as pool:
+        with mp.get_context("fork").Pool(workers) as pool:
             files = pool.map(_write_segment, jobs)
     else:
         files = [_write_segment(j) for j in jobs]
