@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import os
 
-import pyarrow as pa
-
 import ray.data
 
 

@@ -50,7 +50,7 @@ from ..oracle import load_rollback_ranges
 from ..schema import REPO_FILES, TableSpec
 from ..stages.lww import partial_lww
 from ..stages.merge import SpoolMerger
-from ..stages.normalize import Normalize, orphan_mask
+from ..stages.normalize import Normalize
 from ..state.manifest import (
     Manifest,
     PartitionEntry,
@@ -66,7 +66,10 @@ def event_files(stream_dir: str) -> list[str]:
 
 
 def _find_repair_pids(
-    lake_dir: str, prior: Manifest, new_ranges: list[tuple[int, int]]
+    lake_dir: str,
+    prior: Manifest,
+    new_ranges: list[tuple[int, int]],
+    order_col: str = "commit_seq",
 ) -> frozenset[int]:
     """Partitions whose stored state may contain winners orphaned by a
     *new* rollback range: decided from Parquet footer min/max stats on
@@ -79,7 +82,7 @@ def _find_repair_pids(
         if not entry.file:
             continue
         md = pq.ParquetFile(os.path.join(lake_dir, entry.file)).metadata
-        schema_idx = md.schema.to_arrow_schema().get_field_index("commit_seq")
+        schema_idx = md.schema.to_arrow_schema().get_field_index(order_col)
         lo, hi = None, None
         for rg in range(md.num_row_groups):
             col = md.row_group(rg).column(schema_idx)
@@ -179,7 +182,9 @@ def replay(
     new_ranges = [r for r in ranges if tuple(r) not in prior_rb]
     repair_pids = force_repair_pids
     if prior is not None:
-        repair_pids = repair_pids | _find_repair_pids(lake_dir, prior, new_ranges)
+        repair_pids = repair_pids | _find_repair_pids(
+            lake_dir, prior, new_ranges, spec.order_col
+        )
         if prior.num_partitions != num_partitions:
             # repartitioning the lake = rebuild everything from history
             repair_pids = frozenset(range(num_partitions))
