@@ -119,3 +119,14 @@ def test_stats_cli_and_exec_profile(tmp_path):
     # per-generation execution profile persisted beside the lake
     logs = os.listdir(os.path.join(lake, "logs"))
     assert any(f.startswith("gen-000000") for f in logs)
+
+
+def test_check_windowed(tiny_stream, lake_dir):
+    """Trailing-window re-check (the reference's 100k-block window,
+    src/ch_eth/sync.rs:348): only keys whose winner falls in the window
+    are compared, and a clean lake stays clean."""
+    replay(tiny_stream, lake_dir, num_partitions=8)
+    full = check(tiny_stream, lake_dir)
+    windowed = check(tiny_stream, lake_dir, from_seq=1500)
+    assert windowed.ok
+    assert 0 < windowed.rows_expected < full.rows_expected

@@ -155,7 +155,7 @@ def minhash_lsh_pairs(
     num_bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
-    concurrency: int = 2,
+    concurrency: int | None = None,
 ) -> pa.Table:
     """Near-duplicate candidate pairs with signature-estimated Jaccard
     >= threshold.  Returns a small driver-side table (id_a, id_b,
@@ -164,6 +164,13 @@ def minhash_lsh_pairs(
     Scale shape: signatures stay with their batch; the all-to-all
     moves only (band_hash, doc_id) rows; verify joins signatures back
     by broadcasting the (small) candidate id set."""
+    if concurrency is None:
+        # never reserve every CPU for the pool — it starves upstream
+        # stages and stalls the pipeline (hard-learned rule)
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, min(8, cpus // 2))
     sigged = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
