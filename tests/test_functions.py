@@ -139,3 +139,26 @@ def test_generic_fold_arbitrary_key():
     out = fold_lww(t, None, ("user_id", "event_type"), "event_id")
     got = {(r["user_id"]): r["event_id"] for r in out.to_pylist()}
     assert got == {1: 20, 2: 5}
+
+
+def test_sha256_unicode_and_chunked():
+    """Buffer-offset hashing must handle multibyte UTF-8, chunked and
+    sliced arrays, and nulls — and agree with hashlib and DuckDB."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+
+    from web3research_etl_ray.functions.hashing import sha256_binary, sha256_hex
+
+    vals = ["héllo wörld", "日本語テキスト", "emoji 🎉🚀", "", "plain"]
+    arr = pa.chunked_array([pa.array(vals[:2]), pa.array(vals[2:]).slice(0, 3)])
+    hexes = sha256_hex(arr).to_pylist()
+    bins = sha256_binary(arr).to_pylist()
+    for v, hx, bn in zip(vals, hexes, bins):
+        assert hx == hashlib.sha256(v.encode()).hexdigest()
+        assert bn == hashlib.sha256(v.encode()).digest()
+    ddb = [r[0] for r in duckdb.sql(
+        "SELECT sha256(v) FROM (SELECT UNNEST(" + repr(vals) + ") AS v)"
+    ).fetchall()]
+    assert hexes == ddb

@@ -37,6 +37,7 @@ def test_entry_smoke():
         "cdc_replay_lake", "lww_upsert_events", "watermark_events",
         "per_type_counts", "orphan_filter_events", "json_extract_events",
         "explode_embeddings", "spread_embeddings", "demux_events",
+        "hourly_user_activity", "systematic_sample_events", "distinct_langs",
         "top_events", "sha256_documents",
         "exact_dedup_documents", "token_stats_documents", "doc_quality",
         "ngram_jaccard_pairs", "knn_cosine", "embedding_neardup",

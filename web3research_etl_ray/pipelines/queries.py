@@ -425,6 +425,72 @@ def q_demux_events(sf_dir: str) -> pa.Table:
 ORACLE_DEMUX = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
 
 
+def q_hourly_user_activity(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate (event-time hour buckets) — the
+    streaming-window pattern the reference lacks (SURVEY.md §2.9 W5),
+    expressed as bucket column + grouped aggregate."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        g = pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "hour": hour,
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+        return (
+            g.group_by(["user_id", "hour"])
+            .aggregate([("value_cents", "sum"), ("value_cents", "count")])
+            .rename_columns(["user_id", "hour", "sum_value_cents", "n"])
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour"])
+        .aggregate(
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+ORACLE_HOURLY = """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       sum(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents,
+       count(*) AS n
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def q_systematic_sample_events(sf_dir: str) -> pa.Table:
+    """Deterministic systematic sampling (every 20th event by id) —
+    reproducible sampling for training-data subsetting."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SAMPLE = """
+SELECT event_id, event_type FROM events WHERE event_id % 20 = 0
+"""
+
+
+def q_distinct_langs(sf_dir: str) -> pa.Table:
+    """Distinct values (set op) over documents."""
+    ds = _read(sf_dir, "documents", ["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pa.table({"lang": pa.array(vals, pa.string())})
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT lang FROM documents"
+
+
 def q_top_events(sf_dir: str) -> pa.Table:
     """Sort + limit (top-k) with deterministic tie-break."""
     ds = _read(sf_dir, "events", ["event_id", "value"])
@@ -1005,6 +1071,9 @@ QUERIES = {
     "explode_embeddings": q_explode_embeddings,
     "spread_embeddings": q_spread_embeddings,
     "demux_events": q_demux_events,
+    "hourly_user_activity": q_hourly_user_activity,
+    "systematic_sample_events": q_systematic_sample_events,
+    "distinct_langs": q_distinct_langs,
     "top_events": q_top_events,
     "sha256_documents": q_sha256_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
@@ -1036,6 +1105,9 @@ ORACLE_SQL = {
     "explode_embeddings": ORACLE_EXPLODE,
     "spread_embeddings": ORACLE_SPREAD,
     "demux_events": ORACLE_DEMUX,
+    "hourly_user_activity": ORACLE_HOURLY,
+    "systematic_sample_events": ORACLE_SAMPLE,
+    "distinct_langs": ORACLE_DISTINCT,
     "top_events": ORACLE_TOP,
     "sha256_documents": ORACLE_SHA,
     "exact_dedup_documents": ORACLE_DEDUP,
