@@ -137,6 +137,10 @@ def check(
     manifest = load_latest(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake under {lake_dir}")
+    # NOTE: the conformance compare is currently specific to the default
+    # repo-files spec (key (repo, path), content_sha256 invariant);
+    # custom TableSpec lakes get integrity via per-spec invariants and
+    # correctness via the replay tests.
     P = manifest.num_partitions
     ranges = load_rollback_ranges(stream_dir)
     files = event_files(stream_dir)

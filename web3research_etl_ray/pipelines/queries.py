@@ -108,7 +108,9 @@ def _derive_cdc_stream(sf_dir: str) -> str:
             )
         )
     events = pa.concat_tables(parts).sort_by([("commit_seq", "ascending")])
-    pq.write_table(events, marker)
+    # rollbacks first: the events file doubles as the cache marker, so
+    # a crash between the two writes can't leave a marker without the
+    # rollback table
     pq.write_table(
         pa.table(
             {
@@ -119,6 +121,7 @@ def _derive_cdc_stream(sf_dir: str) -> str:
         ),
         os.path.join(out_dir, "rollbacks.parquet"),
     )
+    pq.write_table(events, marker)
     return out_dir
 
 
