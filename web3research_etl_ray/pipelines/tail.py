@@ -34,6 +34,7 @@ def sync(
     poll_interval_s: float = 0.0,
     check_every: int = 0,
     check_window: int = 100_000,
+    gc_keep: int = 5,
     on_tick: Callable[[int, Manifest], None] | None = None,
     **replay_kw,
 ) -> list[CheckReport]:
@@ -54,6 +55,12 @@ def sync(
             reports.append(
                 check_and_repair(stream_dir, lake_dir, from_seq=from_seq)
             )
+        if gc_keep and tick % max(1, check_every or 10) == 0:
+            # bound generation growth in long-running loops (snapshot
+            # rotation — the reference's backup retention analogue)
+            from ..state.manifest import gc_generations
+
+            gc_generations(lake_dir, keep=gc_keep)
         if poll_interval_s and (max_ticks is None or tick < max_ticks):
             time.sleep(poll_interval_s)
     return reports
