@@ -13,6 +13,7 @@ Two layers of defense, both verified here:
 """
 
 import collections
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -99,3 +100,36 @@ def test_targeted_salt_hot_pids(tmp_path):
     replay(stream, lake, num_partitions=8, salt_buckets=4,
            salt_hot_pids=frozenset({0, 3}))
     assert tables_equal(lake_table(lake), oracle_fold(stream))
+
+
+def test_adaptive_hot_partition_salting(tmp_path):
+    """salt_hot_pids='auto': the first generation records per-partition
+    event traffic in the manifest; the next tick salts partitions whose
+    traffic was >4x the median — converged state stays exact."""
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.state.manifest import load_latest
+
+    stream = str(tmp_path / "stream")
+    os.makedirs(stream)
+    t = _hot_key_events(n=4000, hot_frac=0.6)
+    pq.write_table(t.slice(0, 3000), os.path.join(stream, "events-00000.parquet"))
+    lake = str(tmp_path / "lake")
+    replay(stream, lake, num_partitions=8, salt_buckets=4)
+    m1 = load_latest(lake)
+    traffic = [e.last_gen_events for e in m1.partitions.values()]
+    assert max(traffic) > 4 * sorted(traffic)[len(traffic) // 2]  # hot signal
+    # tick 2: more events, auto-salting kicks in for the hot partition
+    pq.write_table(t.slice(3000), os.path.join(stream, "events-00001.parquet"))
+    replay(stream, lake, num_partitions=8, salt_buckets=4)
+    state = {
+        (r["repo"], r["path"]): r["commit_seq"]
+        for r in lake_table(lake).to_pylist()
+    }
+    # oracle: plain python fold of the full table
+    exp = {}
+    for row in t.to_pylist():
+        exp[(row["repo"], row["path"])] = max(
+            exp.get((row["repo"], row["path"]), -1), row["commit_seq"]
+        )
+    assert state == exp

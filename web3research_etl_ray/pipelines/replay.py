@@ -153,7 +153,7 @@ def replay(
     merge_concurrency: int | None = None,
     merge_compute: str = "tasks",
     salt_buckets: int = 0,
-    salt_hot_pids: frozenset[int] | None = None,
+    salt_hot_pids: frozenset[int] | str | None = "auto",
     spec: TableSpec = REPO_FILES,
     upto_seq: int | None = None,
     force_repair_pids: frozenset[int] = frozenset(),
@@ -220,6 +220,21 @@ def replay(
     # fused normalize+partial stage runs per block (batch_size=None) so
     # unification happens before any cross-block coalescing.  One file =
     # one task is also the natural granularity at lake scale.
+    if salt_hot_pids == "auto":
+        # adaptive hot-partition detection: last generation's per-
+        # partition event traffic (lineage) flags the hot set for this
+        # tick's salting; first generation has no signal → no salting
+        salt_hot_pids = frozenset()
+        if prior is not None and salt_buckets:
+            traffic = {
+                pid: e.last_gen_events for pid, e in prior.partitions.items()
+            }
+            vals = sorted(traffic.values())
+            if vals and vals[-1] > 0:
+                median = vals[len(vals) // 2]
+                salt_hot_pids = frozenset(
+                    pid for pid, v in traffic.items() if v > max(1, 4 * median)
+                )
     normalize = Normalize(num_partitions, ranges, spec)
     # incremental + repair tick: keep fresh events everywhere, full
     # history only for partitions being rebuilt (routed between
@@ -378,6 +393,7 @@ def replay(
             events_superseded=int(r["events_superseded"]),
             events_rolled_back=int(r["events_rolled_back"]),
             schema_version=int(r["schema_version"]),
+            last_gen_events=int(r.get("last_gen_events", 0)),
         )
     # carry forward untouched partitions from the prior generation
     if prior is not None:

@@ -51,6 +51,7 @@ ENTRY_SCHEMA = pa.schema(
         ("events_superseded", pa.int64()),
         ("events_rolled_back", pa.int64()),
         ("schema_version", pa.int64()),
+        ("last_gen_events", pa.int64()),
     ]
 )
 
@@ -172,6 +173,7 @@ class Merger:
             events_rolled_back=int(prior_entry.get("events_rolled_back", 0))
             + rolled_back,
             schema_version=schema_version,
+            last_gen_events=new_events_total + rolled_back,
         )
         return pa.table(
             {
@@ -183,6 +185,7 @@ class Merger:
                 "events_superseded": [entry.events_superseded],
                 "events_rolled_back": [entry.events_rolled_back],
                 "schema_version": [entry.schema_version],
+                "last_gen_events": [entry.last_gen_events],
             },
             schema=ENTRY_SCHEMA,
         )

@@ -34,6 +34,9 @@ class PartitionEntry:
     events_superseded: int = 0
     events_rolled_back: int = 0
     schema_version: int = 1
+    #: events routed to this partition in the generation that wrote it —
+    #: the traffic signal for adaptive hot-partition salting
+    last_gen_events: int = 0
 
 
 @dataclass
