@@ -38,6 +38,7 @@ def test_entry_smoke():
         "per_type_counts", "orphan_filter_events", "json_extract_events",
         "explode_embeddings", "spread_embeddings", "demux_events",
         "hourly_user_activity", "systematic_sample_events", "distinct_langs",
+        "distinct_users_per_type", "normalized_text_sha", "top2_per_user",
         "top_events", "sha256_documents",
         "exact_dedup_documents", "token_stats_documents", "doc_quality",
         "ngram_jaccard_pairs", "knn_cosine", "embedding_neardup",

@@ -494,6 +494,99 @@ def q_distinct_langs(sf_dir: str) -> pa.Table:
 ORACLE_DISTINCT = "SELECT DISTINCT lang FROM documents"
 
 
+def q_distinct_users_per_type(sf_dir: str) -> pa.Table:
+    """Distinct-count aggregate: per-batch distinct pairs (combiner) →
+    global pair dedup → count per key.  The mergeable-partial pattern
+    that generalizes to sketches (HLL) at 10^10 scale."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_dups"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_normalized_text_sha(sf_dir: str) -> pa.Table:
+    """Text normalization (casefold) + content hash — the canonical-
+    form fingerprint used before exact dedup of noisy corpora."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "norm_sha256": sha256_hex(pc.utf8_lower(t.column("text"))),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ORACLE_NORM_SHA = "SELECT doc_id, sha256(lower(text)) AS norm_sha256 FROM documents"
+
+
+def q_top2_per_user(sf_dir: str) -> pa.Table:
+    """Group-wise top-k (window-function family): each user's top-2
+    events by value.  Partial top-2 per batch → final top-2 per user —
+    no per-group task fan-out."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def topk(t: pa.Table, k: int = 2) -> pa.Table:
+        t = t.sort_by(
+            [("user_id", "ascending"), ("value", "descending"),
+             ("event_id", "ascending")]
+        )
+        import numpy as np_
+
+        uids = t.column("user_id").to_numpy(zero_copy_only=False)
+        first = np_.ones(len(uids), dtype=bool)
+        first[1:] = uids[1:] != uids[:-1]
+        ranks = np_.arange(len(uids)) - np_.maximum.accumulate(
+            np_.where(first, np_.arange(len(uids)), 0)
+        )
+        return t.filter(pa.array(ranks < k))
+
+    partials = ds.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+    final = topk(
+        pa.Table.from_pylist(
+            partials.take_all(),
+            schema=pa.schema(
+                [("user_id", pa.int64()), ("event_id", pa.int64()),
+                 ("value", pa.float64())]
+            ),
+        )
+    )
+    return pa.table(
+        {
+            "user_id": final.column("user_id"),
+            "event_id": final.column("event_id"),
+            "value_cents": _cents(final.column("value")),
+        }
+    )
+
+
+ORACLE_TOP2 = """
+SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
 def q_top_events(sf_dir: str) -> pa.Table:
     """Sort + limit (top-k) with deterministic tie-break."""
     ds = _read(sf_dir, "events", ["event_id", "value"])
@@ -1077,6 +1170,9 @@ QUERIES = {
     "hourly_user_activity": q_hourly_user_activity,
     "systematic_sample_events": q_systematic_sample_events,
     "distinct_langs": q_distinct_langs,
+    "distinct_users_per_type": q_distinct_users_per_type,
+    "normalized_text_sha": q_normalized_text_sha,
+    "top2_per_user": q_top2_per_user,
     "top_events": q_top_events,
     "sha256_documents": q_sha256_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
@@ -1111,6 +1207,9 @@ ORACLE_SQL = {
     "hourly_user_activity": ORACLE_HOURLY,
     "systematic_sample_events": ORACLE_SAMPLE,
     "distinct_langs": ORACLE_DISTINCT,
+    "distinct_users_per_type": ORACLE_DISTINCT_USERS,
+    "normalized_text_sha": ORACLE_NORM_SHA,
+    "top2_per_user": ORACLE_TOP2,
     "top_events": ORACLE_TOP,
     "sha256_documents": ORACLE_SHA,
     "exact_dedup_documents": ORACLE_DEDUP,
