@@ -264,7 +264,7 @@ def q_per_type_counts(sf_dir: str) -> pa.Table:
 
 ORACLE_PER_TYPE = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents,
+       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        min(event_id) AS min_event_id, max(event_id) AS max_event_id
 FROM events GROUP BY event_type
 """
@@ -331,7 +331,7 @@ def q_json_extract_events(sf_dir: str) -> pa.Table:
 
 ORACLE_JSON = """
 SELECT event_type,
-       sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """
@@ -461,7 +461,7 @@ def q_hourly_user_activity(sf_dir: str) -> pa.Table:
 
 ORACLE_HOURLY = """
 SELECT user_id, date_trunc('hour', ts) AS hour,
-       sum(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents,
+       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        count(*) AS n
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
@@ -891,7 +891,7 @@ def q_broadcast_join_segment(sf_dir: str) -> pa.Table:
 
 ORACLE_BROADCAST = """
 SELECT c_mktsegment,
-       sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_price_cents,
+       CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -951,9 +951,9 @@ def q_tpch_q1(sf_dir: str) -> pa.Table:
 
 ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-       sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+       CAST(sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1085,7 +1085,7 @@ win AS (
   FROM eff
 ),
 lake AS (SELECT * FROM win WHERE rn = 1 AND op <> 'delete')
-SELECT repo, count(*) AS n_paths, sum(length(content)) AS sum_chars,
+SELECT repo, count(*) AS n_paths, CAST(sum(length(content)) AS BIGINT) AS sum_chars,
        max(commit_seq) AS last_seq
 FROM lake GROUP BY repo
 """
