@@ -162,3 +162,50 @@ def test_sha256_unicode_and_chunked():
         "SELECT sha256(v) FROM (SELECT UNNEST(" + repr(vals) + ") AS v)"
     ).fetchall()]
     assert hexes == ddb
+
+
+def test_rolling_fingerprint_modular_correctness():
+    """ADVICE r01: window hashes must be exact modular arithmetic —
+    nonzero, length-independent, and equal for equal windows."""
+    from web3research_etl_ray.functions.hashing import (
+        _inv_mod2_64, _mix64, rolling_fingerprint,
+    )
+
+    assert (1000003 * _inv_mod2_64(1000003)) % (1 << 64) == 1
+
+    docs = ["hello world " * 50, "a different doc " * 40, "hello world " * 50]
+    fps = rolling_fingerprint(pa.array(docs)).to_pylist()
+    assert fps[0] == fps[2] != fps[1]
+    assert all(f != 0 for f in fps)
+
+    # no mass collapse to a single value (the r01 bug fingerprinted
+    # typical docs all to 0)
+    rng = np.random.default_rng(5)
+    rd = ["".join(chr(97 + c) for c in rng.integers(0, 26, 300)) for _ in range(100)]
+    vals = rolling_fingerprint(pa.array(rd)).to_pylist()
+    assert len(set(vals)) == 100 and 0 not in vals
+
+    # canonical window hash is position/length independent: the direct
+    # polynomial hash of a 64-byte window appears in the window-hash
+    # set of any doc containing it
+    core = ("shared content block " * 10)[:64]
+    b = np.frombuffer(core.encode(), dtype=np.uint8).astype(np.uint64)
+    B = np.uint64(1000003)
+    direct = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for x in b:
+            direct = direct * B + x
+    mixed = int(_mix64(np.array([direct], dtype=np.uint64))[0])
+    doc = "long and unrelated prefix text " + core  # min over few windows
+    # build all window hashes by brute force and compare membership
+    raw = doc.encode()
+    wins = set()
+    for i in range(len(raw) - 63):
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for x in np.frombuffer(raw[i : i + 64], dtype=np.uint8).astype(np.uint64):
+                h = h * B + x
+        wins.add(int(_mix64(np.array([h], dtype=np.uint64))[0]))
+    fp = rolling_fingerprint(pa.array([doc])).to_pylist()[0]
+    assert np.uint64(fp).item() in {np.uint64(w).item() for w in wins}
+    assert mixed in wins

@@ -1,0 +1,114 @@
+"""Arrow-native bucketed joins: correctness, salting under skew, and
+the deterministic as-of tie-break (ADVICE r01)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from web3research_etl_ray.functions.joins import asof_join, hash_join
+
+
+def _sorted_rows(ds, cols):
+    t = pa.Table.from_pylist(ds.take_all())
+    return sorted(tuple(r[c] for c in cols) for r in t.select(cols).to_pylist())
+
+
+def test_hash_join_matches_reference_small():
+    left = pa.table({"k": [1, 2, 2, 3, 5], "lv": [10, 20, 21, 30, 50]})
+    right = pa.table({"k": [2, 2, 3, 4], "rv": ["a", "b", "c", "d"]})
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), "k",
+        left_cols=["lv"], right_cols=["rv"], num_buckets=4,
+    )
+    got = _sorted_rows(out, ["k", "lv", "rv"])
+    want = sorted(
+        (lk, lv, rv)
+        for lk, lv in zip(left["k"].to_pylist(), left["lv"].to_pylist())
+        for rk, rv in zip(right["k"].to_pylist(), right["rv"].to_pylist())
+        if lk == rk
+    )
+    assert got == want
+
+
+def test_hash_join_salted_matches_unsalted_under_hot_key():
+    """One key holds 50% of probe rows; salt=8 must spread it over
+    sub-buckets and produce the identical join result."""
+    rng = np.random.default_rng(11)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 500, n)).astype(np.int64)
+    left = pa.table({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pa.table({"k": np.arange(0, 500, dtype=np.int64),
+                      "rv": np.arange(0, 500, dtype=np.int64) * 2})
+    a = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), "k",
+                  left_cols=["lv"], right_cols=["rv"], num_buckets=8, salt=1)
+    b = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), "k",
+                  left_cols=["lv"], right_cols=["rv"], num_buckets=8, salt=8)
+    ra = _sorted_rows(a, ["k", "lv", "rv"])
+    rb = _sorted_rows(b, ["k", "lv", "rv"])
+    assert ra == rb and len(ra) == n  # every probe row matches exactly once
+
+
+def test_hash_join_salt_bounds_max_group_size():
+    """The salted exchange caps the largest per-group probe share."""
+    from web3research_etl_ray.functions.joins import _bucketed_union
+
+    n = 8_000
+    left = pa.table({"k": np.full(n, 7, dtype=np.int64),
+                     "lv": np.arange(n, dtype=np.int64)})
+    right = pa.table({"k": [7], "rv": [1]})
+    salt = 8
+    ds, _ = _bucketed_union(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), ["k"], 8, salt
+    )
+    t = pa.Table.from_pylist(ds.take_all())
+    probe = t.filter(pa.compute.equal(t["__side"], "l"))
+    counts = {}
+    for b in probe["__bucket"].to_pylist():
+        counts[b] = counts.get(b, 0) + 1
+    assert len(counts) == salt
+    assert max(counts.values()) <= (n // salt) + n // (salt * 4)
+
+
+def test_asof_join_backward_and_tie_break():
+    # right has duplicate (by, on) rows: (u, 10) appears with view ids
+    # 3 and 9 — the engine must deterministically pick max (9)
+    left = pa.table({
+        "u": ["a", "a", "b", "c"],
+        "ts": [10, 15, 5, 99],
+        "click": [1, 2, 3, 4],
+    })
+    right = pa.table({
+        "u": ["a", "a", "a", "b"],
+        "ts": [10, 10, 12, 7],
+        "view": [3, 9, 11, 30],
+    })
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        by="u", on="ts", left_cols=["click"], right_cols=["view"],
+        num_buckets=2,
+    )
+    got = {r["click"]: r["view"] for r in pa.Table.from_pylist(out.take_all()).to_pylist()}
+    # click1 (a,10): ties at ts=10 -> max view 9; click2 (a,15): view 11
+    # click3 (b,5): no view at/before 5 -> null; click4 (c,99): key absent -> null
+    assert got == {1: 9, 2: 11, 3: None, 4: None}
+
+
+def test_asof_join_salted_matches_unsalted():
+    rng = np.random.default_rng(3)
+    n = 5_000
+    users = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 50, n)).astype(np.int64)
+    lts = rng.integers(0, 10_000, n).astype(np.int64)
+    left = pa.table({"u": users, "ts": lts, "click": np.arange(n, dtype=np.int64)})
+    m = 2_000
+    rus = rng.integers(0, 50, m).astype(np.int64)
+    rts = rng.integers(0, 10_000, m).astype(np.int64)
+    right = pa.table({"u": rus, "ts": rts, "view": np.arange(m, dtype=np.int64)})
+    kw = dict(by="u", on="ts", left_cols=["click"], right_cols=["view"],
+              num_buckets=4)
+    a = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right), **kw)
+    b = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  salt=4, **kw)
+    ga = _sorted_rows(a, ["click", "view"])
+    gb = _sorted_rows(b, ["click", "view"])
+    assert ga == gb and len(ga) == n

@@ -67,6 +67,24 @@ def test_orphan_mask_vectorized():
     assert orphan_mask(seqs, []).sum() == 0
 
 
+def test_orphan_mask_nested_and_overlapping_ranges():
+    """ADVICE r01 (high): with nested/overlapping ranges the nearest
+    start's end is not enough — seqs 105/115 inside (80,120) but past
+    the nested (90,100) must still be flagged.  Engine vs oracle."""
+    from web3research_etl_ray.oracle import in_orphan_range
+
+    cases = [
+        [(80, 120), (90, 100)],            # nested
+        [(80, 110), (100, 130)],           # overlapping
+        [(10, 20), (15, 16), (18, 40), (100, 100)],  # chain + point
+    ]
+    seqs = np.arange(0, 150, dtype=np.int64)
+    for ranges in cases:
+        got = orphan_mask(seqs, ranges)
+        want = np.array([in_orphan_range(int(s), ranges) for s in seqs])
+        assert got.tolist() == want.tolist(), ranges
+
+
 def test_delete_wins_then_dropped_at_merge():
     t = _normalized([("r", "a", 5, "upsert"), ("r", "a", 6, "delete")])
     t = t.append_column("n_events", pa.array([1, 1], pa.int64()))

@@ -120,10 +120,42 @@ def key_hash64(*cols: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return out
 
 
+def _inv_mod2_64(b: int) -> int:
+    """Multiplicative inverse of odd b modulo 2^64 (Newton iteration)."""
+    x = b
+    for _ in range(6):
+        x = (x * (2 - b * x)) % (1 << 64)
+    return x
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style finalizer: spreads the poorly-mixed low bits of
+    a mod-2^64 polynomial hash so min() over windows is meaningful."""
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
 def rolling_fingerprint(arr: pa.Array | pa.ChunkedArray, window: int = 64) -> pa.Array:
-    """Document fingerprint: min of rolling polynomial hashes (winnowing-
-    style, deterministic).  Vectorized with numpy per value."""
+    """Document fingerprint: min of rolling polynomial window hashes
+    (winnowing-style, deterministic), numpy-vectorized per value.
+
+    All arithmetic is natural uint64 wraparound (mod 2^64).  The
+    window hash is built WITHOUT division (integer division does not
+    invert multiplication mod 2^64): with prefix sums of
+    b[j]*B^(n-1-j), the window-i sum S_i = B^(n-w-i) * H_i where H_i
+    is the canonical window hash sum b[i+k]*B^(w-1-k).  B is odd, so
+    B^-1 exists mod 2^64 (Newton iteration); multiplying by
+    invB^(n-w-i) recovers H_i exactly — length-independent, so equal
+    windows hash equal across documents — then a splitmix64 finalizer
+    spreads bits before min().
+    """
     B = np.uint64(1000003)
+    invB = np.uint64(_inv_mod2_64(1000003))
     out = []
     for chunk in _iter_chunks(arr):
         for v in chunk.to_pylist():
@@ -131,21 +163,27 @@ def rolling_fingerprint(arr: pa.Array | pa.ChunkedArray, window: int = 64) -> pa
                 out.append(0)
                 continue
             b = np.frombuffer(v.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
-            if len(b) <= window:
-                h = np.uint64(0)
-                for x in b:
-                    h = h * B + x
-                out.append(int(h))
+            n = len(b)
+            # pows[i] = B^i mod 2^64
+            pows = np.ones(n, dtype=np.uint64)
+            if n > 1:
+                np.multiply.accumulate(np.full(n - 1, B, dtype=np.uint64), out=pows[1:])
+            if n <= window:
+                h = np.uint64((b * pows[::-1]).sum())
+                out.append(int(_mix64(np.array([h], dtype=np.uint64))[0]))
                 continue
-            # rolling hash over windows via cumulative powers (mod 2^64)
-            pows = np.ones(len(b), dtype=np.uint64)
-            np.multiply.accumulate(np.full(len(b) - 1, B, dtype=np.uint64), out=pows[1:])
-            weighted = b * pows[::-1]
+            weighted = b * pows[::-1]  # b[j] * B^(n-1-j)
             csum = np.cumsum(weighted, dtype=np.uint64)
             win = csum[window - 1 :].copy()
-            win[1:] -= csum[:-window]
-            # normalize each window to its own basis
-            win = win // pows[::-1][window - 1 :]
-            out.append(int(win.min()))
+            win[1:] -= csum[: n - window]
+            # re-base by multiplying with invB^(n-w-i), not dividing:
+            # invpows[m] = invB^m; window i needs m = n-w-i.
+            invpows = np.ones(n - window + 1, dtype=np.uint64)
+            if n - window > 0:
+                np.multiply.accumulate(
+                    np.full(n - window, invB, dtype=np.uint64), out=invpows[1:]
+                )
+            win *= invpows[::-1]
+            out.append(int(_mix64(win).min()))
     # int64 view keeps downstream pylist/pandas round-trips overflow-free
     return pa.array(np.array(out, dtype=np.uint64).view(np.int64), pa.int64())

@@ -8,19 +8,29 @@ the two general patterns Ray Data lacks as built-ins in this version:
 - ``hash_join``: both sides large → explicit partitioned hash join.
   Each side gets ``bucket = key_hash64(key) % B``; the two sides ride
   ONE union (padded to a common schema) into ``groupby(bucket)``, and
-  each group joins its two halves with a vectorized pandas merge.
-  Salt note: a hot key concentrates its bucket — pick B ≫ cores and
-  split hot buckets by salting the *probe* side if profiles demand it.
+  each group joins its two halves with Arrow's native ``Table.join``
+  (Acero) — no pandas conversion, no per-row copies.
 - ``asof_join``: per-key as-of matching (latest right row with
-  ts <= left ts).  Same bucket exchange; inside a bucket
-  ``pd.merge_asof(by=key)`` handles all keys at once, so the group
-  count is B, not O(keys).
+  ts <= left ts).  Same bucket exchange; inside a bucket the match is
+  one vectorized ``np.searchsorted`` over a (key-code, ts-rank)
+  composite, so the group count is B, not O(keys).  The right side is
+  deterministically pre-reduced to ONE row per (by, on) — the max of
+  the carried value columns — so tie-breaks are well-defined and match
+  the documented oracle semantics.
+
+Skew: a hot key concentrates its bucket.  Both joins take
+``salt=S > 1``: the LEFT (probe) side spreads each bucket over S
+sub-buckets round-robin while the RIGHT (build) side is replicated
+into all S — the classic salted-join trade (S× build-side duplication
+for S× hot-bucket parallelism).  Use a small S and a build side that
+is the smaller input.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -55,7 +65,14 @@ def _bucketed_union(
     right: ray.data.Dataset,
     key: str | list[str],
     num_buckets: int,
+    salt: int = 1,
 ) -> tuple[ray.data.Dataset, pa.Schema]:
+    """Tag both sides with ``__bucket`` and ``__side`` and union them.
+
+    With ``salt > 1`` the left side lands in bucket*salt + (row % salt)
+    and every right row is replicated to all ``salt`` sub-buckets, so a
+    hot key's probe rows split across ``salt`` groups.
+    """
     keys = [key] if isinstance(key, str) else list(key)
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
@@ -69,9 +86,22 @@ def _bucketed_union(
                 key_hash64(*[t.column(k) for k in keys])
                 % np.uint64(num_buckets)
             ).astype(np.int64)
-            t = t.append_column("__bucket", pa.array(b))
-            t = t.append_column("__side", pa.array([side] * t.num_rows))
-            return _pad_to(t, target)
+            if salt <= 1:
+                t = t.append_column("__bucket", pa.array(b))
+                t = t.append_column("__side", pa.array([side] * t.num_rows))
+                return _pad_to(t, target)
+            if side == "l":
+                sb = b * salt + (np.arange(len(b), dtype=np.int64) % salt)
+                t = t.append_column("__bucket", pa.array(sb))
+                t = t.append_column("__side", pa.array([side] * t.num_rows))
+                return _pad_to(t, target)
+            # build side: replicate to all sub-buckets
+            parts = []
+            for s in range(salt):
+                p = t.append_column("__bucket", pa.array(b * salt + s))
+                p = p.append_column("__side", pa.array([side] * t.num_rows))
+                parts.append(_pad_to(p, target))
+            return pa.concat_tables(parts)
 
         return fn
 
@@ -90,21 +120,29 @@ def hash_join(
     num_buckets: int = 32,
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
+    salt: int = 1,
 ) -> ray.data.Dataset:
-    """Inner equi-join of two large datasets on ``key``."""
+    """Inner equi-join of two large datasets on ``key``.
+
+    Arrow-native: per-bucket ``pa.Table.join`` (hash join in Acero) on
+    the two filtered sides — zero pandas copies.  Column order is
+    left columns then right non-key columns; collisions on the right
+    get an ``_r`` suffix.
+    """
     keys = [key] if isinstance(key, str) else list(key)
-    ds, _ = _bucketed_union(left, right, keys, num_buckets)
+    ds, _ = _bucketed_union(left, right, keys, num_buckets, salt)
     lcols = left_cols or [f for f in left.schema().names]
     rcols = right_cols or [f for f in right.schema().names]
+    lsel = sorted(set(lcols + keys))
+    rsel = sorted(set(rcols + keys))
 
     def join_bucket(group: pa.Table) -> pa.Table:
-        import pandas as pd  # vectorized per-bucket merge
-
-        df = group.to_pandas()
-        ldf = df[df["__side"] == "l"][sorted(set(lcols + keys))]
-        rdf = df[df["__side"] == "r"][sorted(set(rcols + keys))]
-        out = ldf.merge(rdf, on=keys, how="inner")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        lmask = pc.equal(group.column("__side"), "l")
+        ltab = group.filter(lmask).select(lsel)
+        rtab = group.filter(pc.invert(lmask)).select(rsel)
+        return ltab.join(
+            rtab, keys=keys, join_type="inner", right_suffix="_r"
+        ).combine_chunks()
 
     return ds.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
@@ -119,29 +157,80 @@ def asof_join(
     right_cols: list[str],
     num_buckets: int = 16,
     direction: str = "backward",
+    salt: int = 1,
 ) -> ray.data.Dataset:
     """Left as-of join: for each left row, the latest right row of the
-    same ``by`` key with right.on <= left.on (direction=backward)."""
-    ds, _ = _bucketed_union(left, right, by, num_buckets)
+    same ``by`` key with right.on <= left.on (direction=backward).
+
+    Ties among right rows sharing (by, on) are resolved
+    deterministically by keeping the row with the MAX (right_cols)
+    tuple — mirror this in any SQL oracle by pre-aggregating the right
+    side (``GROUP BY by, on`` + ``max(col)``).
+
+    Per bucket: both sides' ``by`` values are mapped to a shared code
+    space (``pc.index_in`` against the sorted right keys), ``on``
+    values are rank-encoded over the union of both sides, and a single
+    ``np.searchsorted`` over the composite code*M+rank finds, for
+    every left row at once, the last right row at or before it.
+    """
+    if direction != "backward":
+        raise ValueError("only direction='backward' is implemented")
+    ds, _ = _bucketed_union(left, right, by, num_buckets, salt)
+    lsel = sorted(set(left_cols + [by, on]))
+    rsel = sorted(set(right_cols + [by, on]))
+    r_out = {c: (c + "_r" if c in set(left_cols + [by, on]) else c)
+             for c in right_cols}
 
     def join_bucket(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = group.to_pandas()
-        ldf = (
-            df[df["__side"] == "l"][sorted(set(left_cols + [by, on]))]
-            .sort_values(on, kind="mergesort")
+        lmask = pc.equal(group.column("__side"), "l")
+        ltab = group.filter(lmask).select(lsel)
+        rtab = group.filter(pc.invert(lmask)).select(rsel)
+        # deterministic tie-break: one right row per (by, on), max value tuple
+        rtab = rtab.sort_by(
+            [(by, "ascending"), (on, "ascending")]
+            + [(c, "ascending") for c in right_cols]
         )
-        rdf = (
-            df[df["__side"] == "r"][sorted(set(right_cols + [by, on]))]
-            .sort_values(on, kind="mergesort")
+        r_on = rtab.column(on)
+        l_on = ltab.column(on)
+        if pa.types.is_timestamp(r_on.type) or pa.types.is_date(r_on.type):
+            r_on = r_on.cast(pa.int64())
+            l_on = l_on.cast(pa.int64())
+        rn = r_on.to_numpy(zero_copy_only=False)
+        ln = l_on.to_numpy(zero_copy_only=False)
+        r_keys = pc.unique(rtab.column(by))  # appearance order == sorted
+        r_code = pc.index_in(rtab.column(by), value_set=r_keys).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        l_code_arr = pc.index_in(ltab.column(by), value_set=r_keys)
+        l_code = l_code_arr.fill_null(-1).to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
-        rdf = rdf.rename(
-            columns={c: c + "_r" for c in right_cols if c in ldf.columns}
-        )
-        out = pd.merge_asof(
-            ldf, rdf, on=on, by=by, direction=direction
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        uniq = np.unique(np.concatenate([rn, ln])) if len(rn) + len(ln) else rn
+        M = np.int64(len(uniq) + 1)
+        comp_r = r_code * M + np.searchsorted(uniq, rn)
+        # keep-last per (by, on): rows are sorted by comp_r with the max
+        # value tuple last inside each tie group
+        if len(comp_r):
+            keep = np.empty(len(comp_r), dtype=bool)
+            keep[:-1] = comp_r[1:] != comp_r[:-1]
+            keep[-1] = True
+            rtab = rtab.filter(pa.array(keep))
+            comp_r = comp_r[keep]
+        comp_l = l_code * M + np.searchsorted(uniq, ln)
+        idx = np.searchsorted(comp_r, comp_l, side="right") - 1
+        valid = (idx >= 0) & (l_code >= 0)
+        if len(comp_r):
+            valid &= np.where(
+                idx >= 0,
+                np.take(comp_r // M, np.clip(idx, 0, None)) == l_code,
+                False,
+            )
+        else:
+            valid[:] = False
+        idx_arr = pa.array(idx.astype(np.int64), mask=~valid)
+        cols = {c: ltab.column(c) for c in lsel}
+        for c in right_cols:
+            cols[r_out[c]] = pc.take(rtab.column(c), idx_arr)
+        return pa.table(cols)
 
     return ds.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -1041,7 +1041,12 @@ def q_asof_join_clicks_views(sf_dir: str) -> pa.Table:
 ORACLE_ASOF = """
 SELECT c.event_id AS click_id, COALESCE(v.event_id, -1) AS view_id
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (
+  -- pre-reduce to one view per (user_id, ts): max event_id — mirrors
+  -- the engine's deterministic tie-break so parity is well-defined
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+) v
   ON c.user_id = v.user_id AND v.ts <= c.ts
 """
 

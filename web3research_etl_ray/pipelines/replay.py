@@ -104,8 +104,12 @@ def _file_seq_ranges(
 ) -> dict[str, tuple[int, int]]:
     """(min, max) commit_seq per event file from Parquet footers, with a
     persistent cache in the lake dir so a tail tick only opens footers
-    of files it has never seen.  Pure optimization: a stale/missing
-    cache only costs a re-read, which the idempotent LWW sink absorbs."""
+    of files it has never seen.  The cache key includes the file's
+    absolute path, size and mtime: a rewritten/regenerated file (same
+    basename, different bytes) or a lake re-pointed at a different
+    stream dir therefore re-reads footers instead of pruning on stale
+    ranges — pruning on a stale max would silently skip unapplied
+    events, which idempotent LWW does NOT absorb."""
     import json
 
     cache_path = os.path.join(lake_dir, "file-ranges.json")
@@ -118,8 +122,10 @@ def _file_seq_ranges(
             cache = {}
     dirty = False
     out = {}
+    seen_keys: set[str] = set()
     for f in files:
-        key = os.path.basename(f)
+        st_f = os.stat(f)
+        key = f"{os.path.abspath(f)}|{st_f.st_size}|{st_f.st_mtime_ns}"
         if key not in cache:
             md = pq.ParquetFile(f).metadata
             idx = md.schema.to_arrow_schema().get_field_index(order_col)
@@ -135,7 +141,11 @@ def _file_seq_ranges(
                           int(hi if hi is not None else 2**62)]
             dirty = True
         out[f] = tuple(cache[key])
+        seen_keys.add(key)
     if dirty:
+        # drop entries for rewritten/removed files so the cache stays
+        # bounded by the live file set
+        cache = {k: v for k, v in cache.items() if k in seen_keys}
         os.makedirs(lake_dir, exist_ok=True)
         tmp = cache_path + ".tmp"
         with open(tmp, "w") as fh:

@@ -32,8 +32,14 @@ def orphan_mask(seqs: np.ndarray, ranges: list[tuple[int, int]]) -> np.ndarray:
     """
     if not ranges:
         return np.zeros(len(seqs), dtype=bool)
-    starts = np.array([lo for lo, _ in sorted(ranges)], dtype=np.int64)
-    ends = np.array([hi for _, hi in sorted(ranges)], dtype=np.int64)
+    srt = sorted(ranges)
+    starts = np.array([lo for lo, _ in srt], dtype=np.int64)
+    # Running max of ends handles nested/overlapping ranges, e.g.
+    # [(80,120),(90,100)]: seq 105 lands on start 90 but must still be
+    # flagged because an earlier range reaches 120. s is orphaned iff
+    # some range j with start_j <= s has end_j >= s, and all such j
+    # satisfy j <= searchsorted idx, so the cummax end is exact.
+    ends = np.maximum.accumulate(np.array([hi for _, hi in srt], dtype=np.int64))
     idx = np.searchsorted(starts, seqs, side="right") - 1
     ok = idx >= 0
     out = np.zeros(len(seqs), dtype=bool)
