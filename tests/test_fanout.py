@@ -1,0 +1,187 @@
+"""Multi-table fan-out replay: one stream → N tables, ONE atomic
+commit (reference src/ch_eth/init.rs:146-341,403-424 — the block→
+5-tables insert loop, here with cross-table atomicity the reference
+lacks)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from web3research_etl_ray.pipelines.fanout import (
+    FanoutTable,
+    fanout_table,
+    read_fanout_table,
+    replay_fanout,
+)
+from web3research_etl_ray.schema import REPO_FILES, TableSpec
+from web3research_etl_ray.state.manifest import load_latest_multi
+
+
+def _eq(a: pa.Table, b: pa.Table) -> bool:
+    """Order/column-order-insensitive table equality (generic over any
+    spec — tables_equal is repo_files-specific)."""
+    cols = sorted(a.column_names)
+    if cols != sorted(b.column_names) or a.num_rows != b.num_rows:
+        return False
+    ra = sorted(tuple(r[c] for c in cols) for r in a.to_pylist())
+    rb = sorted(tuple(r[c] for c in cols) for r in b.to_pylist())
+    return ra == rb
+
+
+def _tables():
+    heads_schema = pa.schema(
+        [
+            pa.field("repo", pa.string(), nullable=False),
+            pa.field("commit", pa.string(), nullable=False),
+            pa.field("commit_seq", pa.int64(), nullable=False),
+        ]
+    )
+    heads = TableSpec(
+        name="repo_heads",
+        schema=heads_schema,
+        key=("repo",),
+        event_schema=heads_schema.append(pa.field("op", pa.string())),
+    )
+
+    def derive_heads(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t.column("repo"),
+                "commit": t.column("commit"),
+                "commit_seq": t.column("commit_seq"),
+                "op": pa.array(["upsert"] * t.num_rows, pa.string()),
+            }
+        )
+
+    return [FanoutTable(REPO_FILES, None), FanoutTable(heads, derive_heads)]
+
+
+def _heads_oracle(stream_dir):
+    """Single-process reference: per-repo max non-orphaned commit_seq."""
+    import pyarrow.dataset as pads
+
+    from web3research_etl_ray.oracle import in_orphan_range, load_rollback_ranges
+    from web3research_etl_ray.pipelines.replay import event_files
+    from web3research_etl_ray.schema import unify_to
+
+    ranges = load_rollback_ranges(stream_dir)
+    best: dict[str, tuple[int, str]] = {}
+    for f in event_files(stream_dir):
+        t = unify_to(pads.dataset(f).to_table())
+        for repo, commit, seq in zip(
+            t["repo"].to_pylist(), t["commit"].to_pylist(),
+            t["commit_seq"].to_pylist(),
+        ):
+            if in_orphan_range(seq, ranges):
+                continue
+            if repo not in best or seq > best[repo][0]:
+                best[repo] = (seq, commit)
+    return {r: c for r, (s, c) in best.items()}
+
+
+def test_fanout_two_tables_one_commit(tiny_stream, lake_dir):
+    m = replay_fanout(tiny_stream, lake_dir, _tables(), num_partitions=8)
+    assert set(m.tables) == {"repo_files", "repo_heads"}
+    files = fanout_table(lake_dir, "repo_files")
+    heads = fanout_table(lake_dir, "repo_heads")
+    assert files.num_rows > 0 and heads.num_rows > 0
+    # repo_files table matches the single-table engine's oracle
+    from web3research_etl_ray.oracle import oracle_fold, tables_equal
+
+    assert tables_equal(files, oracle_fold(tiny_stream))
+    # repo_heads matches the per-repo reference fold
+    want = _heads_oracle(tiny_stream)
+    got = {
+        r: c for r, c in zip(heads["repo"].to_pylist(), heads["commit"].to_pylist())
+    }
+    assert got == want
+    # exactly one generation, shared by both tables
+    assert load_latest_multi(lake_dir).generation == 0
+
+
+def test_fanout_retick_idempotent(tiny_stream, lake_dir):
+    replay_fanout(tiny_stream, lake_dir, _tables(), num_partitions=8)
+    a_files = fanout_table(lake_dir, "repo_files")
+    a_heads = fanout_table(lake_dir, "repo_heads")
+    m2 = replay_fanout(tiny_stream, lake_dir, _tables(), num_partitions=8)
+    assert m2.generation == 1
+    assert _eq(fanout_table(lake_dir, "repo_files"), a_files)
+    assert _eq(fanout_table(lake_dir, "repo_heads"), a_heads)
+
+
+def test_fanout_partial_then_resume_equals_uninterrupted(tiny_stream, tmp_path):
+    lake_a = str(tmp_path / "a")
+    lake_b = str(tmp_path / "b")
+    replay_fanout(tiny_stream, lake_a, _tables(), num_partitions=8)
+    replay_fanout(tiny_stream, lake_b, _tables(), num_partitions=8, upto_seq=900)
+    replay_fanout(tiny_stream, lake_b, _tables(), num_partitions=8)
+    for name in ("repo_files", "repo_heads"):
+        assert _eq(fanout_table(lake_a, name), fanout_table(lake_b, name))
+
+
+def test_fanout_crash_before_commit_keeps_tables_in_lockstep(
+    tiny_stream, lake_dir
+):
+    """A killed job may leave staged partition files for SOME tables —
+    readers must still see every table at the prior generation (no
+    table a generation ahead), and the rerun must converge."""
+    replay_fanout(tiny_stream, lake_dir, _tables(), num_partitions=8,
+                  upto_seq=900)
+    gen0 = load_latest_multi(lake_dir)
+    files0 = fanout_table(lake_dir, "repo_files")
+    heads0 = fanout_table(lake_dir, "repo_heads")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        replay_fanout(tiny_stream, lake_dir, _tables(), num_partitions=8,
+                      _crash_before_commit=True)
+    # LATEST still points at gen0; BOTH tables read exactly as before,
+    # even though gen1 staged files exist on disk for both tables
+    m = load_latest_multi(lake_dir)
+    assert m.generation == gen0.generation
+    assert _eq(fanout_table(lake_dir, "repo_files"), files0)
+    assert _eq(fanout_table(lake_dir, "repo_heads"), heads0)
+    staged = os.path.join(lake_dir, "tables", "repo_files", "data", "gen=000001")
+    assert os.path.isdir(staged)  # orphaned staged files are invisible
+    # rerun picks up from the COMMITTED watermark and converges
+    replay_fanout(tiny_stream, lake_dir, _tables(), num_partitions=8)
+    want = _heads_oracle(tiny_stream)
+    heads = fanout_table(lake_dir, "repo_heads")
+    got = {
+        r: c for r, c in zip(heads["repo"].to_pylist(), heads["commit"].to_pylist())
+    }
+    assert got == want
+
+
+def test_fanout_rollback_repairs_every_table(tmp_path):
+    """A rollback range that orphans already-applied events must repair
+    ALL derived tables, not just the base one."""
+    from web3research_etl_ray.gen import generate_events
+    from web3research_etl_ray.oracle import load_rollback_ranges
+
+    stream = str(tmp_path / "stream")
+    generate_events(stream, n_events=2_000, seed=9)
+    (lo, _hi) = load_rollback_ranges(stream)[0]
+    lake = str(tmp_path / "lake")
+    # replay to just before the orphan range: rollback not yet visible,
+    # so the soon-to-be-orphaned events' predecessors are applied state
+    replay_fanout(stream, lake, _tables(), num_partitions=8, upto_seq=lo - 1)
+    # now the full stream (rollback range crosses in) — repair kicks in
+    replay_fanout(stream, lake, _tables(), num_partitions=8)
+    want = _heads_oracle(stream)
+    heads = fanout_table(lake, "repo_heads")
+    got = {
+        r: c for r, c in zip(heads["repo"].to_pylist(), heads["commit"].to_pylist())
+    }
+    assert got == want
+    from web3research_etl_ray.oracle import oracle_fold, tables_equal
+
+    assert tables_equal(fanout_table(lake, "repo_files"), oracle_fold(stream))
+
+
+def test_fanout_dataset_reader(tiny_stream, lake_dir):
+    replay_fanout(tiny_stream, lake_dir, _tables(), num_partitions=8)
+    ds = read_fanout_table(lake_dir, "repo_heads", columns=["repo", "commit_seq"])
+    t = pa.Table.from_pylist(ds.take_all())
+    assert set(t.column_names) == {"repo", "commit_seq"}
+    assert t.num_rows == fanout_table(lake_dir, "repo_heads").num_rows

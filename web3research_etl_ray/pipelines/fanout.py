@@ -1,0 +1,446 @@
+"""Multi-table fan-out replay — one stream, N lake tables, ONE commit.
+
+The reference's defining ingest shape: every block fans out into rows
+of several logical tables which are inserted together — 5 for eth
+(src/ch_eth/init.rs:146-341, concurrent inserts :403-424), 44 for tron
+(src/ch_tron/init.rs:76-214).  ClickHouse gives it no cross-table
+atomicity; a crash mid-loop leaves the tables mutually inconsistent
+until re-inserts catch up.  This pipeline makes the fan-out a
+first-class Ray Data plan with an exactly-once, *cross-table atomic*
+sink:
+
+    read events ONCE (watermark-pruned)
+      → map_batches: unify → orphan-tag → per-table derive → per-table
+        partial LWW → pad to union schema, tag __table
+      → write_parquet(partition_cols=[__table, part_id])   # one spool
+      → map_batches over (table, pid) units: per-table LWW merge-on-
+        write into tables/<name>/data/gen=G/part-P.parquet
+      → commit ONE MultiManifest (single LATEST swap)
+
+Because every table's files for generation G are published by one
+pointer swap, no table can be a generation ahead of another — the
+atomic analogue of the reference's per-block multi-table insert loop.
+
+Each derived table is a :class:`FanoutTable`: a TableSpec plus a
+vectorized ``derive`` fn mapping the unified event batch to that
+table's change rows (op + order col included).  Derivation runs inside
+the single shared read — tables do NOT re-read the stream.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..functions.hashing import key_hash64
+from ..oracle import load_rollback_ranges
+from ..schema import (
+    REPO_FILES,
+    TableSpec,
+    schema_version_of,
+    unify_to,
+)
+from ..stages.lww import partial_lww
+from ..stages.merge import ENTRY_SCHEMA, Merger
+from ..stages.normalize import orphan_mask
+from ..state.manifest import (
+    MultiManifest,
+    PartitionEntry,
+    TableState,
+    commit_multi_manifest,
+    load_latest_multi,
+    table_dir,
+)
+from .replay import _file_seq_ranges, _find_repair_pids, event_files
+
+
+@dataclass(frozen=True)
+class FanoutTable:
+    """One derived lake table: spec + vectorized batch-level derivation.
+
+    ``derive`` maps a unified event batch to this table's change rows
+    (must emit the spec's flight columns including order/op cols).
+    ``None`` = identity (the base table).
+    """
+
+    spec: TableSpec
+    derive: Callable[[pa.Table], pa.Table] | None = None
+
+
+def _union_flight_schema(tables: list[FanoutTable]) -> pa.Schema:
+    fields: dict[str, pa.Field] = {}
+    for ft in tables:
+        for f in ft.spec.flight_schema:
+            fields.setdefault(f.name, pa.field(f.name, f.type, nullable=True))
+    extra = [
+        pa.field("part_id", pa.int64()),
+        pa.field("orphaned", pa.bool_()),
+        pa.field("schema_version", pa.int8()),
+        pa.field("n_events", pa.int64()),
+        pa.field("__table", pa.string()),
+    ]
+    return pa.schema(list(fields.values()) + extra)
+
+
+def _pad(t: pa.Table, target: pa.Schema) -> pa.Table:
+    cols = []
+    for f in target:
+        if f.name in t.column_names:
+            col = t.column(f.name)
+            if col.type != f.type:
+                col = col.cast(f.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(t.num_rows, f.type))
+    return pa.table(cols, schema=target)
+
+
+class FanoutNormalize:
+    """map_batches stage: one pass deriving every table's combined rows.
+
+    Setup (specs, ranges, union schema) happens once per task closure —
+    the reference's create-once client pattern (src/ch_eth/init.rs:125-137).
+    """
+
+    def __init__(
+        self,
+        tables: list[FanoutTable],
+        num_partitions: int,
+        orphan_ranges: list[tuple[int, int]],
+        base_spec: TableSpec = REPO_FILES,
+        route_wm: int | None = None,
+        repair_pids: dict[str, frozenset[int]] | None = None,
+    ):
+        self.tables = tables
+        self.num_partitions = num_partitions
+        self.ranges = sorted(orphan_ranges)
+        self.base_spec = base_spec
+        self.route_wm = route_wm
+        self.repair_pids = repair_pids or {}
+        self.union_schema = _union_flight_schema(tables)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        base = self.base_spec
+        version = schema_version_of(batch.schema)
+        batch = unify_to(batch, base.flight_schema)
+        if batch.column(base.op_col).null_count:
+            idx = batch.schema.get_field_index(base.op_col)
+            batch = batch.set_column(
+                idx, base.op_col, pc.fill_null(batch.column(base.op_col), "upsert")
+            )
+        outs = []
+        for ft in self.tables:
+            spec = ft.spec
+            rows = ft.derive(batch) if ft.derive is not None else batch
+            seqs = rows.column(spec.order_col).to_numpy(zero_copy_only=False)
+            orphaned = orphan_mask(seqs, self.ranges)
+            pid = (
+                key_hash64(*[rows.column(k) for k in spec.key])
+                % np.uint64(self.num_partitions)
+            ).astype(np.int64)
+            rows = rows.append_column("part_id", pa.array(pid, pa.int64()))
+            rows = rows.append_column("orphaned", pa.array(orphaned))
+            rows = rows.append_column(
+                "schema_version", pa.array(np.full(len(rows), version, dtype=np.int8))
+            )
+            if self.route_wm is not None:
+                repair = self.repair_pids.get(spec.name, frozenset())
+                keep = pc.greater(rows.column(spec.order_col), self.route_wm)
+                if repair:
+                    keep = pc.or_(
+                        keep,
+                        pc.is_in(
+                            rows.column("part_id"),
+                            value_set=pa.array(sorted(repair)),
+                        ),
+                    )
+                rows = rows.filter(keep)
+            rows = partial_lww(rows, spec)
+            rows = rows.append_column(
+                "__table", pa.array([spec.name] * rows.num_rows, pa.string())
+            )
+            outs.append(_pad(rows, self.union_schema))
+        return pa.concat_tables(outs)
+
+
+class FanoutMerger:
+    """Merge stage over (table, pid) unit rows: per-table LWW merge-on-
+    write, one lineage entry row per unit (tagged with the table)."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        lake_dir: str,
+        generation: int,
+        tables: list[FanoutTable],
+        prior: MultiManifest | None,
+        repair_pids: dict[str, frozenset[int]],
+    ):
+        self.spool_dir = spool_dir
+        self.mergers: dict[str, Merger] = {}
+        for ft in tables:
+            name = ft.spec.name
+            ts = prior.tables.get(name) if prior else None
+            tdir = table_dir(lake_dir, name)
+            prior_files = {
+                pid: (os.path.join(tdir, e.file) if e.file else None)
+                for pid, e in (ts.partitions.items() if ts else ())
+            }
+            prior_entries = {
+                pid: {
+                    "watermark_seq": e.watermark_seq,
+                    "events_applied": e.events_applied,
+                    "events_superseded": e.events_superseded,
+                    "events_rolled_back": e.events_rolled_back,
+                    "schema_version": e.schema_version,
+                }
+                for pid, e in (ts.partitions.items() if ts else ())
+            }
+            self.mergers[name] = Merger(
+                tdir,
+                generation,
+                prior_files,
+                prior_entries,
+                repair_pids.get(name, frozenset()),
+                ft.spec,
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            name, pid = row["table"], int(row["pid"])
+            merger = self.mergers[name]
+            d = os.path.join(self.spool_dir, f"__table={name}", f"part_id={pid}")
+            if os.path.isdir(d):
+                group = pads.dataset(d).to_table()
+                # restore flight-only columns the spool carries implicitly
+                group = group.append_column(
+                    "part_id", pa.array([pid] * group.num_rows, pa.int64())
+                )
+                keep = [
+                    f.name
+                    for f in merger.spec.flight_schema
+                ] + ["part_id", "orphaned", "schema_version", "n_events"]
+                group = group.select([c for c in keep if c in group.column_names])
+            else:
+                from ..stages.merge import _empty_group
+
+                group = _empty_group(merger.spec)
+            entry = merger.merge(pid, group)
+            entry = entry.append_column(
+                "table", pa.array([name] * entry.num_rows, pa.string())
+            )
+            out.append(entry)
+        if not out:
+            return ENTRY_SCHEMA.append(pa.field("table", pa.string())).empty_table()
+        return pa.concat_tables(out)
+
+
+def replay_fanout(
+    stream_dir: str,
+    lake_dir: str,
+    tables: list[FanoutTable],
+    *,
+    num_partitions: int = 16,
+    upto_seq: int | None = None,
+    _crash_before_commit: bool = False,
+) -> MultiManifest:
+    """One fan-out replay generation: every table advances together or
+    not at all.  Resume/tick semantics mirror :func:`replay` — watermark
+    pruning at the read, rollback repair per table, idempotent LWW
+    merge, two-phase publish."""
+    files = event_files(stream_dir)
+    if not files:
+        raise FileNotFoundError(f"no events-*.parquet under {stream_dir}")
+    base_spec = tables[0].spec if tables[0].derive is None else REPO_FILES
+    ranges = [
+        (lo, hi)
+        for lo, hi in load_rollback_ranges(stream_dir)
+        if upto_seq is None or lo <= upto_seq
+    ]
+
+    prior = load_latest_multi(lake_dir)
+    generation = 0 if prior is None else prior.generation + 1
+    watermark = prior.min_watermark if prior else -1
+    prior_rb = (
+        {tuple(r) for r in prior.applied_rollbacks} if prior else set()
+    )
+    new_ranges = [r for r in ranges if tuple(r) not in prior_rb]
+    repair_pids: dict[str, frozenset[int]] = {}
+    if prior is not None:
+        for ft in tables:
+            ts = prior.tables.get(ft.spec.name)
+            if ts is None:
+                # a table added mid-stream: full rebuild of that table
+                repair_pids[ft.spec.name] = frozenset(range(num_partitions))
+                continue
+            pids = _find_repair_pids(
+                table_dir(lake_dir, ft.spec.name),
+                ts.partitions,
+                new_ranges,
+                ft.spec.order_col,
+            )
+            if ts.num_partitions != num_partitions:
+                pids = frozenset(range(num_partitions))
+            if pids:
+                repair_pids[ft.spec.name] = pids
+    any_repair = any(repair_pids.values())
+
+    if watermark >= 0 and not any_repair:
+        ranges_by_file = _file_seq_ranges(files, lake_dir, base_spec.order_col)
+        files = [f for f in files if ranges_by_file[f][1] > watermark]
+        if not files:
+            manifest = MultiManifest(
+                generation=generation,
+                tables={
+                    n: TableState(
+                        name=n,
+                        num_partitions=ts.num_partitions,
+                        partitions=dict(ts.partitions),
+                        schema_version=ts.schema_version,
+                    )
+                    for n, ts in prior.tables.items()
+                },
+                applied_rollbacks=sorted([list(r) for r in ranges]),
+                parent_generation=prior.generation,
+            )
+            if _crash_before_commit:
+                raise RuntimeError("injected crash before commit")
+            commit_multi_manifest(lake_dir, manifest)
+            return manifest
+    expr = None
+    if watermark >= 0 and not any_repair:
+        expr = pc.field(base_spec.order_col) > watermark
+    if upto_seq is not None:
+        e = pc.field(base_spec.order_col) <= upto_seq
+        expr = e if expr is None else (expr & e)
+    read_kwargs = {"filter": expr} if expr is not None else {}
+
+    route_wm = watermark if (watermark >= 0 and any_repair) else None
+    stage = FanoutNormalize(
+        tables, num_partitions, ranges, base_spec, route_wm, repair_pids
+    )
+    ds = ray.data.read_parquet(
+        files, override_num_blocks=len(files), **read_kwargs
+    )
+    ds = ds.map_batches(
+        stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    spool_dir = os.path.join(lake_dir, "_shuffle", f"gen={generation:06d}")
+    shutil.rmtree(spool_dir, ignore_errors=True)
+    ds.write_parquet(spool_dir, partition_cols=["__table", "part_id"])
+
+    units: list[dict] = []
+    for ft in tables:
+        name = ft.spec.name
+        tdir = os.path.join(spool_dir, f"__table={name}")
+        try:
+            spooled = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(tdir)
+                if d.startswith("part_id=")
+            )
+        except FileNotFoundError:
+            spooled = []
+        for p in sorted(set(spooled) | set(repair_pids.get(name, frozenset()))):
+            units.append({"table": name, "pid": p})
+
+    entries: list[dict] = []
+    if units:
+        unit_ds = ray.data.from_items(units).repartition(len(units))
+        merger = FanoutMerger(
+            spool_dir, lake_dir, generation, tables, prior, repair_pids
+        )
+
+        def merge_fn(batch, _m=merger):
+            return _m(batch)
+
+        entries = unit_ds.map_batches(
+            merge_fn, batch_format="pyarrow", batch_size=None
+        ).take_all()  # one small lineage row per (table, pid)
+    shutil.rmtree(spool_dir, ignore_errors=True)
+
+    states: dict[str, TableState] = {}
+    for ft in tables:
+        name = ft.spec.name
+        prior_ts = prior.tables.get(name) if prior else None
+        partitions: dict[int, PartitionEntry] = {}
+        for r in entries:
+            if r["table"] != name:
+                continue
+            partitions[int(r["part_id"])] = PartitionEntry(
+                part_id=int(r["part_id"]),
+                file=r["file"],
+                num_rows=int(r["num_rows"]),
+                watermark_seq=int(r["watermark_seq"]),
+                events_applied=int(r["events_applied"]),
+                events_superseded=int(r["events_superseded"]),
+                events_rolled_back=int(r["events_rolled_back"]),
+                schema_version=int(r["schema_version"]),
+                last_gen_events=int(r.get("last_gen_events", 0)),
+            )
+        if prior_ts is not None:
+            for pid, e in prior_ts.partitions.items():
+                if pid not in partitions:
+                    partitions[pid] = e
+        global_wm = max(
+            [p.watermark_seq for p in partitions.values()] + [watermark, -1]
+        )
+        for pid in range(num_partitions):
+            if pid not in partitions:
+                partitions[pid] = PartitionEntry(
+                    part_id=pid, file=None, watermark_seq=global_wm
+                )
+        states[name] = TableState(
+            name=name,
+            num_partitions=num_partitions,
+            partitions=partitions,
+            schema_version=max(p.schema_version for p in partitions.values()),
+        )
+
+    manifest = MultiManifest(
+        generation=generation,
+        tables=states,
+        applied_rollbacks=sorted([list(r) for r in ranges]),
+        parent_generation=None if prior is None else prior.generation,
+    )
+    if _crash_before_commit:
+        raise RuntimeError("injected crash before commit")
+    commit_multi_manifest(lake_dir, manifest)
+    return manifest
+
+
+def read_fanout_table(
+    lake_dir: str, table: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Dataset over one table of the committed multi-table lake."""
+    manifest = load_latest_multi(lake_dir)
+    if manifest is None or table not in manifest.tables:
+        raise FileNotFoundError(f"no committed table {table} under {lake_dir}")
+    files = manifest.tables[table].data_files(lake_dir)
+    if not files:
+        return ray.data.from_items([])
+    kwargs = {"columns": columns} if columns else {}
+    return ray.data.read_parquet(files, **kwargs)
+
+
+def fanout_table(lake_dir: str, table: str) -> pa.Table:
+    """Driver-side pyarrow.Table of one lake table (tests/small results)."""
+    manifest = load_latest_multi(lake_dir)
+    if manifest is None or table not in manifest.tables:
+        raise FileNotFoundError(f"no committed table {table} under {lake_dir}")
+    files = manifest.tables[table].data_files(lake_dir)
+    if not files:
+        return pa.table({})
+    return pads.dataset(files).to_table()

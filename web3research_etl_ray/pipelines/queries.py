@@ -1097,6 +1097,162 @@ FROM lake GROUP BY repo
 
 
 # ---------------------------------------------------------------------------
+# 5b. Multi-table fan-out: one stream → three lake tables under ONE
+#     atomic manifest commit — the reference's block→N-tables insert
+#     loop (src/ch_eth/init.rs:146-341, concurrent inserts :403-424),
+#     made cross-table atomic.  Each derived table has its own DuckDB
+#     oracle over the same stream CTE.
+# ---------------------------------------------------------------------------
+
+
+def _fanout_tables():
+    from ..schema import REPO_FILES, TableSpec
+    from .fanout import FanoutTable
+
+    heads_schema = pa.schema(
+        [
+            pa.field("repo", pa.string(), nullable=False),
+            pa.field("commit", pa.string(), nullable=False),
+            pa.field("lang", pa.string(), nullable=False),
+            pa.field("commit_seq", pa.int64(), nullable=False),
+        ]
+    )
+    heads_spec = TableSpec(
+        name="repo_heads",
+        schema=heads_schema,
+        key=("repo",),
+        event_schema=heads_schema.append(pa.field("op", pa.string())),
+    )
+
+    def derive_heads(t: pa.Table) -> pa.Table:
+        # every commit (upserts AND deletes) advances the repo head
+        return pa.table(
+            {
+                "repo": t.column("repo"),
+                "commit": t.column("commit"),
+                "lang": t.column("lang"),
+                "commit_seq": t.column("commit_seq"),
+                "op": pa.array(["upsert"] * t.num_rows, pa.string()),
+            }
+        )
+
+    langs_schema = pa.schema(
+        [
+            pa.field("repo", pa.string(), nullable=False),
+            pa.field("lang", pa.string(), nullable=False),
+            pa.field("path", pa.string(), nullable=False),
+            pa.field("commit_seq", pa.int64(), nullable=False),
+        ]
+    )
+    langs_spec = TableSpec(
+        name="repo_langs",
+        schema=langs_schema,
+        key=("repo", "lang"),
+        event_schema=langs_schema.append(pa.field("op", pa.string())),
+    )
+
+    def derive_langs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t.column("repo"),
+                "lang": t.column("lang"),
+                "path": t.column("path"),
+                "commit_seq": t.column("commit_seq"),
+                "op": pa.array(["upsert"] * t.num_rows, pa.string()),
+            }
+        )
+
+    return [
+        FanoutTable(REPO_FILES, None),
+        FanoutTable(heads_spec, derive_heads),
+        FanoutTable(langs_spec, derive_langs),
+    ]
+
+
+_FANOUT_LAKES: dict[str, str] = {}  # per-process cache: one build, N queries
+
+
+def _fanout_lake(sf_dir: str) -> str:
+    import shutil
+
+    from .fanout import replay_fanout
+
+    stream = _derive_cdc_stream(sf_dir)
+    lake_dir = stream + "-mlake"
+    if _FANOUT_LAKES.get(sf_dir) != lake_dir:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        replay_fanout(stream, lake_dir, _fanout_tables(), num_partitions=8)
+        _FANOUT_LAKES[sf_dir] = lake_dir
+    return lake_dir
+
+
+def q_fanout_repo_heads(sf_dir: str) -> pa.Table:
+    """Second table of the atomic multi-table fan-out: per-repo head
+    (latest commit over all non-orphaned events)."""
+    from .fanout import fanout_table
+
+    t = fanout_table(_fanout_lake(sf_dir), "repo_heads")
+    return t.select(["repo", "commit", "lang", "commit_seq"]).sort_by(
+        [("repo", "ascending")]
+    )
+
+
+ORACLE_FANOUT_HEADS = f"""
+WITH ev AS (
+  SELECT source AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         i * 100000 + doc_id AS commit_seq,
+         lang
+  FROM documents, (SELECT UNNEST([0, 1, 2]) AS i)
+),
+eff AS (
+  SELECT * FROM ev WHERE commit_seq NOT BETWEEN {_ORPHAN_LO} AND {_ORPHAN_HI}
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo ORDER BY commit_seq DESC) AS rn
+  FROM eff
+)
+SELECT repo,
+       sha256(repo || '/' || path || '@' || CAST(commit_seq AS VARCHAR)) AS commit,
+       lang, commit_seq
+FROM win WHERE rn = 1
+ORDER BY repo
+"""
+
+
+def q_fanout_repo_langs(sf_dir: str) -> pa.Table:
+    """Third table of the atomic multi-table fan-out: per-(repo, lang)
+    last-touched path."""
+    from .fanout import fanout_table
+
+    t = fanout_table(_fanout_lake(sf_dir), "repo_langs")
+    return t.select(["repo", "lang", "path", "commit_seq"]).sort_by(
+        [("repo", "ascending"), ("lang", "ascending")]
+    )
+
+
+ORACLE_FANOUT_LANGS = f"""
+WITH ev AS (
+  SELECT source AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         i * 100000 + doc_id AS commit_seq,
+         lang
+  FROM documents, (SELECT UNNEST([0, 1, 2]) AS i)
+),
+eff AS (
+  SELECT * FROM ev WHERE commit_seq NOT BETWEEN {_ORPHAN_LO} AND {_ORPHAN_HI}
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, lang ORDER BY commit_seq DESC) AS rn
+  FROM eff
+)
+SELECT repo, lang, path, commit_seq
+FROM win WHERE rn = 1
+ORDER BY repo, lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # 6. Rows-only operators (no SQL-expressible oracle)
 # ---------------------------------------------------------------------------
 
@@ -1190,6 +1346,8 @@ QUERIES = {
     "hash_join_orders_customer": q_hash_join_orders_customer,
     "asof_join_clicks_views": q_asof_join_clicks_views,
     "repo_stats_lake": q_repo_stats_lake,
+    "fanout_repo_heads": q_fanout_repo_heads,
+    "fanout_repo_langs": q_fanout_repo_langs,
     "tpch_q1": q_tpch_q1,
     "lang_id_documents": q_lang_id_documents,
     "simhash_documents": q_simhash_documents,
@@ -1227,6 +1385,8 @@ ORACLE_SQL = {
     "hash_join_orders_customer": ORACLE_HASH_JOIN,
     "asof_join_clicks_views": ORACLE_ASOF,
     "repo_stats_lake": ORACLE_REPO_STATS,
+    "fanout_repo_heads": ORACLE_FANOUT_HEADS,
+    "fanout_repo_langs": ORACLE_FANOUT_LANGS,
     "tpch_q1": ORACLE_Q1,
     # lang_id/simhash/fingerprint/minhash_lsh/knn_lsh/multimodal:
     # model-scoring / probabilistic / stub ops → rows-only check

@@ -67,18 +67,22 @@ def event_files(stream_dir: str) -> list[str]:
 
 def _find_repair_pids(
     lake_dir: str,
-    prior: Manifest,
+    prior: Manifest | dict,
     new_ranges: list[tuple[int, int]],
     order_col: str = "commit_seq",
 ) -> frozenset[int]:
     """Partitions whose stored state may contain winners orphaned by a
     *new* rollback range: decided from Parquet footer min/max stats on
     commit_seq — metadata-only, no data read.  (At 10^10 scale this
-    loop over P footers would itself be a small ray task fan-out.)"""
+    loop over P footers would itself be a small ray task fan-out.)
+
+    ``prior`` is either a Manifest or a bare ``{pid: PartitionEntry}``
+    dict (the multi-table fan-out passes per-table partition maps)."""
     if not new_ranges:
         return frozenset()
+    partitions = prior if isinstance(prior, dict) else prior.partitions
     out = set()
-    for pid, entry in prior.partitions.items():
+    for pid, entry in partitions.items():
         if not entry.file:
             continue
         md = pq.ParquetFile(os.path.join(lake_dir, entry.file)).metadata

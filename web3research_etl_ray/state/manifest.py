@@ -168,3 +168,127 @@ def gc_generations(lake_dir: str, keep: int = 2) -> list[int]:
         os.remove(_manifest_path(lake_dir, g))
         removed.append(g)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Multi-table manifest — one atomic commit spanning N logical tables.
+#
+# The reference's defining ingest shape is one block fanning out into
+# rows of MANY tables inserted together (5 for eth,
+# src/ch_eth/init.rs:146-341 with the 5 concurrent inserts at :403-424;
+# 44 for tron, src/ch_tron/init.rs:76-214).  ClickHouse gives the
+# reference no cross-table atomicity — a crash mid-loop leaves tables
+# inconsistent until the next re-insert.  Here one manifest document
+# covers every table's partition files for the generation, published by
+# a single LATEST pointer swap: either ALL tables advance to the new
+# generation or none do — no table can be a generation ahead.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TableState:
+    """One logical table's partition map inside a MultiManifest."""
+
+    name: str
+    num_partitions: int
+    partitions: dict[int, PartitionEntry] = field(default_factory=dict)
+    schema_version: int = 1
+
+    @property
+    def min_watermark(self) -> int:
+        if not self.partitions:
+            return -1
+        return min(p.watermark_seq for p in self.partitions.values())
+
+    def data_files(self, lake_dir: str) -> list[str]:
+        base = os.path.join(lake_dir, "tables", self.name)
+        return [
+            os.path.join(base, p.file)
+            for p in sorted(self.partitions.values(), key=lambda e: e.part_id)
+            if p.file
+        ]
+
+
+@dataclass
+class MultiManifest:
+    generation: int
+    tables: dict[str, TableState] = field(default_factory=dict)
+    applied_rollbacks: list[list[int]] = field(default_factory=list)
+    parent_generation: int | None = None
+
+    @property
+    def min_watermark(self) -> int:
+        if not self.tables:
+            return -1
+        return min(t.min_watermark for t in self.tables.values())
+
+
+def table_dir(lake_dir: str, table: str) -> str:
+    return os.path.join(lake_dir, "tables", table)
+
+
+def commit_multi_manifest(lake_dir: str, manifest: MultiManifest) -> None:
+    """Atomic cross-table publish: same tmp+rename+LATEST-swap protocol
+    as the single-table commit — one pointer covers every table."""
+    os.makedirs(lake_dir, exist_ok=True)
+    doc = {
+        "generation": manifest.generation,
+        "applied_rollbacks": manifest.applied_rollbacks,
+        "parent_generation": manifest.parent_generation,
+        "tables": {
+            name: {
+                "name": ts.name,
+                "num_partitions": ts.num_partitions,
+                "schema_version": ts.schema_version,
+                "partitions": {
+                    str(k): asdict(v) for k, v in ts.partitions.items()
+                },
+            }
+            for name, ts in manifest.tables.items()
+        },
+    }
+    path = _manifest_path(lake_dir, manifest.generation)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    ptr_tmp = os.path.join(lake_dir, "LATEST.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(str(manifest.generation))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(ptr_tmp, os.path.join(lake_dir, "LATEST"))
+
+
+def load_multi_manifest(lake_dir: str, generation: int) -> MultiManifest:
+    with open(_manifest_path(lake_dir, generation)) as fh:
+        doc = json.load(fh)
+    tables = {}
+    for name, td in doc.get("tables", {}).items():
+        parts = {
+            int(k): PartitionEntry(**v)
+            for k, v in td.get("partitions", {}).items()
+        }
+        tables[name] = TableState(
+            name=td["name"],
+            num_partitions=td["num_partitions"],
+            partitions=parts,
+            schema_version=td.get("schema_version", 1),
+        )
+    return MultiManifest(
+        generation=doc["generation"],
+        tables=tables,
+        applied_rollbacks=doc.get("applied_rollbacks", []),
+        parent_generation=doc.get("parent_generation"),
+    )
+
+
+def load_latest_multi(lake_dir: str) -> MultiManifest | None:
+    ptr = os.path.join(lake_dir, "LATEST")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        generation = int(fh.read().strip())
+    return load_multi_manifest(lake_dir, generation)
