@@ -187,3 +187,54 @@ def rolling_fingerprint(arr: pa.Array | pa.ChunkedArray, window: int = 64) -> pa
             out.append(int(_mix64(win).min()))
     # int64 view keeps downstream pylist/pandas round-trips overflow-free
     return pa.array(np.array(out, dtype=np.uint64).view(np.int64), pa.int64())
+
+
+def poly_hash_utf8(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """64-bit polynomial hash of each utf8/binary value, fully
+    vectorized off the Arrow buffers (no per-value Python): weighted
+    byte sums via one reduceat per chunk, finalized with splitmix64.
+
+    Values must be non-empty (callers filter empties first) — reduceat
+    boundaries require strictly increasing offsets.
+    """
+    B = np.uint64(1099511628211)  # FNV prime, odd => good wraparound mixing
+    n = len(arr)
+    out = np.empty(n, dtype=np.uint64)
+    pos = 0
+    for chunk in _iter_chunks(arr):
+        m = len(chunk)
+        if m == 0:
+            continue
+        if chunk.null_count:
+            chunk = chunk.fill_null("")
+        buffers = chunk.buffers()
+        odt = (
+            np.int64
+            if pa.types.is_large_string(chunk.type) or pa.types.is_large_binary(chunk.type)
+            else np.int32
+        )
+        offs = np.frombuffer(buffers[1], dtype=odt)[
+            chunk.offset : chunk.offset + m + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(buffers[2], dtype=np.uint8)
+            if buffers[2] is not None
+            else np.zeros(0, np.uint8)
+        )
+        lens = offs[1:] - offs[:-1]
+        if lens.min() <= 0:
+            raise ValueError("poly_hash_utf8 requires non-empty values")
+        seg = data[offs[0] : offs[-1]].astype(np.uint64)
+        starts_rel = offs[:-1] - offs[0]
+        pos_in = np.arange(len(seg), dtype=np.int64) - np.repeat(starts_rel, lens)
+        maxlen = int(lens.max())
+        pows = np.ones(maxlen, dtype=np.uint64)
+        if maxlen > 1:
+            np.multiply.accumulate(
+                np.full(maxlen - 1, B, dtype=np.uint64), out=pows[1:]
+            )
+        weighted = seg * pows[pos_in]
+        hs = np.add.reduceat(weighted, starts_rel)
+        out[pos : pos + m] = _mix64(hs)
+        pos += m
+    return out[:pos] if pos != n else out
