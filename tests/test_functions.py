@@ -98,9 +98,8 @@ def test_multimodal_stub_pipeline_and_real_decoder_gate():
         try_import_pil,
     )
 
-    if try_import_pil() is None:
-        with pytest.raises(NotImplementedError):
-            RealImageDecoder()
+    # RealImageDecoder no longer needs PIL: BMP/PPM decode is native
+    assert RealImageDecoder() is not None
     ds = ray.data.from_arrow(_docs_table(["hello world", "another doc"]))
     rows = media_feature_pipeline(ds, concurrency=1, batch_size=2).take_all()
     assert len(rows) == 2
@@ -319,3 +318,108 @@ def test_ngram_hot_shingle_no_quadratic_blowup():
         ln * (ln - 1) // 2 for ln in lens if 2 <= ln <= _NGRAM_DF_CAP
     )
     assert n_pairs < 100_000  # without the cap it would be ~2·10^6
+
+
+def test_bmp_ppm_wav_roundtrip_and_real_decode():
+    """VERDICT r01 #9: real decode — pure-numpy BMP/PPM/WAV parsers
+    round-trip pixel/sample data exactly and drive real features."""
+    from web3research_etl_ray.functions.multimodal import (
+        RealImageDecoder,
+        WavAudioDecoder,
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav_pcm16,
+        image_features,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)  # odd width → padding
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+    samples = np.sin(np.linspace(0, 440 * 2 * np.pi, 16000)).astype(np.float32) * 0.5
+    dec, rate = decode_wav(encode_wav_pcm16(samples, 16000))
+    assert rate == 16000 and len(dec) == 16000
+    assert np.abs(dec - samples).max() < 1e-3  # 16-bit quantization
+
+    # real decoder pipeline over a batch of BMP payloads
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "kind": pa.array(["image", "image"]),
+            "payload": pa.array(
+                [encode_bmp(px), encode_bmp(px[::2, ::2])], pa.binary()
+            ),
+            "meta_format": pa.array(["bmp", "bmp"]),
+        }
+    )
+    out = RealImageDecoder(size=(8, 8))(t)
+    assert out.column("width").to_pylist() == [17, 9]
+    assert out.column("height").to_pylist() == [13, 7]
+    want = image_features(resize_nearest(px, (8, 8)))
+    assert np.allclose(out.column("features")[0].as_py(), want, atol=1e-6)
+
+    # wav decoder stage
+    ta = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([encode_wav_pcm16(samples, 16000)], pa.binary()),
+        }
+    )
+    oa = WavAudioDecoder()(ta)
+    assert oa.column("duration_ms").to_pylist() == [1000]
+    assert len(oa.column("features")[0].as_py()) == 16
+
+
+def test_media_decode_pipeline_real_features():
+    from web3research_etl_ray.functions.multimodal import media_decode_pipeline
+
+    ds = ray.data.from_arrow(
+        _docs_table(["the quick brown fox " * 40, "other content " * 50])
+    )
+    rows = media_decode_pipeline(ds, concurrency=1, batch_size=2).take_all()
+    assert len(rows) == 2
+    assert rows[0]["width"] == 32 and rows[0]["height"] == 32
+    assert len(rows[0]["features"]) == 16
+    # features derive from real pixels: different texts → different features
+    assert rows[0]["features"] != rows[1]["features"]
+
+
+def test_hll_distinct_accuracy_vs_exact():
+    """HLL sketch distinct: within 5% of exact per group (p=12 sigma
+    ~1.6%), register kernel merge-correct across batches."""
+    from web3research_etl_ray.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+        hll_distinct,
+    )
+
+    rng = np.random.default_rng(2)
+    # merge property: union estimate == estimate of merged registers
+    a = rng.integers(0, 2**64, 10_000, dtype=np.uint64)
+    b = rng.integers(0, 2**64, 10_000, dtype=np.uint64)
+    merged = np.maximum(hll_registers(a), hll_registers(b))
+    full = hll_registers(np.concatenate([a, b]))
+    assert np.array_equal(merged, full)
+
+    n = 30_000
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    users = rng.integers(0, 2_000, n)
+    t = pa.table({"event_type": pa.array(types), "user_id": pa.array(users, pa.int64())})
+    ds = ray.data.from_arrow(t)
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_distinct(ds, ["event_type"], "user_id").take_all()
+    }
+    import collections
+
+    exact = collections.defaultdict(set)
+    for ty, u in zip(types, users):
+        exact[ty].add(int(u))
+    for ty, s in exact.items():
+        err = abs(got[ty] - len(s)) / len(s)
+        assert err < 0.05, (ty, got[ty], len(s))

@@ -1,18 +1,25 @@
 """Verification + repair — the reference's ``check`` subcommand and
 ``interval_health_check`` (src/ch_eth/check.rs:10-66,
-src/ch_eth/sync.rs:157-327) re-expressed as a distributed compare.
+src/ch_eth/sync.rs:157-327) re-expressed as a distributed compare,
+generic over :class:`TableSpec` (the reference runs the same check
+skeleton per chain/table — src/ch_btc/check.rs:14-80 vs
+src/ch_eth/check.rs:10-66; here ONE implementation is parameterized by
+key / order / invariant columns).
 
 Two layers, mirroring the reference's probes:
 
 1. **Integrity** (stored hash vs stored payload): recompute
-   sha256(content) per lake row and compare to ``content_sha256`` —
+   spec.hash_col from spec.hash_source per lake row and compare —
    the analogue of the stored-vs-chain hash equality check
    (src/ch_eth/sync.rs:164-186).  A pure streaming ``map_batches``.
+   Specs without a hash invariant skip this layer.
 2. **Conformance** (lake vs source-of-truth events): re-derive the
    expected winner per key from the event stream and compare against
    the lake per hash partition — the analogue of health_check's
    missing-block / count probes (src/ch_eth/sync.rs:170-325).  Both
    sides ride one union → groupby(part_id) exchange of *folded* rows.
+   Value equality covers the order column plus the spec's hash column
+   (or, for hashless specs, every non-key lake column).
 
 ``repair`` = replay with the bad partitions forced into rebuild mode —
 the delete-all + reinsert of the reference (src/ch_eth/sync.rs:92-116),
@@ -31,12 +38,11 @@ import ray.data
 
 from ..functions.hashing import key_hash64, sha256_binary
 from ..oracle import load_rollback_ranges
+from ..schema import REPO_FILES, TableSpec
 from ..stages.lww import ORPHAN_OP, fold_lww, partial_lww
 from ..stages.normalize import Normalize
 from ..state.manifest import load_latest
 from .replay import event_files, read_lake, replay
-
-_CMP_COLS = ["repo", "path", "commit_seq", "content_sha256", "op", "part_id", "n_events", "src"]
 
 
 @dataclass
@@ -46,8 +52,8 @@ class CheckReport:
     rows_in_lake: int = 0
     missing: int = 0  # expected key absent from lake
     extra: int = 0  # lake key not expected
-    mismatched: int = 0  # key present, wrong (commit_seq, sha256)
-    corrupt: int = 0  # stored sha256 != recompute(content)
+    mismatched: int = 0  # key present, wrong (order, value cols)
+    corrupt: int = 0  # stored hash != recompute(source)
     bad_partitions: list[int] = field(default_factory=list)
 
     @property
@@ -55,20 +61,38 @@ class CheckReport:
         return not (self.missing or self.extra or self.mismatched or self.corrupt)
 
 
-def verify_integrity(lake_dir: str) -> dict[int, int]:
-    """Per-partition count of rows whose stored content_sha256 does not
-    match a recompute over the stored content."""
+def _value_cols(spec: TableSpec) -> list[str]:
+    """Columns whose values the conformance compare asserts (beyond
+    the key): the order column plus the hash invariant if the spec has
+    one, else every remaining lake column."""
+    if spec.hash_col:
+        return [spec.order_col, spec.hash_col]
+    return [spec.order_col] + [
+        n for n in spec.schema.names
+        if n not in spec.key and n != spec.order_col
+    ]
+
+
+def verify_integrity(
+    lake_dir: str, spec: TableSpec = REPO_FILES
+) -> dict[int, int]:
+    """Per-partition count of rows whose stored hash column does not
+    match a recompute over the stored source column.  Empty for specs
+    without a hash invariant."""
+    if not (spec.hash_source and spec.hash_col):
+        return {}
     manifest = load_latest(lake_dir)
     if manifest is None or not manifest.data_files(lake_dir):
         return {}
-    ds = read_lake(lake_dir, columns=["repo", "path", "content", "content_sha256"])
+    cols = list(spec.key) + [spec.hash_source, spec.hash_col]
+    ds = read_lake(lake_dir, columns=sorted(set(cols)))
     num_partitions = manifest.num_partitions
 
     def _chk(t: pa.Table) -> pa.Table:
-        fresh = sha256_binary(t.column("content"))
-        bad = pc.not_equal(fresh, t.column("content_sha256").combine_chunks())
+        fresh = sha256_binary(t.column(spec.hash_source))
+        bad = pc.not_equal(fresh, t.column(spec.hash_col).combine_chunks())
         pid = (
-            key_hash64(t.column("repo"), t.column("path"))
+            key_hash64(*[t.column(k) for k in spec.key])
             % np.uint64(num_partitions)
         ).astype(np.int64)
         return pa.table(
@@ -87,74 +111,45 @@ def verify_integrity(lake_dir: str) -> dict[int, int]:
     return {int(r["part_id"]): int(r["sum(bad)"]) for r in agg}
 
 
-def _compare_groups(group: pa.Table) -> pa.Table:
-    """Per-partition compare of expected (folded events) vs lake rows."""
-    pid = int(group.column("part_id")[0].as_py())
-    exp = group.filter(pc.equal(group.column("src"), "e"))
-    exp = exp.filter(pc.not_equal(exp.column("op"), ORPHAN_OP))
-    exp = fold_lww(exp)
-    exp = exp.filter(pc.not_equal(exp.column("op"), "delete"))
-    lake = group.filter(pc.equal(group.column("src"), "l"))
-
-    def keyed(t):
-        return {
-            (r["repo"], r["path"]): (r["commit_seq"], r["content_sha256"])
-            for r in t.select(
-                ["repo", "path", "commit_seq", "content_sha256"]
-            ).to_pylist()
-        }
-
-    ek, lk = keyed(exp), keyed(lake)
-    missing = sum(1 for k in ek if k not in lk)
-    extra = sum(1 for k in lk if k not in ek)
-    mismatched = sum(1 for k, v in ek.items() if k in lk and lk[k] != v)
-    return pa.table(
-        {
-            "part_id": [pid],
-            "n_expected": [len(ek)],
-            "n_lake": [len(lk)],
-            "missing": [missing],
-            "extra": [extra],
-            "mismatched": [mismatched],
-        }
-    )
-
-
 def check(
     stream_dir: str,
     lake_dir: str,
     *,
     from_seq: int | None = None,
     batch_size: int = 8192,
+    spec: TableSpec = REPO_FILES,
 ) -> CheckReport:
-    """Distributed conformance + integrity check.
+    """Distributed conformance + integrity check, generic over spec.
 
     ``from_seq`` bounds the re-check window by last-writer seq (the
     reference re-checks the trailing 100k blocks every 4h,
-    src/ch_eth/sync.rs:348-350): only keys whose winner commit_seq >=
+    src/ch_eth/sync.rs:348-350): only keys whose winner order-col >=
     from_seq are compared.
     """
     manifest = load_latest(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake under {lake_dir}")
-    # NOTE: the conformance compare is currently specific to the default
-    # repo-files spec (key (repo, path), content_sha256 invariant);
-    # custom TableSpec lakes get integrity via per-spec invariants and
-    # correctness via the replay tests.
     P = manifest.num_partitions
     ranges = load_rollback_ranges(stream_dir)
     files = event_files(stream_dir)
+    key = list(spec.key)
+    order = spec.order_col
+    vcols = _value_cols(spec)
+    cmp_cols = key + [c for c in vcols if c not in key]
 
-    normalize = Normalize(P, ranges)
+    normalize = Normalize(P, ranges, spec)
 
     def _exp_stage(t: pa.Table) -> pa.Table:
         """Fused normalize → partial fold → compare-column projection
-        (one call per schema-homogeneous block, batch_size=None).
-        content_sha256 is computed here on the folded winners only —
+        (one call per schema-homogeneous block, batch_size=None).  The
+        hash invariant is computed here on the folded winners only —
         the per-event stream carries no hash column."""
-        t = partial_lww(normalize(t))
-        t = t.append_column("content_sha256", sha256_binary(t.column("content")))
-        t = t.select(_CMP_COLS[:-1])
+        t = partial_lww(normalize(t), spec)
+        if spec.hash_source and spec.hash_col:
+            t = t.append_column(
+                spec.hash_col, sha256_binary(t.column(spec.hash_source))
+            )
+        t = t.select(cmp_cols + [spec.op_col, "part_id", "n_events"])
         return t.append_column("src", pa.array(["e"] * t.num_rows))
 
     exp_ds = ray.data.read_parquet(
@@ -165,25 +160,57 @@ def check(
 
     def _tag_lake(t: pa.Table) -> pa.Table:
         pid = (
-            key_hash64(t.column("repo"), t.column("path")) % np.uint64(P)
+            key_hash64(*[t.column(k) for k in key]) % np.uint64(P)
         ).astype(np.int64)
         n = t.num_rows
-        t = t.select(["repo", "path", "commit_seq", "content_sha256"])
-        t = t.append_column("op", pa.array(["upsert"] * n))
+        t = t.select(cmp_cols)
+        t = t.append_column(spec.op_col, pa.array(["upsert"] * n))
         t = t.append_column("part_id", pa.array(pid))
         t = t.append_column("n_events", pa.array(np.zeros(n, dtype=np.int64)))
         return t.append_column("src", pa.array(["l"] * n))
 
-    lake_ds = read_lake(
-        lake_dir, columns=["repo", "path", "commit_seq", "content_sha256"]
-    ).map_batches(_tag_lake, batch_format="pyarrow", zero_copy_batch=True)
+    lake_ds = read_lake(lake_dir, columns=cmp_cols).map_batches(
+        _tag_lake, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     ds = exp_ds.union(lake_ds)
     if from_seq is not None:
         ds = ds.map_batches(
-            lambda t: t.filter(pc.greater_equal(t.column("commit_seq"), from_seq)),
+            lambda t: t.filter(pc.greater_equal(t.column(order), from_seq)),
             batch_format="pyarrow",
             zero_copy_batch=True,
+        )
+
+    val_sel = [c for c in cmp_cols if c not in key]
+
+    def _compare_groups(group: pa.Table) -> pa.Table:
+        """Per-partition compare of expected (folded events) vs lake."""
+        pid = int(group.column("part_id")[0].as_py())
+        exp = group.filter(pc.equal(group.column("src"), "e"))
+        exp = exp.filter(pc.not_equal(exp.column(spec.op_col), ORPHAN_OP))
+        exp = fold_lww(exp, "n_events", tuple(key), order)
+        exp = exp.filter(pc.not_equal(exp.column(spec.op_col), "delete"))
+        lake = group.filter(pc.equal(group.column("src"), "l"))
+
+        def keyed(t):
+            return {
+                tuple(r[k] for k in key): tuple(r[c] for c in val_sel)
+                for r in t.select(key + val_sel).to_pylist()
+            }
+
+        ek, lk = keyed(exp), keyed(lake)
+        missing = sum(1 for k in ek if k not in lk)
+        extra = sum(1 for k in lk if k not in ek)
+        mismatched = sum(1 for k, v in ek.items() if k in lk and lk[k] != v)
+        return pa.table(
+            {
+                "part_id": [pid],
+                "n_expected": [len(ek)],
+                "n_lake": [len(lk)],
+                "missing": [missing],
+                "extra": [extra],
+                "mismatched": [mismatched],
+            }
         )
 
     rows = ds.groupby("part_id").map_groups(
@@ -199,7 +226,7 @@ def check(
         report.mismatched += int(r["mismatched"])
         if r["missing"] or r["extra"] or r["mismatched"]:
             report.bad_partitions.append(int(r["part_id"]))
-    for pid, bad in verify_integrity(lake_dir).items():
+    for pid, bad in verify_integrity(lake_dir, spec).items():
         if bad:
             report.corrupt += bad
             if pid not in report.bad_partitions:
@@ -209,7 +236,12 @@ def check(
 
 
 def repair(
-    stream_dir: str, lake_dir: str, bad_partitions: list[int], **replay_kw
+    stream_dir: str,
+    lake_dir: str,
+    bad_partitions: list[int],
+    *,
+    spec: TableSpec = REPO_FILES,
+    **replay_kw,
 ):
     """Rebuild the given partitions from full event history (the
     reference's delete-all + reinsert, scoped to hash partitions)."""
@@ -219,12 +251,19 @@ def repair(
         lake_dir,
         num_partitions=manifest.num_partitions,
         force_repair_pids=frozenset(bad_partitions),
+        spec=spec,
         **replay_kw,
     )
 
 
-def check_and_repair(stream_dir: str, lake_dir: str, **check_kw) -> CheckReport:
-    report = check(stream_dir, lake_dir, **check_kw)
+def check_and_repair(
+    stream_dir: str,
+    lake_dir: str,
+    *,
+    spec: TableSpec = REPO_FILES,
+    **check_kw,
+) -> CheckReport:
+    report = check(stream_dir, lake_dir, spec=spec, **check_kw)
     if not report.ok:
-        repair(stream_dir, lake_dir, report.bad_partitions)
+        repair(stream_dir, lake_dir, report.bad_partitions, spec=spec)
     return report
