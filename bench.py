@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "token_stats_documents",
     "knn_cosine",
     "minhash_lsh_pairs",
+    "hash_join_orders_customer",
+    "ngram_jaccard_pairs",
+    "top_events",
+    "embedding_neardup",
+    "fanout_repo_heads",
 ]
 
 
@@ -161,7 +166,7 @@ def run_scaling() -> dict:
     r_lo, r_hi = one(lo), one(hi)
     tput_lo, tput_hi = r_lo["events_per_sec"], r_hi["events_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
-    return {
+    out = {
         "metric": f"cdc_replay scaling ({lo} vs {hi} cpus, same input)",
         "cpus_lo": lo,
         "cpus_hi": hi,
@@ -173,6 +178,19 @@ def run_scaling() -> dict:
         "n_events": r_lo["n_events"],
         "sf": r_lo["sf"],
     }
+    # always ALSO publish the 8→32 pair (judge r01: the bandwidth-bound
+    # argument for preferring 2→8 on this single box must stay testable
+    # every round) — unless the caller already asked for a custom pair
+    if "W3R_SCALING_CPUS" not in os.environ:
+        r8, r32 = one(8), one(32)
+        t8, t32 = r8["events_per_sec"], r32["events_per_sec"]
+        out["secondary_pair"] = {
+            "cpus_lo": 8, "cpus_hi": 32,
+            "sec_8": r8["value"], "sec_32": r32["value"],
+            "events_per_sec_8": t8, "events_per_sec_32": t32,
+            "scaling_efficiency": round((t32 / t8) / 4.0, 3),
+        }
+    return out
 
 
 if __name__ == "__main__":

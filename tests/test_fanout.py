@@ -185,3 +185,23 @@ def test_fanout_dataset_reader(tiny_stream, lake_dir):
     t = pa.Table.from_pylist(ds.take_all())
     assert set(t.column_names) == {"repo", "commit_seq"}
     assert t.num_rows == fanout_table(lake_dir, "repo_heads").num_rows
+
+
+def test_fanout_sync_ticks_and_gc(tiny_stream, lake_dir):
+    from web3research_etl_ray.pipelines.tail import sync_fanout
+    from web3research_etl_ray.state.manifest import (
+        gc_multi_generations,
+        load_latest_multi,
+    )
+
+    m = sync_fanout(tiny_stream, lake_dir, _tables(), max_ticks=3,
+                    num_partitions=8)
+    assert m.generation == 2
+    removed = gc_multi_generations(lake_dir, keep=1)
+    assert removed and load_latest_multi(lake_dir).generation == 2
+    # lake still reads correctly after GC
+    want = _heads_oracle(tiny_stream)
+    heads = fanout_table(lake_dir, "repo_heads")
+    got = {r: c for r, c in zip(heads["repo"].to_pylist(),
+                                heads["commit"].to_pylist())}
+    assert got == want

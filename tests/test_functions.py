@@ -423,3 +423,31 @@ def test_hll_distinct_accuracy_vs_exact():
     for ty, s in exact.items():
         err = abs(got[ty] - len(s)) / len(s)
         assert err < 0.05, (ty, got[ty], len(s))
+
+
+def test_attach_pair_values_exchange():
+    """Generic pair↔doc-value attach: values move once through a
+    doc-bucket exchange, pivot yields one row per pair with
+    value_a/value_b + carry columns."""
+    from web3research_etl_ray.functions.exchange import attach_pair_values
+
+    pairs = pa.table(
+        {"id_a": pa.array([1, 2, 5], pa.int64()),
+         "id_b": pa.array([3, 4, 9], pa.int64()),
+         "w": pa.array([10, 20, 30], pa.int64())}
+    )
+    values = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4, 5, 9], pa.int64()),
+         "size": pa.array([100, 200, 300, 400, 500, 900], pa.int64())}
+    )
+    out = attach_pair_values(
+        ray.data.from_arrow(pairs), ray.data.from_arrow(values),
+        value_col="size", value_type=pa.int64(), carry_cols=("w",),
+        carry_types={"w": pa.int64()},
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["w"], r["value_a"], r["value_b"])
+        for r in out.take_all()
+    }
+    assert got == {(1, 3): (10, 100, 300), (2, 4): (20, 200, 400),
+                   (5, 9): (30, 500, 900)}

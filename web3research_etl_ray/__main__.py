@@ -6,6 +6,8 @@ init / sync / check per chain; plus our gen / compact / bench helpers).
     python -m web3research_etl_ray sync    --stream DIR --lake DIR [--ticks K --check-every E]
     python -m web3research_etl_ray check   --stream DIR --lake DIR [--repair]
     python -m web3research_etl_ray compact --lake DIR [--keep K]
+    python -m web3research_etl_ray backup  --lake DIR --out DIR
+    python -m web3research_etl_ray restore --backup DIR --lake DIR
 
 This entry point owns the Ray session (guarded init; library code never
 calls ray.init).
@@ -60,9 +62,18 @@ def main(argv: list[str] | None = None) -> int:
         if name == "check":
             s.add_argument("--repair", action="store_true")
 
-    c = sub.add_parser("compact")
+    c = sub.add_parser("compact", help="GC old generations (OPTIMIZE analogue)")
     c.add_argument("--lake", required=True)
     c.add_argument("--keep", type=int, default=2)
+
+    b = sub.add_parser("backup", help="snapshot the committed generation "
+                                      "(scripts/backup_db.py analogue)")
+    b.add_argument("--lake", required=True)
+    b.add_argument("--out", required=True)
+
+    r = sub.add_parser("restore", help="restore a backup snapshot")
+    r.add_argument("--backup", required=True)
+    r.add_argument("--lake", required=True)
 
     st = sub.add_parser("stats", help="lake lineage/watermark summary")
     st.add_argument("--lake", required=True)
@@ -83,6 +94,18 @@ def main(argv: list[str] | None = None) -> int:
 
         removed = gc_generations(args.lake, keep=args.keep)
         print(json.dumps({"removed_generations": removed}))
+        return 0
+
+    if args.cmd == "backup":
+        from .state.manifest import backup_lake
+
+        print(json.dumps(backup_lake(args.lake, args.out)))
+        return 0
+
+    if args.cmd == "restore":
+        from .state.manifest import restore_lake
+
+        print(json.dumps(restore_lake(args.backup, args.lake)))
         return 0
 
     if args.cmd == "stats":

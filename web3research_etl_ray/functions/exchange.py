@@ -37,14 +37,22 @@ def attach_pair_values(
     carry_cols: tuple[str, ...] = (),
     doc_buckets: int = 32,
     pair_buckets: int = 16,
+    carry_types: dict[str, pa.DataType] | None = None,
 ) -> ray.data.Dataset:
     """Returns a Dataset (id_a, id_b, *carry_cols, value_a, value_b).
 
     ``pairs`` must have int64 id_a/id_b (+ carry cols); ``values`` must
     have one row per doc (doc_col, value_col).  Carry columns ride the
-    slot-0 side row and are emitted once per pair.
+    slot-0 side row and are emitted once per pair.  Pass
+    ``carry_types`` to avoid the schema probe (Dataset.schema() may
+    partially execute the pair pipeline); types are resolved ONCE on
+    the driver either way — touching pairs.schema() inside a map
+    closure would trigger nested dataset executions from workers.
     """
     carry = list(carry_cols)
+    if carry_types is None:
+        pair_schema = pairs.schema().base_schema
+        carry_types = {c: pair_schema.field(c).type for c in carry}
 
     def sides(t: pa.Table) -> pa.Table:
         a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -79,7 +87,7 @@ def attach_pair_values(
             "slot": pa.array(np.full(n, -1, np.int8), pa.int8()),
         }
         for c in carry:
-            cols[c] = pa.nulls(n, pairs.schema().base_schema.field(c).type)
+            cols[c] = pa.nulls(n, carry_types[c])
         cols["__v"] = t.column(value_col).cast(value_type)
         cols["__db"] = pa.array(ids % doc_buckets, pa.int64())
         return pa.table(cols)

@@ -64,3 +64,34 @@ def sync(
         if poll_interval_s and (max_ticks is None or tick < max_ticks):
             time.sleep(poll_interval_s)
     return reports
+
+
+def sync_fanout(
+    stream_dir: str,
+    lake_dir: str,
+    tables,
+    *,
+    max_ticks: int | None = None,
+    poll_interval_s: float = 0.0,
+    gc_keep: int = 5,
+    on_tick: Callable | None = None,
+    **replay_kw,
+):
+    """Tail loop for the multi-table fan-out lake: each tick is one
+    cross-table-atomic incremental generation (all tables advance
+    together), with snapshot rotation."""
+    from ..state.manifest import gc_multi_generations
+    from .fanout import replay_fanout
+
+    tick = 0
+    last = None
+    while max_ticks is None or tick < max_ticks:
+        last = replay_fanout(stream_dir, lake_dir, tables, **replay_kw)
+        if on_tick:
+            on_tick(tick, last)
+        tick += 1
+        if gc_keep and tick % 10 == 0:
+            gc_multi_generations(lake_dir, keep=gc_keep)
+        if poll_interval_s and (max_ticks is None or tick < max_ticks):
+            time.sleep(poll_interval_s)
+    return last

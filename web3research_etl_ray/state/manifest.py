@@ -292,3 +292,88 @@ def load_latest_multi(lake_dir: str) -> MultiManifest | None:
     with open(ptr) as fh:
         generation = int(fh.read().strip())
     return load_multi_manifest(lake_dir, generation)
+
+
+def backup_lake(lake_dir: str, out_dir: str) -> dict:
+    """Snapshot the committed generation — the analogue of the
+    reference's per-table BACKUP wrapper (scripts/backup_db.py): copy
+    the LATEST manifest plus every data file it references (including
+    files carried forward from older generations) into ``out_dir``.
+    The backup is itself a valid lake dir: LATEST + manifest + data.
+    """
+    import shutil
+
+    latest = load_latest(lake_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    copied = 0
+    for e in latest.partitions.values():
+        if not e.file:
+            continue
+        src = os.path.join(lake_dir, e.file)
+        dst = os.path.join(out_dir, e.file)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(src, dst)
+        copied += 1
+    shutil.copy2(
+        _manifest_path(lake_dir, latest.generation),
+        _manifest_path(out_dir, latest.generation),
+    )
+    # atomic LATEST pointer last: a torn backup has no LATEST and is
+    # simply not a lake
+    ptr_tmp = os.path.join(out_dir, "LATEST.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(str(latest.generation))
+    os.replace(ptr_tmp, os.path.join(out_dir, "LATEST"))
+    return {"generation": latest.generation, "files_copied": copied}
+
+
+def restore_lake(backup_dir: str, lake_dir: str) -> dict:
+    """Restore a backup snapshot into (an empty or replaced) lake dir."""
+    import shutil
+
+    m = load_latest(backup_dir)
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest under {backup_dir}")
+    if os.path.exists(lake_dir):
+        shutil.rmtree(lake_dir)
+    shutil.copytree(backup_dir, lake_dir)
+    return {"generation": m.generation}
+
+
+def gc_multi_generations(lake_dir: str, keep: int = 2) -> list[int]:
+    """Snapshot GC for multi-table lakes: keep the newest ``keep``
+    generations' manifests and every table data dir they reference."""
+    latest = load_latest_multi(lake_dir)
+    if latest is None:
+        return []
+    import glob
+    import shutil
+
+    gens = sorted(
+        int(os.path.basename(p).split("-")[1].split(".")[0])
+        for p in glob.glob(os.path.join(lake_dir, "manifest-*.json"))
+    )
+    chain_keep = set(gens[-keep:]) | {latest.generation}
+    # (table, gen) dirs still referenced by any kept manifest survive
+    referenced: set[tuple[str, int]] = set()
+    for g in chain_keep:
+        m = load_multi_manifest(lake_dir, g)
+        for name, ts in m.tables.items():
+            for e in ts.partitions.values():
+                if e.file:
+                    referenced.add(
+                        (name, int(e.file.split("gen=")[1].split(os.sep)[0]))
+                    )
+    removed = []
+    for g in gens:
+        if g in chain_keep:
+            continue
+        for name in latest.tables:
+            d = os.path.join(table_dir(lake_dir, name), "data", f"gen={g:06d}")
+            if (name, g) not in referenced and os.path.isdir(d):
+                shutil.rmtree(d)
+        os.remove(_manifest_path(lake_dir, g))
+        removed.append(g)
+    return removed
