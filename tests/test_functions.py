@@ -451,3 +451,45 @@ def test_attach_pair_values_exchange():
     }
     assert got == {(1, 3): (10, 100, 300), (2, 4): (20, 200, 400),
                    (5, 9): (30, 500, 900)}
+
+
+def test_connected_components_and_keep_list():
+    from web3research_etl_ray.functions.dedup import (
+        connected_components,
+        dedup_keep_list,
+    )
+
+    pairs = pa.table(
+        {"id_a": pa.array([1, 2, 7, 9], pa.int64()),
+         "id_b": pa.array([2, 3, 8, 1], pa.int64())}
+    )  # components: {1,2,3,9}, {7,8}
+    comp = connected_components(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in comp.to_pylist()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 7: 7, 8: 7}
+
+    docs = _docs_table(["a"] * 10)
+    kept = dedup_keep_list(ray.data.from_arrow(docs), pairs)
+    ids = sorted(r["doc_id"] for r in kept.take_all())
+    # reps 1 and 7 stay; 2,3,9,8 dropped; untouched ids stay
+    assert ids == [0, 1, 4, 5, 6, 7]
+
+
+def test_minhash_end_to_end_dedup_clusters():
+    """Full near-dup dedup story: minhash pairs → components →
+    keep-list drops planted duplicates, keeps one representative."""
+    from web3research_etl_ray.functions.dedup import (
+        connected_components,
+        dedup_keep_list,
+        minhash_lsh_pairs,
+    )
+
+    texts = [BASE, BASE + " tail", "totally different content " * 6,
+             BASE + " other tail", "unrelated second doc " * 8]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    pairs = minhash_lsh_pairs(ds, threshold=0.4)
+    comp = connected_components(pairs)
+    clusters = {r["doc_id"]: r["cluster_id"] for r in comp.to_pylist()}
+    assert clusters.get(0) == 0 and clusters.get(1) == 0 and clusters.get(3) == 0
+    kept = sorted(r["doc_id"] for r in dedup_keep_list(ds, pairs).take_all())
+    assert 0 in kept and 1 not in kept and 3 not in kept
+    assert 2 in kept and 4 in kept

@@ -459,3 +459,65 @@ def ngram_jaccard_matrix(texts: dict[int, str], k: int = 3) -> list[tuple[int, i
             u = len(a | b)
             out.append((ids[i], ids[j], (len(a & b) / u) if u else 0.0))
     return out
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters (connected components over verified near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: pa.Table) -> pa.Table:
+    """(doc_id, cluster_id) for every doc appearing in ``pairs`` —
+    cluster_id = min doc_id of the component (union-find with path
+    compression).  Runs on the driver over the FINAL verified pair
+    table, which is O(near-duplicates), the same magnitude as the
+    operator's output itself — the corpus never lands here.  Pairs
+    come from any of the near-dup operators (minhash/simhash/cosine).
+    """
+    a = pairs.column("id_a").to_numpy(zero_copy_only=False)
+    b = pairs.column("id_b").to_numpy(zero_copy_only=False)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by min id keeps cluster_id deterministic
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    ids = sorted({int(v) for v in a} | {int(v) for v in b})
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array([find(i) for i in ids], pa.int64()),
+        }
+    )
+
+
+def dedup_keep_list(
+    docs: ray.data.Dataset, pairs: pa.Table, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Near-dup keep-list: drop every doc that belongs to a near-dup
+    cluster but is not its representative (min id).  The drop set is
+    tiny (O(near-dups)); it broadcasts via closure and the filter is a
+    vectorized anti-membership pass over the corpus."""
+    comp = connected_components(pairs)
+    drop = pa.array(
+        [d for d, c in zip(comp.column("doc_id").to_pylist(),
+                           comp.column("cluster_id").to_pylist()) if d != c],
+        pa.int64(),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t.column(id_col), value_set=drop))
+        )
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

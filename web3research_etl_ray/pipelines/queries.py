@@ -435,6 +435,76 @@ def q_demux_events(sf_dir: str) -> pa.Table:
 ORACLE_DEMUX = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_session_windows(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization (streaming-window operator family): a
+    new session starts after >30 min of user inactivity.  Key-bucketed
+    (user hash) groupby; inside each bucket the session assignment is
+    ONE vectorized pass (lexsort + gap diff + cumsum + reduceat) over
+    all users at once — partitioning assumption: all events of one
+    user land in one group (guaranteed by the user-hash key)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uids = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(uids % 16, pa.int64()))
+
+    def sessions(g: pa.Table) -> pa.Table:
+        uids = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uids))
+        uids, ts = uids[order], ts[order]
+        n = len(uids)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uids[1:] != uids[:-1]
+        gap = np.ones(n, dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > _SESSION_GAP_US
+        starts_mask = new_user | gap
+        starts = np.flatnonzero(starts_mask)
+        counts = np.diff(np.concatenate((starts, [n])))
+        ends = np.concatenate((starts[1:], [n])) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uids[starts], pa.int64()),
+                "session_start": pa.array(ts[starts], pa.int64()),
+                "session_end": pa.array(ts[ends], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda g: sessions(g.drop_columns(["__b"])), batch_format="pyarrow"
+        )
+    )
+
+
+ORACLE_SESSIONS = """
+WITH s AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT *, SUM(is_start) OVER (
+      PARTITION BY user_id ORDER BY tus, event_id
+      ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+)
+SELECT user_id, min(tus) AS session_start, max(tus) AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sess
+"""
+
+
 def q_hourly_user_activity(sf_dir: str) -> pa.Table:
     """Tumbling-window aggregate (event-time hour buckets) — the
     streaming-window pattern the reference lacks (SURVEY.md §2.9 W5),
@@ -1495,6 +1565,7 @@ QUERIES = {
     "spread_embeddings": q_spread_embeddings,
     "demux_events": q_demux_events,
     "hourly_user_activity": q_hourly_user_activity,
+    "session_windows": q_session_windows,
     "systematic_sample_events": q_systematic_sample_events,
     "distinct_langs": q_distinct_langs,
     "distinct_users_per_type": q_distinct_users_per_type,
@@ -1537,6 +1608,7 @@ ORACLE_SQL = {
     "spread_embeddings": ORACLE_SPREAD,
     "demux_events": ORACLE_DEMUX,
     "hourly_user_activity": ORACLE_HOURLY,
+    "session_windows": ORACLE_SESSIONS,
     "systematic_sample_events": ORACLE_SAMPLE,
     "distinct_langs": ORACLE_DISTINCT,
     "distinct_users_per_type": ORACLE_DISTINCT_USERS,
