@@ -160,7 +160,7 @@ def run_scaling() -> dict:
     # cost (~0.6s: shuffle setup, scheduling) must be small against
     # compute at BOTH levels, so the scaling input is larger than the
     # default per-sf stream (same input at both levels, per the rule)
-    scale_events = int(os.environ.get("W3R_SCALING_EVENTS", "2000000"))
+    scale_events = int(os.environ.get("W3R_SCALING_EVENTS", "50000000"))
     os.environ["W3R_BENCH_EVENTS"] = str(scale_events)
     os.environ["W3R_SKIP_QUERIES"] = "1"
     r_lo, r_hi = one(lo), one(hi)

@@ -136,3 +136,21 @@ def test_lookup_key_point_read(tiny_stream, lake_dir):
     assert got["commit_seq"] == row["commit_seq"]
     assert got["content_sha256"] == row["content_sha256"]
     assert lookup_key(lake_dir, "no-such-org/repo", "nope.py") is None
+
+
+def test_groupby_exchange_path_matches_spool(tiny_stream, tmp_path):
+    """exchange="groupby" (single streaming execution, for small ticks)
+    must produce the identical lake as the default spool exchange."""
+    from web3research_etl_ray.oracle import oracle_fold, tables_equal
+    from web3research_etl_ray.pipelines.replay import lake_table, replay
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    replay(tiny_stream, a, num_partitions=8)
+    replay(tiny_stream, b, num_partitions=8, exchange="groupby")
+    assert tables_equal(lake_table(a), lake_table(b))
+    assert tables_equal(lake_table(b), oracle_fold(tiny_stream))
+    # incremental groupby tick on top of a spool-built lake
+    m = replay(tiny_stream, a, num_partitions=8, exchange="groupby")
+    assert m.generation == 1
+    assert tables_equal(lake_table(a), oracle_fold(tiny_stream))

@@ -4,10 +4,13 @@ Five families, each expressed as composable Dataset stages:
 
 - **exact**: content-hash + hash-partitioned group-first (the engine's
   keyed dedup, same shape as the CDC LWW fold).
-- **MinHash + LSH**: shingle → minhash signature per batch → explode
-  to (band_id, band_hash, doc_id) rows → groupby(band) → candidate
-  pairs → signature-similarity verify.  The shuffle moves only
-  signatures/band keys, never document text.
+- **MinHash + LSH**: batch-vectorized signatures → (band_key, doc_id)
+  rows bucketed by hash → per-bucket run pairs (df-capped) → ONE
+  doc-bucket signature exchange for the estimated-Jaccard verify →
+  pair-bucket dedup+threshold.  Fully distributed; shuffles move only
+  band keys and fixed-width signatures, never document text; the
+  driver sees only surviving pairs.  ``connected_components`` +
+  ``dedup_keep_list`` turn pairs into cluster ids / a filtered corpus.
 - **SimHash**: 64-bit fingerprints, near-dup = small Hamming distance
   within LSH-style chunk buckets.
 - **n-gram Jaccard**: exact word-shingle Jaccard for candidate pairs

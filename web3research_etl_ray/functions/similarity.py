@@ -99,23 +99,32 @@ def knn_brute(
 
 
 def _merge_topk(cands: list[dict], k: int) -> pa.Table:
-    by_q: dict[int, list[tuple[float, int]]] = {}
-    for r in cands:
-        by_q.setdefault(r["query_id"], []).append((r["cos_sim"], r["neighbor_id"]))
-    q_out, n_out, s_out, rank_out = [], [], [], []
-    for qid in sorted(by_q):
-        best = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k]
-        for rank, (sim, nid) in enumerate(best, 1):
-            q_out.append(qid)
-            n_out.append(nid)
-            s_out.append(sim)
-            rank_out.append(rank)
+    """Driver-side final merge of per-batch candidates — O(batches×Q×k)
+    rows, vectorized (lexsort + per-query rank + slice)."""
+    if not cands:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "cos_sim": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}
+        )
+    q = np.array([r["query_id"] for r in cands], dtype=np.int64)
+    n = np.array([r["neighbor_id"] for r in cands], dtype=np.int64)
+    s = np.array([r["cos_sim"] for r in cands], dtype=np.float64)
+    order = np.lexsort((n, -s, q))
+    q, n, s = q[order], n[order], s[order]
+    first = np.ones(len(q), dtype=bool)
+    first[1:] = q[1:] != q[:-1]
+    rank = np.arange(len(q)) - np.maximum.accumulate(
+        np.where(first, np.arange(len(q)), 0)
+    ) + 1
+    keep = rank <= k
     return pa.table(
         {
-            "query_id": pa.array(q_out, pa.int64()),
-            "neighbor_id": pa.array(n_out, pa.int64()),
-            "cos_sim": pa.array(s_out, pa.float64()),
-            "rank": pa.array(rank_out, pa.int64()),
+            "query_id": pa.array(q[keep], pa.int64()),
+            "neighbor_id": pa.array(n[keep], pa.int64()),
+            "cos_sim": pa.array(s[keep], pa.float64()),
+            "rank": pa.array(rank[keep], pa.int64()),
         }
     )
 

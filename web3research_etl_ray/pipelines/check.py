@@ -183,8 +183,22 @@ def check(
 
     val_sel = [c for c in cmp_cols if c not in key]
 
+    def _key_of(t: pa.Table) -> pa.Array:
+        cols = [
+            t.column(k).cast(pa.string()) if not pa.types.is_string(t.column(k).type)
+            else t.column(k)
+            for k in key
+        ]
+        out = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(
+            *cols, "\x00"
+        )
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
     def _compare_groups(group: pa.Table) -> pa.Table:
-        """Per-partition compare of expected (folded events) vs lake."""
+        """Per-partition compare of expected (folded events) vs lake —
+        vectorized anti-join: key membership via ``pc.index_in``, value
+        equality via column-wise compare on the matched positions (no
+        per-row Python dicts; partition memory O(keys) flat arrays)."""
         pid = int(group.column("part_id")[0].as_py())
         exp = group.filter(pc.equal(group.column("src"), "e"))
         exp = exp.filter(pc.not_equal(exp.column(spec.op_col), ORPHAN_OP))
@@ -192,24 +206,37 @@ def check(
         exp = exp.filter(pc.not_equal(exp.column(spec.op_col), "delete"))
         lake = group.filter(pc.equal(group.column("src"), "l"))
 
-        def keyed(t):
-            return {
-                tuple(r[k] for k in key): tuple(r[c] for c in val_sel)
-                for r in t.select(key + val_sel).to_pylist()
-            }
-
-        ek, lk = keyed(exp), keyed(lake)
-        missing = sum(1 for k in ek if k not in lk)
-        extra = sum(1 for k in lk if k not in ek)
-        mismatched = sum(1 for k, v in ek.items() if k in lk and lk[k] != v)
+        ekeys, lkeys = _key_of(exp), _key_of(lake)
+        idx = pc.index_in(ekeys, value_set=lkeys)  # exp → lake position
+        missing = int(idx.null_count)
+        extra = int(
+            pc.invert(pc.is_in(lkeys, value_set=ekeys))
+            .cast(pa.int8())
+            .to_numpy(zero_copy_only=False)
+            .sum()
+        ) if lake.num_rows else 0
+        matched = pc.is_valid(idx)
+        mism = np.zeros(exp.num_rows, dtype=bool)
+        if exp.num_rows and lake.num_rows:
+            m_np = matched.to_numpy(zero_copy_only=False)
+            for c in val_sel:
+                lv = pc.take(lake.column(c), idx)  # null where missing
+                neq = pc.fill_null(pc.not_equal(exp.column(c), lv), False)
+                # null-vs-value asymmetry (not_equal(null, x) is null):
+                # a matched row where exactly one side is null mismatches
+                na = pc.is_null(exp.column(c)).to_numpy(zero_copy_only=False)
+                nb = pc.is_null(lv).to_numpy(zero_copy_only=False) & m_np
+                mism |= (
+                    neq.to_numpy(zero_copy_only=False) | (na ^ nb)
+                ) & m_np
         return pa.table(
             {
                 "part_id": [pid],
-                "n_expected": [len(ek)],
-                "n_lake": [len(lk)],
+                "n_expected": [exp.num_rows],
+                "n_lake": [lake.num_rows],
                 "missing": [missing],
                 "extra": [extra],
-                "mismatched": [mismatched],
+                "mismatched": [int(mism.sum())],
             }
         )
 

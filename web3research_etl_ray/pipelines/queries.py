@@ -544,6 +544,39 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def q_hash_sample_events(sf_dir: str) -> pa.Table:
+    """Deterministic uniform random sample WITHOUT a seed side-channel:
+    rank rows by a value-pure hash (sha256 of the id) and keep the
+    k smallest — reproducible across engines, so the oracle is plain
+    SQL.  Distributed as partial top-k per batch → tiny final merge
+    (the same shape as top_events; never a full-table sort)."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    K = 200
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = sha256_hex(t.column("event_id").cast(pa.string()))
+        t = t.append_column("rank_hash", r)
+        return t.sort_by([("rank_hash", "ascending")]).slice(0, K)
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("rank_hash")
+        .limit(K)
+    )
+    t = pa.Table.from_pylist(top.take_all())
+    return pa.table(
+        {"event_id": t.column("event_id").cast(pa.int64())}
+    ).sort_by([("event_id", "ascending")])
+
+
+ORACLE_HASH_SAMPLE = """
+SELECT event_id FROM (
+  SELECT event_id FROM events
+  ORDER BY sha256(CAST(event_id AS VARCHAR)) LIMIT 200
+) ORDER BY event_id
+"""
+
+
 def q_systematic_sample_events(sf_dir: str) -> pa.Table:
     """Deterministic systematic sampling (every 20th event by id) —
     reproducible sampling for training-data subsetting."""
@@ -1567,6 +1600,7 @@ QUERIES = {
     "hourly_user_activity": q_hourly_user_activity,
     "session_windows": q_session_windows,
     "systematic_sample_events": q_systematic_sample_events,
+    "hash_sample_events": q_hash_sample_events,
     "distinct_langs": q_distinct_langs,
     "distinct_users_per_type": q_distinct_users_per_type,
     "approx_distinct_users_per_type": q_approx_distinct_users_per_type,
@@ -1610,6 +1644,7 @@ ORACLE_SQL = {
     "hourly_user_activity": ORACLE_HOURLY,
     "session_windows": ORACLE_SESSIONS,
     "systematic_sample_events": ORACLE_SAMPLE,
+    "hash_sample_events": ORACLE_HASH_SAMPLE,
     "distinct_langs": ORACLE_DISTINCT,
     "distinct_users_per_type": ORACLE_DISTINCT_USERS,
     "normalized_text_sha": ORACLE_NORM_SHA,

@@ -8,10 +8,15 @@ batched idempotent insert) and of one ``sync`` head-handling tick
     read_parquet(events, filter=order>watermark)   # file+row-group pruning
       → map_batches(Normalize ∘ partial_lww)  # unify, partition id, orphan
                                               # tag, per-block LWW combine
+      → map_batches(fold, batch_size=256k)    # 2nd-level combiner across
+                                              # winner blocks (~20x fewer
+                                              # exchange rows at 50M events)
       → write_parquet(partition_cols=[part_id(,salt)])   # spool exchange
       → map_batches(SpoolMerger over pids)    # per-partition LWW merge +
                                               # partition write (tasks or
-                                              # actor pool)
+                                              # actor pool); exchange=
+                                              # "groupby" = single streaming
+                                              # execution for small ticks
       → take_all()                  # P small lineage rows only
       → commit manifest             # two-phase exactly-once publish
 
@@ -48,8 +53,8 @@ import ray.data
 
 from ..oracle import load_rollback_ranges
 from ..schema import REPO_FILES, TableSpec
-from ..stages.lww import partial_lww
-from ..stages.merge import SpoolMerger
+from ..stages.lww import fold_lww, partial_lww
+from ..stages.merge import Merger, SpoolMerger, _empty_group
 from ..stages.normalize import Normalize
 from ..state.manifest import (
     Manifest,
@@ -158,6 +163,21 @@ def _file_seq_ranges(
     return out
 
 
+def _write_gen_stats(lake_dir: str, generation: int, entries_ds) -> None:
+    """Persist the execution profile beside the lake (observability:
+    per-stage wall/cpu/rows — the engine's answer to the reference's
+    merge-progress polling, scripts/optimize_db.py:39-42)."""
+    try:
+        log_dir = os.path.join(lake_dir, "logs")
+        os.makedirs(log_dir, exist_ok=True)
+        with open(
+            os.path.join(log_dir, f"gen-{generation:06d}-stats.txt"), "w"
+        ) as fh:
+            fh.write(entries_ds.stats())
+    except Exception:  # noqa: BLE001 - stats are best-effort
+        pass
+
+
 def replay(
     stream_dir: str,
     lake_dir: str,
@@ -171,6 +191,7 @@ def replay(
     spec: TableSpec = REPO_FILES,
     upto_seq: int | None = None,
     force_repair_pids: frozenset[int] = frozenset(),
+    exchange: str = "spool",
 ) -> Manifest:
     """Run one replay/tail generation; returns the committed manifest.
 
@@ -294,6 +315,26 @@ def replay(
         batch_size=None,
         zero_copy_batch=True,
     )
+    # second-level combiner: winner blocks are SMALL (≤ keys per
+    # block), so re-folding ~256k-row concatenations of them cuts
+    # spool rows/files by the coalescing factor before the exchange
+    # (at 50M events: ~2M spool rows → ~100k).  part_id joins the key
+    # so per-partition orphan-counter rows never collapse across
+    # partitions; for real rows part_id is a function of the key, so
+    # the fold semantics are unchanged.
+    refold_keys = tuple(spec.key) + ("part_id",)
+
+    def second_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return fold_lww(t, "n_events", refold_keys, spec.order_col)
+
+    ds = ds.map_batches(
+        second_fold,
+        batch_format="pyarrow",
+        batch_size=1 << 18,
+        zero_copy_batch=True,
+    )
 
     prior_files = {
         pid: (os.path.join(lake_dir, e.file) if e.file else None)
@@ -320,81 +361,103 @@ def replay(
     # cluster the spool lives on the lake's shared storage (the classic
     # external shuffle).  Crash-safe: the spool is scratch under the
     # uncommitted generation — reruns remove and rewrite it.
-    spool_dir = os.path.join(lake_dir, "_shuffle", f"gen={generation:06d}")
+    # --- exchange + merge ---------------------------------------------
+    # DEFAULT: partitioned-spool external shuffle (write once as
+    # hive-partitioned lz4 Parquet, P merge units read exactly their
+    # partition).  Measured repeatedly against Ray's sort-based
+    # groupby exchange at 50M events: the spool wins ~3x (the sort
+    # path's all-to-all barrier over the fused read→normalize→combine
+    # stage serializes poorly), and on a multi-node cluster the spool
+    # doubles as the spill-to-shared-storage exchange.  The groupby
+    # path (exchange="groupby": one streaming execution, no disk
+    # round-trip, ~2s less fixed glue) remains for small incremental
+    # ticks where the delta is tiny.
     import shutil
 
-    shutil.rmtree(spool_dir, ignore_errors=True)
-    spool_cols = ["part_id", "salt"] if salt_buckets else ["part_id"]
-    ds.write_parquet(spool_dir, partition_cols=spool_cols)
-
-    try:
-        spooled_pids = sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(spool_dir)
-            if d.startswith("part_id=")
-        )
-    except FileNotFoundError:
-        spooled_pids = []
-    merge_pids = sorted(set(spooled_pids) | set(repair_pids))
-
     entries_rows: list[dict] = []
-    if merge_pids:
-        merger_args = (
-            spool_dir,
-            lake_dir,
-            generation,
-            prior_files,
-            prior_entries,
-            repair_pids,
-            spec,
+    use_spool = exchange != "groupby" or bool(salt_buckets) or (
+        merge_compute == "actors"
+    )
+    if not use_spool:
+        merger = Merger(
+            lake_dir, generation, prior_files, prior_entries, repair_pids, spec
         )
-        pid_ds = ray.data.from_items(
-            [{"pid": p} for p in merge_pids]
-        ).repartition(len(merge_pids))
-        if merge_compute == "actors":
-            if merge_concurrency is None:
-                # leave headroom: a pool reserving every CPU starves
-                # the rest of the pipeline
-                cpus = int(ray.cluster_resources().get("CPU", 4))
-                merge_concurrency = max(1, min(len(merge_pids), cpus // 2))
-            entries_ds = pid_ds.map_batches(
-                SpoolMerger,
-                fn_constructor_args=merger_args,
-                batch_format="pyarrow",
-                batch_size=None,
-                concurrency=merge_concurrency,
-            )
-        else:
-            # Default: stateless tasks over warm workers.  Per-
-            # generation merge state is partition-local (the spool
-            # files + the prior partition Parquet), so an actor pool
-            # buys no reuse within a generation but costs ~1.3s pool
-            # spin-up per tick (measured); "actors" remains for
-            # deployments where mergers cache state across ticks.
-            merger = SpoolMerger(*merger_args)
 
-            def merge_fn(batch, _m=merger):
-                return _m(batch)
+        def merge_group(group, _m=merger):
+            return _m(group)
 
-            entries_ds = pid_ds.map_batches(
-                merge_fn, batch_format="pyarrow", batch_size=None
-            )
+        entries_ds = ds.groupby("part_id").map_groups(
+            merge_group, batch_format="pyarrow"
+        )
         # P small lineage rows — the only driver-side materialization
         entries_rows = entries_ds.take_all()
-        # persist the execution profile beside the lake (observability:
-        # per-stage wall/cpu/rows — the engine's answer to the
-        # reference's merge-progress polling, scripts/optimize_db.py:39-42)
+        # repair pids with NO routed rows (empty partitions being
+        # rebuilt) never form a group — finalize them inline so their
+        # stale prior file is dropped from the manifest
+        seen_pids = {int(r["part_id"]) for r in entries_rows}
+        for pid in sorted(set(repair_pids) - seen_pids):
+            entries_rows.extend(
+                merger.merge(pid, _empty_group(spec)).to_pylist()
+            )
+        _write_gen_stats(lake_dir, generation, entries_ds)
+    else:
+        spool_dir = os.path.join(lake_dir, "_shuffle", f"gen={generation:06d}")
+        shutil.rmtree(spool_dir, ignore_errors=True)
+        spool_cols = ["part_id", "salt"] if salt_buckets else ["part_id"]
+        # lz4 codec: merge workers decode the spool single-threaded
+        # (OMP_NUM_THREADS=1); snappy decode of the content column
+        # dominated merge CPU before (measured 6.4s of a 9s unit)
+        ds.write_parquet(spool_dir, partition_cols=spool_cols, compression="lz4")
+
         try:
-            log_dir = os.path.join(lake_dir, "logs")
-            os.makedirs(log_dir, exist_ok=True)
-            with open(
-                os.path.join(log_dir, f"gen-{generation:06d}-stats.txt"), "w"
-            ) as fh:
-                fh.write(entries_ds.stats())
-        except Exception:  # noqa: BLE001 - stats are best-effort
-            pass
+            spooled_pids = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(spool_dir)
+                if d.startswith("part_id=")
+            )
+        except FileNotFoundError:
+            spooled_pids = []
+        merge_pids = sorted(set(spooled_pids) | set(repair_pids))
+
+        if merge_pids:
+            merger_args = (
+                spool_dir,
+                lake_dir,
+                generation,
+                prior_files,
+                prior_entries,
+                repair_pids,
+                spec,
+            )
+            pid_ds = ray.data.from_items(
+                [{"pid": p} for p in merge_pids]
+            ).repartition(len(merge_pids))
+            if merge_compute == "actors":
+                if merge_concurrency is None:
+                    # leave headroom: a pool reserving every CPU starves
+                    # the rest of the pipeline
+                    cpus = int(ray.cluster_resources().get("CPU", 4))
+                    merge_concurrency = max(1, min(len(merge_pids), cpus // 2))
+                entries_ds = pid_ds.map_batches(
+                    SpoolMerger,
+                    fn_constructor_args=merger_args,
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    concurrency=merge_concurrency,
+                )
+            else:
+                merger = SpoolMerger(*merger_args)
+
+                def merge_fn(batch, _m=merger):
+                    return _m(batch)
+
+                entries_ds = pid_ds.map_batches(
+                    merge_fn, batch_format="pyarrow", batch_size=None
+                )
+            entries_rows = entries_ds.take_all()
+            _write_gen_stats(lake_dir, generation, entries_ds)
+        shutil.rmtree(spool_dir, ignore_errors=True)
     rows = entries_rows
-    shutil.rmtree(spool_dir, ignore_errors=True)
 
     partitions: dict[int, PartitionEntry] = {}
     for r in rows:

@@ -28,18 +28,19 @@ ORPHAN_OP = "__orphans__"
 
 def _first_of_key_mask(*key_arrays: pa.Array) -> np.ndarray:
     """Boolean mask of first occurrence per key tuple in a key-sorted
-    table: True where the key differs from the previous row."""
-    cols = [a.cast(pa.string()) if not pa.types.is_string(a.type) else a
-            for a in key_arrays]
-    k = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, "\x00")
-    if isinstance(k, pa.ChunkedArray):
-        k = k.combine_chunks()
-    n = len(k)
+    table: True where ANY key column differs from the previous row.
+    Column-wise neighbor compare — no joined-key string allocation."""
+    n = len(key_arrays[0])
     if n == 0:
         return np.zeros(0, dtype=bool)
-    neq = pc.not_equal(k.slice(1), k.slice(0, n - 1))
     mask = np.ones(n, dtype=bool)
-    mask[1:] = neq.to_numpy(zero_copy_only=False)
+    diff = np.zeros(n - 1, dtype=bool)
+    for a in key_arrays:
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        neq = pc.not_equal(a.slice(1), a.slice(0, n - 1))
+        diff |= pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+    mask[1:] = diff
     return mask
 
 
@@ -55,20 +56,56 @@ def fold_lww(
     at-least-once tolerance the reference gets from ReplacingMergeTree
     (src/ch_eth/init.rs:435-448 re-inserts every loop and survives only
     because of it).  Generic over key/order so it doubles as the
-    engine's keyed-dedup operator for arbitrary tables (TableSpec)."""
-    if t.num_rows == 0:
-        return t
-    t = t.sort_by(
-        [(k, "ascending") for k in key_cols] + [(order_col, "descending")]
+    engine's keyed-dedup operator for arbitrary tables (TableSpec).
+
+    The sort and the fold run over ONLY the key/order columns (plus an
+    optional subset of row positions); the wide payload (content etc.)
+    is gathered ONCE for the winner rows.  Physically sorting or
+    filtering the whole table costs seconds per 600 MB block just to
+    keep ~10k winners (measured at 50M events) — this path touches
+    O(rows) narrow columns + O(winners) wide ones."""
+    return _fold_lww_sel(t, None, count_col, key_cols, order_col)
+
+
+def _fold_lww_sel(
+    t: pa.Table,
+    row_sel: np.ndarray | None,
+    count_col: str | None = "n_events",
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    order_col: str = "commit_seq",
+) -> pa.Table:
+    """fold_lww restricted to ``row_sel`` positions (None = all rows)
+    WITHOUT materializing the subset of wide columns first."""
+    if t.num_rows == 0 or (row_sel is not None and len(row_sel) == 0):
+        return t.slice(0, 0)
+    if row_sel is None:
+        keys = [t.column(k) for k in key_cols]
+        order_arr = t.column(order_col)
+    else:
+        sel = pa.array(row_sel, pa.int64())
+        keys = [pc.take(t.column(k), sel) for k in key_cols]
+        order_arr = pc.take(t.column(order_col), sel)
+    key_tbl = pa.table(
+        {**{k: a for k, a in zip(key_cols, keys)}, "__o": order_arr}
     )
-    mask = _first_of_key_mask(*[t.column(k) for k in key_cols])
-    out = t.filter(pa.array(mask))
+    idx = pc.sort_indices(
+        key_tbl,
+        sort_keys=[(k, "ascending") for k in key_cols] + [("__o", "descending")],
+    )
+    keys_sorted = [pc.take(a, idx) for a in keys]
+    mask = _first_of_key_mask(*keys_sorted)
+    idx_np = idx.to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(mask)
+    win_local = idx_np[starts]
+    win_global = win_local if row_sel is None else row_sel[win_local]
+    out = t.take(pa.array(win_global, pa.int64()))
     if count_col and count_col in t.column_names:
         counts = t.column(count_col).to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(mask)
+        counts = counts if row_sel is None else counts[row_sel]
+        counts = counts[idx_np]
         summed = np.add.reduceat(counts, starts) if len(starts) else counts[:0]
-        idx = out.schema.get_field_index(count_col)
-        out = out.set_column(idx, count_col, pa.array(summed, pa.int64()))
+        ci = out.schema.get_field_index(count_col)
+        out = out.set_column(ci, count_col, pa.array(summed, pa.int64()))
     return out
 
 
@@ -84,13 +121,25 @@ def partial_lww(batch: pa.Table, spec=None) -> pa.Table:
     batch = batch.append_column(
         "n_events", pa.array(np.ones(batch.num_rows, dtype=np.int64))
     )
-    orphaned = batch.column("orphaned")
-    live = batch.filter(pc.invert(orphaned))
-    winners = fold_lww(live, "n_events", spec.key, spec.order_col)
-    orphans = batch.filter(orphaned)
+    # index-level routing: a boolean filter of the whole wide table
+    # copies every payload byte (measured ~12s per 600 MB block); the
+    # fold gathers wide columns only for the winner rows, and orphan
+    # counters only ever need 4 narrow columns
+    orphaned_np = (
+        batch.column("orphaned").combine_chunks().to_numpy(zero_copy_only=False)
+    )
+    live_sel = np.flatnonzero(~orphaned_np)
+    winners = _fold_lww_sel(
+        batch, None if len(live_sel) == batch.num_rows else live_sel,
+        "n_events", spec.key, spec.order_col,
+    )
     nullable = pa.schema([f.with_nullable(True) for f in winners.schema])
     winners = winners.cast(nullable)
-    if orphans.num_rows:
+    if len(live_sel) != batch.num_rows:
+        narrow = batch.select(
+            ["part_id", spec.order_col, "n_events", "schema_version"]
+        )
+        orphans = narrow.filter(pa.array(orphaned_np))
         counters = _orphan_counters(orphans, nullable, spec)
         winners = pa.concat_tables([winners, counters.cast(nullable)])
     return winners
