@@ -105,9 +105,18 @@ def _bucketed_union(
 
         return fn
 
-    ds = left.map_batches(tag("l"), batch_format="pyarrow", zero_copy_batch=True)
+    # coalesce small input blocks (batch_size concats up to the cap):
+    # the downstream sort pays a fixed per-block cost, and tiny tables
+    # otherwise arrive as dozens of near-empty blocks
+    ds = left.map_batches(
+        tag("l"), batch_format="pyarrow", batch_size=32768,
+        zero_copy_batch=True,
+    )
     ds = ds.union(
-        right.map_batches(tag("r"), batch_format="pyarrow", zero_copy_batch=True)
+        right.map_batches(
+            tag("r"), batch_format="pyarrow", batch_size=32768,
+            zero_copy_batch=True,
+        )
     )
     return ds, target
 

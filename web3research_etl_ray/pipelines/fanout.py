@@ -50,7 +50,7 @@ from ..schema import (
     schema_version_of,
     unify_to,
 )
-from ..stages.lww import partial_lww
+from ..stages.lww import fold_lww, partial_lww
 from ..stages.merge import ENTRY_SCHEMA, Merger
 from ..stages.normalize import orphan_mask
 from ..state.manifest import (
@@ -337,9 +337,33 @@ def replay_fanout(
         stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
+    # second-level combiner (same win as single-table replay): fold
+    # coalesced winner blocks per (__table, key, part_id) before the
+    # spool — cuts exchange rows/files by the coalescing factor
+    def second_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        outs = []
+        for ft in tables:
+            sub = t.filter(pc.equal(t.column("__table"), ft.spec.name))
+            if sub.num_rows:
+                outs.append(
+                    fold_lww(
+                        sub, "n_events",
+                        tuple(ft.spec.key) + ("part_id",),
+                        ft.spec.order_col,
+                    )
+                )
+        return pa.concat_tables(outs) if outs else t.slice(0, 0)
+
+    ds = ds.map_batches(
+        second_fold, batch_format="pyarrow", batch_size=1 << 18,
+        zero_copy_batch=True,
+    )
+
     spool_dir = os.path.join(lake_dir, "_shuffle", f"gen={generation:06d}")
     shutil.rmtree(spool_dir, ignore_errors=True)
-    ds.write_parquet(spool_dir, partition_cols=["__table", "part_id"])
+    ds.write_parquet(spool_dir, partition_cols=["__table", "part_id"], compression="lz4")
 
     units: list[dict] = []
     for ft in tables:
