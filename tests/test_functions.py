@@ -493,3 +493,38 @@ def test_minhash_end_to_end_dedup_clusters():
     kept = sorted(r["doc_id"] for r in dedup_keep_list(ds, pairs).take_all())
     assert 0 in kept and 1 not in kept and 3 not in kept
     assert 2 in kept and 4 in kept
+
+
+def test_knn_ivf_recall_on_clustered_data():
+    """IVF's advantage over data-oblivious LSH: TRAINED centroids.  On
+    clustered vectors (the realistic embedding-corpus case), probing
+    25% of cells recovers ~all true neighbors; on the near-random
+    driver fixture recall ~= probed fraction for ANY partition-based
+    ANN (geometry, not implementation)."""
+    from web3research_etl_ray.functions.similarity import knn_brute, knn_ivf
+
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((10, 32)) * 4
+    vecs, ids = [], []
+    for i in range(1500):
+        c = centers[i % 10]
+        vecs.append(c + rng.standard_normal(32) * 0.3)
+        ids.append(i)
+    t = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in vecs],
+                               pa.list_(pa.float64()))}
+    )
+    ds = ray.data.from_arrow(t)
+    qids = np.array(ids[:15])
+    qmat = np.stack(vecs[:15])
+    exact = knn_brute(ds, qids, qmat, k=10)
+    approx = knn_ivf(ds, qids, qmat, k=10, n_centroids=16, n_probe=4)
+    ex, ap = {}, {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx.to_pylist():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+    print(f"knn_ivf clustered recall@10 = {recall:.3f} at 4/16 cells probed")
+    assert recall >= 0.9

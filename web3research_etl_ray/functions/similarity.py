@@ -4,13 +4,14 @@
   broadcast ONCE (``ray.put`` → read per task), each batch does one
   numpy float64 matmul against it and emits only its local top-k
   candidates; the driver merges #batches × k small rows.  No shuffle.
-- ``knn_lsh``: the scale path — random-hyperplane LSH buckets both
-  sides so each query only scores its bucket's vectors (probing the
-  query's bucket ± multiprobe flips).  Trades recall for a ~B×
-  candidate reduction; same merge shape.
-- ``cosine_neardup_pairs``: all pairs with cosine >= tau (exact,
-  blocked matmul per batch against the broadcast matrix) — the
-  embedding near-dup operator.
+- ``knn_lsh``: scale path 1 — random-hyperplane LSH with
+  margin-ordered multiprobe; data-oblivious, zero training.
+- ``knn_ivf``: scale path 2 — IVF coarse quantization with centroids
+  TRAINED on a bounded corpus sample; wins on clustered (realistic)
+  embedding corpora.
+- ``cosine_neardup_pairs``: EXACT pairs with cosine >= tau as a
+  distributed block-pair exchange (no full-matrix broadcast);
+  ``cosine_neardup_lsh`` is the approximate corpus-scale variant.
 """
 
 from __future__ import annotations
@@ -369,3 +370,92 @@ def cosine_neardup_lsh(
             "cos_sim": pa.array([r["cos_sim"] for r in rows], pa.float64()),
         }
     )
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Tiny deterministic k-means (numpy) for IVF coarse quantization:
+    k-means++-lite init off a seeded RNG, Lloyd iterations, empty
+    clusters re-seeded from the farthest points."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(k, n), replace=False)].copy()
+    for _ in range(iters):
+        sims = sample @ cent.T  # rows are L2-normalized → cosine
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                cent[c] = v / nv if nv > 0 else cent[c]
+            else:  # re-seed empty cell from the worst-covered point
+                far = np.argmin(sims.max(axis=1))
+                cent[c] = sample[far]
+    return cent
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate top-k via IVF coarse quantization: centroids are
+    TRAINED on a bounded sample of the corpus (data-adaptive — unlike
+    the data-oblivious hyperplanes of knn_lsh), each vector is scored
+    only against queries probing its cell.  Candidate volume drops
+    ~n_probe/n_centroids-fold.  Recall measured in tests vs knn_brute.
+
+    The training sample is a bounded driver-side draw (train_sample
+    rows via ds.limit — fixed memory at any corpus size); centroids +
+    query matrix broadcast once via ray.put.
+    """
+    qmat = _normalize(query_mat)
+    sample_rows = ds.limit(train_sample).take_all()
+    smat = _normalize(
+        np.stack([np.asarray(r[vec_col], np.float64) for r in sample_rows])
+    )
+    cent = _kmeans(smat, n_centroids, seed=seed)
+    # each query probes its n_probe nearest cells
+    qcell = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]  # [Q, P]
+    ref = ray.put(
+        {"ids": np.asarray(query_ids), "mat": qmat, "cent": cent,
+         "qcell": qcell}
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_mat(batch, vec_col))
+        cells = np.argmax(mat @ q["cent"].T, axis=1)
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(len(q["ids"])):
+            sel = np.flatnonzero(np.isin(cells, q["qcell"][qi]))
+            if not len(sel):
+                continue
+            sims = mat[sel] @ q["mat"][qi]
+            order = np.argsort(-sims)[:k]
+            for j in order:
+                nid = int(ids[sel[j]])
+                if nid == int(q["ids"][qi]):
+                    continue
+                rows_q.append(int(q["ids"][qi]))
+                rows_n.append(nid)
+                rows_s.append(float(sims[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "neighbor_id": pa.array(rows_n, pa.int64()),
+                "cos_sim": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return _merge_topk(cands, k)

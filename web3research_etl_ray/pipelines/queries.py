@@ -1064,6 +1064,19 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
 """
 
 
+def q_knn_ivf(sf_dir: str) -> pa.Table:
+    """IVF ANN (trained coarse quantizer — the data-adaptive companion
+    to knn_lsh): top-10 for the first 5 vectors probing 6/16 cells.
+    Recall vs knn_brute measured in tests (0.9 at 25% cells on
+    clustered data; ~probed-fraction on this near-random fixture)."""
+    from ..functions.similarity import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids, mat = _load_queries(sf_dir)
+    out = knn_ivf(ds, ids, mat, k=10, n_centroids=16, n_probe=6)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs (tau=0.4 for this synthetic
     data; margin to the threshold verified >> float error).  Exact via
@@ -1626,6 +1639,7 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
