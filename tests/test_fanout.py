@@ -205,3 +205,34 @@ def test_fanout_sync_ticks_and_gc(tiny_stream, lake_dir):
     got = {r: c for r, c in zip(heads["repo"].to_pylist(),
                                 heads["commit"].to_pylist())}
     assert got == want
+
+
+def test_fanout_check_localizes_corruption(tiny_stream, lake_dir):
+    """check_fanout: per-table conformance over the multi-manifest —
+    green after replay, localizes a corrupted derived-table partition."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.check import check_fanout
+
+    tables = _tables()
+    replay_fanout(tiny_stream, lake_dir, tables, num_partitions=8)
+    reports = check_fanout(tiny_stream, lake_dir, tables)
+    assert set(reports) == {"repo_files", "repo_heads"}
+    assert all(r.ok for r in reports.values())
+
+    # corrupt a repo_heads partition file (flip one commit_seq)
+    part = sorted(glob.glob(os.path.join(
+        lake_dir, "tables", "repo_heads", "data", "gen=*", "part-*.parquet")))[0]
+    t = pq.read_table(part)
+    seqs = t.column("commit_seq").to_pylist()
+    seqs[0] = seqs[0] + 999_999
+    t = t.set_column(t.schema.get_field_index("commit_seq"), "commit_seq",
+                     pa.array(seqs, pa.int64()))
+    pq.write_table(t, part)
+
+    reports2 = check_fanout(tiny_stream, lake_dir, tables)
+    assert reports2["repo_files"].ok  # other table untouched
+    assert not reports2["repo_heads"].ok
+    assert reports2["repo_heads"].mismatched >= 1

@@ -111,40 +111,26 @@ def verify_integrity(
     return {int(r["part_id"]): int(r["sum(bad)"]) for r in agg}
 
 
-def check(
-    stream_dir: str,
-    lake_dir: str,
-    *,
-    from_seq: int | None = None,
-    batch_size: int = 8192,
-    spec: TableSpec = REPO_FILES,
-) -> CheckReport:
-    """Distributed conformance + integrity check, generic over spec.
-
-    ``from_seq`` bounds the re-check window by last-writer seq (the
-    reference re-checks the trailing 100k blocks every 4h,
-    src/ch_eth/sync.rs:348-350): only keys whose winner order-col >=
-    from_seq are compared.
-    """
-    manifest = load_latest(lake_dir)
-    if manifest is None:
-        raise FileNotFoundError(f"no committed lake under {lake_dir}")
-    P = manifest.num_partitions
-    ranges = load_rollback_ranges(stream_dir)
-    files = event_files(stream_dir)
+def _conformance_rows(
+    files: list[str],
+    lake_ds: ray.data.Dataset,
+    P: int,
+    ranges: list[tuple[int, int]],
+    spec: TableSpec,
+    from_seq: int | None,
+    exp_prepare,
+) -> list[dict]:
+    """Shared conformance fold: expected (derived+folded events) vs
+    lake rows, one union → groupby(part_id) exchange, vectorized
+    per-partition anti-join compare.  ``exp_prepare(batch)`` maps a raw
+    event batch to folded winner rows carrying part_id/op/n_events."""
     key = list(spec.key)
     order = spec.order_col
     vcols = _value_cols(spec)
     cmp_cols = key + [c for c in vcols if c not in key]
 
-    normalize = Normalize(P, ranges, spec)
-
     def _exp_stage(t: pa.Table) -> pa.Table:
-        """Fused normalize → partial fold → compare-column projection
-        (one call per schema-homogeneous block, batch_size=None).  The
-        hash invariant is computed here on the folded winners only —
-        the per-event stream carries no hash column."""
-        t = partial_lww(normalize(t), spec)
+        t = exp_prepare(t)
         if spec.hash_source and spec.hash_col:
             t = t.append_column(
                 spec.hash_col, sha256_binary(t.column(spec.hash_source))
@@ -169,7 +155,7 @@ def check(
         t = t.append_column("n_events", pa.array(np.zeros(n, dtype=np.int64)))
         return t.append_column("src", pa.array(["l"] * n))
 
-    lake_ds = read_lake(lake_dir, columns=cmp_cols).map_batches(
+    lake_ds = lake_ds.map_batches(
         _tag_lake, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -240,10 +226,12 @@ def check(
             }
         )
 
-    rows = ds.groupby("part_id").map_groups(
+    return ds.groupby("part_id").map_groups(
         _compare_groups, batch_format="pyarrow"
     ).take_all()
 
+
+def _rows_to_report(rows: list[dict]) -> CheckReport:
     report = CheckReport(partitions_checked=len(rows))
     for r in rows:
         report.rows_expected += int(r["n_expected"])
@@ -253,6 +241,45 @@ def check(
         report.mismatched += int(r["mismatched"])
         if r["missing"] or r["extra"] or r["mismatched"]:
             report.bad_partitions.append(int(r["part_id"]))
+    report.bad_partitions.sort()
+    return report
+
+
+def check(
+    stream_dir: str,
+    lake_dir: str,
+    *,
+    from_seq: int | None = None,
+    batch_size: int = 8192,
+    spec: TableSpec = REPO_FILES,
+) -> CheckReport:
+    """Distributed conformance + integrity check, generic over spec.
+
+    ``from_seq`` bounds the re-check window by last-writer seq (the
+    reference re-checks the trailing 100k blocks every 4h,
+    src/ch_eth/sync.rs:348-350): only keys whose winner order-col >=
+    from_seq are compared.
+    """
+    manifest = load_latest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake under {lake_dir}")
+    P = manifest.num_partitions
+    ranges = load_rollback_ranges(stream_dir)
+    files = event_files(stream_dir)
+    normalize = Normalize(P, ranges, spec)
+    cmp_cols = list(spec.key) + [
+        c for c in _value_cols(spec) if c not in spec.key
+    ]
+    rows = _conformance_rows(
+        files,
+        read_lake(lake_dir, columns=cmp_cols),
+        P,
+        ranges,
+        spec,
+        from_seq,
+        exp_prepare=lambda t: partial_lww(normalize(t), spec),
+    )
+    report = _rows_to_report(rows)
     for pid, bad in verify_integrity(lake_dir, spec).items():
         if bad:
             report.corrupt += bad
@@ -260,6 +287,50 @@ def check(
                 report.bad_partitions.append(pid)
     report.bad_partitions.sort()
     return report
+
+
+def check_fanout(
+    stream_dir: str,
+    lake_dir: str,
+    tables,
+    *,
+    from_seq: int | None = None,
+) -> dict[str, CheckReport]:
+    """Per-table conformance check of a multi-table fan-out lake — the
+    reference's per-chain/per-table check skeleton
+    (src/ch_eth/check.rs:10-66 etc.) over the atomic multi-manifest.
+    Each table's expected state is re-derived through the SAME
+    FanoutNormalize stage replay uses, so derive fns are covered too."""
+    from ..state.manifest import load_latest_multi
+    from .fanout import FanoutNormalize, read_fanout_table
+
+    manifest = load_latest_multi(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed multi-lake under {lake_dir}")
+    ranges = load_rollback_ranges(stream_dir)
+    files = event_files(stream_dir)
+    reports: dict[str, CheckReport] = {}
+    for ft in tables:
+        spec = ft.spec
+        ts = manifest.tables.get(spec.name)
+        if ts is None:
+            raise KeyError(f"table {spec.name} not in manifest")
+        P = ts.num_partitions
+        stage = FanoutNormalize([ft], P, ranges)
+        cmp_cols = list(spec.key) + [
+            c for c in _value_cols(spec) if c not in spec.key
+        ]
+        rows = _conformance_rows(
+            files,
+            read_fanout_table(lake_dir, spec.name, columns=cmp_cols),
+            P,
+            ranges,
+            spec,
+            from_seq,
+            exp_prepare=lambda t, _s=stage: _s(t).drop_columns(["__table"]),
+        )
+        reports[spec.name] = _rows_to_report(rows)
+    return reports
 
 
 def repair(
