@@ -15,6 +15,12 @@ The manifest also carries the per-partition watermark (analogue of the
 reference's ``SELECT max(number)`` progress probe,
 src/ch_eth/sync.rs:341-344) and lineage counters, and records applied
 rollbacks + schema version (FIXTURES.md §5).
+
+Concurrency contract: ONE writer per lake (matching the reference's
+single sync loop per chain).  Readers are always safe (they resolve
+LATEST once and read an immutable generation); two concurrent writers
+would last-write-win the LATEST pointer — serializing them (or CAS on
+the pointer via the lake's object store) is the deployment's job.
 """
 
 from __future__ import annotations
