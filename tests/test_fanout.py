@@ -236,3 +236,71 @@ def test_fanout_check_localizes_corruption(tiny_stream, lake_dir):
     assert reports2["repo_files"].ok  # other table untouched
     assert not reports2["repo_heads"].ok
     assert reports2["repo_heads"].mismatched >= 1
+
+
+def test_fanout_wide_many_tables(tiny_stream, lake_dir):
+    """The tron shape (44 tables per block, reference
+    src/ch_tron/init.rs:76-214): a WIDE fan-out list — base table plus
+    12 per-lang derived tables — through ONE spool and ONE atomic
+    commit.  Width must not change semantics: each lang table holds
+    the per-(repo,lang-bucket) head."""
+    import numpy as np
+
+    from web3research_etl_ray.schema import TableSpec
+
+    def lang_table(b: int):
+        schema = pa.schema(
+            [
+                pa.field("repo", pa.string(), nullable=False),
+                pa.field("path", pa.string(), nullable=False),
+                pa.field("commit_seq", pa.int64(), nullable=False),
+            ]
+        )
+        spec = TableSpec(
+            name=f"bucket_{b:02d}",
+            schema=schema,
+            key=("repo", "path"),
+            event_schema=schema.append(pa.field("op", pa.string())),
+        )
+
+        def derive(t: pa.Table, _b=b) -> pa.Table:
+            # deterministic 12-way split by path hash — each event lands
+            # in exactly one derived table
+            import numpy as np_
+
+            from web3research_etl_ray.functions.hashing import key_hash64
+
+            h = key_hash64(t.column("path")) % np_.uint64(12)
+            sub = t.filter(pa.array(h == _b))
+            return pa.table(
+                {
+                    "repo": sub.column("repo"),
+                    "path": sub.column("path"),
+                    "commit_seq": sub.column("commit_seq"),
+                    "op": sub.column("op"),
+                }
+            )
+
+        return FanoutTable(spec, derive)
+
+    tables = [FanoutTable(REPO_FILES, None)] + [lang_table(b) for b in range(12)]
+    m = replay_fanout(tiny_stream, lake_dir, tables, num_partitions=4)
+    assert len(m.tables) == 13
+    from web3research_etl_ray.oracle import oracle_fold, tables_equal
+
+    lake = oracle_fold(tiny_stream)
+    assert tables_equal(fanout_table(lake_dir, "repo_files"), lake)
+    # union of the 12 split tables == LWW state over ALL events per key
+    # (deletes carry op through derive, so tombstoned keys are absent)
+    from web3research_etl_ray.functions.hashing import key_hash64
+    import numpy as np_
+
+    total = 0
+    for b in range(12):
+        t = fanout_table(lake_dir, f"bucket_{b:02d}")
+        if t.num_rows == 0:
+            continue
+        h = key_hash64(t.column("path")) % np_.uint64(12)
+        assert (h == b).all()  # routing respected
+        total += t.num_rows
+    assert total == lake.num_rows
