@@ -304,3 +304,25 @@ def test_fanout_wide_many_tables(tiny_stream, lake_dir):
         assert (h == b).all()  # routing respected
         total += t.num_rows
     assert total == lake.num_rows
+
+
+def test_randomized_fanout_streams_match_oracles(tmp_path):
+    """Randomized fan-out sweep: generated streams (different seeds →
+    different rollbacks/skew/schema boundaries) through the 2-table
+    fan-out must match both per-table oracles."""
+    import numpy as np
+
+    from web3research_etl_ray.gen import generate_events
+    from web3research_etl_ray.oracle import oracle_fold, tables_equal
+
+    for seed in (13, 77):
+        stream = str(tmp_path / f"s{seed}")
+        generate_events(stream, n_events=2_500, seed=seed)
+        lake = str(tmp_path / f"l{seed}")
+        replay_fanout(stream, lake, _tables(), num_partitions=7)
+        assert tables_equal(fanout_table(lake, "repo_files"), oracle_fold(stream))
+        want = _heads_oracle(stream)
+        heads = fanout_table(lake, "repo_heads")
+        got = {r: c for r, c in zip(heads["repo"].to_pylist(),
+                                    heads["commit"].to_pylist())}
+        assert got == want

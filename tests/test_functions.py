@@ -528,3 +528,33 @@ def test_knn_ivf_recall_on_clustered_data():
     recall = sum(len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
     print(f"knn_ivf clustered recall@10 = {recall:.3f} at 4/16 cells probed")
     assert recall >= 0.9
+
+
+def test_approx_quantiles_accuracy():
+    """Bottom-k sample quantiles: within ~2/sqrt(k) rank error of
+    exact per group, deterministic across runs."""
+    from web3research_etl_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(6)
+    n = 60_000
+    grp = np.array(["a", "b"])[rng.integers(0, 2, n)]
+    vals = np.where(grp == "a", rng.normal(100, 15, n), rng.exponential(50, n))
+    t = pa.table({"g": pa.array(grp), "v": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(t)
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in approx_quantiles(ds, ["g"], "v", qs=(0.5, 0.9), k=2048).take_all()
+    }
+    got2 = {
+        (r["g"], r["q"]): r["value"]
+        for r in approx_quantiles(ds, ["g"], "v", qs=(0.5, 0.9), k=2048).take_all()
+    }
+    assert got == got2  # deterministic
+    for g in ("a", "b"):
+        sub = np.sort(vals[grp == g])
+        for q in (0.5, 0.9):
+            exact = sub[int(q * (len(sub) - 1))]
+            est = got[(g, q)]
+            # rank-space error bound: |F(est) - q| <= ~2/sqrt(k)
+            rank_est = np.searchsorted(sub, est) / len(sub)
+            assert abs(rank_est - q) < 2 / np.sqrt(2048) + 0.01, (g, q, rank_est)

@@ -128,3 +128,89 @@ def hll_distinct(
         .groupby(group_cols)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles: mergeable bottom-k hash-rank sample
+# ---------------------------------------------------------------------------
+#
+# A deterministic uniform sample per group: every value gets a 64-bit
+# rank = mix64(hash(row identity)); each batch keeps its k smallest
+# ranks per group; partial samples MERGE by union + keep-k-smallest —
+# the classic bottom-k sketch, so the shuffle moves at most k rows per
+# (group, batch).  Quantiles read off the sorted sample: error
+# O(1/sqrt(k)) in rank space.
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 2048,
+) -> ray.data.Dataset:
+    """Approximate per-group quantiles of ``value_col``.  Returns a
+    Dataset (*group_cols, q, value) with one row per (group, q)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        # rank by a value-pure hash of the row's identity: value bits
+        # plus position salt so duplicate values still sample uniformly
+        from .hashing import _mix64
+
+        # int64 view so partial keep-k and merge keep-k use the SAME
+        # total order (mergeable bottom-k requires one rank order).
+        # NOTE: the positional salt makes the sample deterministic for
+        # a fixed input partitioning; pass an id column as value_col
+        # pre-combined if cross-partitioning determinism is required.
+        ranks = _mix64(
+            vals.view(np.uint64) ^ (np.arange(len(vals), dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        ).view(np.int64)
+        keys = [t.column(c) for c in group_cols]
+        key_str = keys[0].cast(pa.string()) if len(keys) == 1 else (
+            pc.binary_join_element_wise(*[x.cast(pa.string()) for x in keys], "\x00")
+        )
+        if isinstance(key_str, pa.ChunkedArray):
+            key_str = key_str.combine_chunks()
+        enc = key_str.dictionary_encode()
+        codes = np.asarray(enc.indices)
+        order = np.lexsort((ranks, codes))
+        codes_s, ranks_s, vals_s = codes[order], ranks[order], vals[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(codes_s)]))
+        keep_idx = np.concatenate(
+            [np.arange(s, min(s + k, e)) for s, e in zip(starts, ends)]
+        ) if len(starts) else np.zeros(0, np.int64)
+        take = pa.array(order[keep_idx], pa.int64())
+        cols = {c: pc.take(t.column(c), take) for c in group_cols}
+        cols["__rank"] = pa.array(ranks_s[keep_idx], pa.int64())
+        cols["__val"] = pa.array(vals_s[keep_idx], pa.float64())
+        return pa.table(cols)
+
+    def merge(group: pa.Table) -> pa.Table:
+        ranks = group.column("__rank").to_numpy(zero_copy_only=False)
+        vals = group.column("__val").to_numpy(zero_copy_only=False)
+        order = np.argsort(ranks, kind="stable")[:k]
+        sample = np.sort(vals[order])
+        cols = {c: group.column(c).slice(0, 1) for c in group_cols}
+        out = {c: [] for c in group_cols}
+        q_out, v_out = [], []
+        for q in qs:
+            pos = min(len(sample) - 1, int(round(q * (len(sample) - 1))))
+            for c in group_cols:
+                out[c].append(cols[c][0].as_py())
+            q_out.append(float(q))
+            v_out.append(float(sample[pos]))
+        res = {c: pa.array(out[c]) for c in group_cols}
+        res["q"] = pa.array(q_out, pa.float64())
+        res["value"] = pa.array(v_out, pa.float64())
+        return pa.table(res)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_cols)
+        .map_groups(merge, batch_format="pyarrow")
+    )

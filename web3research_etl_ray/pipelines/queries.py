@@ -659,6 +659,28 @@ def q_approx_distinct_users_per_type(sf_dir: str) -> pa.Table:
     )
 
 
+def q_approx_quantiles_value(sf_dir: str) -> pa.Table:
+    """Mergeable bottom-k-sample quantile sketch per event_type
+    (rank-space error ~1/sqrt(k); accuracy asserted vs exact in
+    tests).  The shuffle moves at most k sample rows per (type,
+    batch) regardless of row count — the sketch family companion to
+    the HLL distinct."""
+    from ..functions.sketch import approx_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    rows = approx_quantiles(
+        ds, ["event_type"], "value", qs=(0.5, 0.9), k=2048
+    ).take_all()
+    rows.sort(key=lambda r: (r["event_type"], r["q"]))
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+            "q": pa.array([r["q"] for r in rows], pa.float64()),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+        }
+    )
+
+
 def q_normalized_text_sha(sf_dir: str) -> pa.Table:
     """Text normalization (casefold) + content hash — the canonical-
     form fingerprint used before exact dedup of noisy corpora."""
@@ -1629,6 +1651,7 @@ QUERIES = {
     "distinct_langs": q_distinct_langs,
     "distinct_users_per_type": q_distinct_users_per_type,
     "approx_distinct_users_per_type": q_approx_distinct_users_per_type,
+    "approx_quantiles_value": q_approx_quantiles_value,
     "normalized_text_sha": q_normalized_text_sha,
     "top2_per_user": q_top2_per_user,
     "top_events": q_top_events,
