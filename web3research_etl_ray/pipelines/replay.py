@@ -321,20 +321,24 @@ def replay(
     # (at 50M events: ~2M spool rows → ~100k).  part_id joins the key
     # so per-partition orphan-counter rows never collapse across
     # partitions; for real rows part_id is a function of the key, so
-    # the fold semantics are unchanged.
-    refold_keys = tuple(spec.key) + ("part_id",)
+    # the fold semantics are unchanged.  Skipped for small pruned
+    # inputs (few winner blocks to coalesce — the stage would only add
+    # its fixed cost).
+    input_bytes = sum(os.path.getsize(f) for f in files)
+    if input_bytes >= (256 << 20):
+        refold_keys = tuple(spec.key) + ("part_id",)
 
-    def second_fold(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        return fold_lww(t, "n_events", refold_keys, spec.order_col)
+        def second_fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            return fold_lww(t, "n_events", refold_keys, spec.order_col)
 
-    ds = ds.map_batches(
-        second_fold,
-        batch_format="pyarrow",
-        batch_size=1 << 18,
-        zero_copy_batch=True,
-    )
+        ds = ds.map_batches(
+            second_fold,
+            batch_format="pyarrow",
+            batch_size=1 << 18,
+            zero_copy_batch=True,
+        )
 
     prior_files = {
         pid: (os.path.join(lake_dir, e.file) if e.file else None)
@@ -381,7 +385,6 @@ def replay(
         # large backfills win ~3x from the spool.  `files` is already
         # watermark-pruned, so a tiny tick over a huge lake still
         # picks groupby.
-        input_bytes = sum(os.path.getsize(f) for f in files)
         exchange = "groupby" if input_bytes < (512 << 20) else "spool"
     use_spool = exchange != "groupby" or bool(salt_buckets) or (
         merge_compute == "actors"
