@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "token_stats_documents",
     "knn_cosine",
     "minhash_lsh_pairs",
+    "simhash_neardup_pairs",
     "hash_join_orders_customer",
     "ngram_jaccard_pairs",
     "top_events",
