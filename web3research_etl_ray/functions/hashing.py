@@ -189,15 +189,45 @@ def rolling_fingerprint(arr: pa.Array | pa.ChunkedArray, window: int = 64) -> pa
     return pa.array(np.array(out, dtype=np.uint64).view(np.int64), pa.int64())
 
 
+#: fast-path cutoff for poly_hash_utf8: values this short pack into
+#: two 64-bit words (covers virtually all word tokens)
+_PACK_MAX = 16
+
+
+def _poly_hash_segments(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Byte-level polynomial hash of back-to-back segments in ``data``
+    (weighted byte sums via one reduceat), splitmix64-finalized."""
+    B = np.uint64(1099511628211)  # FNV prime, odd => good wraparound mixing
+    seg = data.astype(np.uint64)
+    pos_in = np.arange(len(seg), dtype=np.int64) - np.repeat(starts, lens)
+    maxlen = int(lens.max())
+    pows = np.ones(maxlen, dtype=np.uint64)
+    if maxlen > 1:
+        np.multiply.accumulate(np.full(maxlen - 1, B, dtype=np.uint64), out=pows[1:])
+    weighted = seg * pows[pos_in]
+    hs = np.add.reduceat(weighted, starts)
+    return _mix64(hs)
+
+
 def poly_hash_utf8(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """64-bit polynomial hash of each utf8/binary value, fully
-    vectorized off the Arrow buffers (no per-value Python): weighted
-    byte sums via one reduceat per chunk, finalized with splitmix64.
+    """64-bit hash of each utf8/binary value, fully vectorized off the
+    Arrow buffers (no per-value Python in the hot paths).
+
+    Values of <= 16 bytes — virtually every word token — pack into two
+    little-endian 64-bit words with ONE [m,16] gather and finalize
+    with splitmix64; the byte-level polynomial path (weighted byte
+    sums via reduceat) handles the longer tail.  The split is by VALUE
+    length, never by batch composition, so a given value hashes
+    identically across blocks / actors / runs — required by every
+    consumer (minhash signatures, simhash, HLL) that compares hashes
+    produced in different tasks.
 
     Values must be non-empty (callers filter empties first) — reduceat
     boundaries require strictly increasing offsets.
     """
-    B = np.uint64(1099511628211)  # FNV prime, odd => good wraparound mixing
+    B = np.uint64(1099511628211)
     n = len(arr)
     out = np.empty(n, dtype=np.uint64)
     pos = 0
@@ -224,17 +254,29 @@ def poly_hash_utf8(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
         lens = offs[1:] - offs[:-1]
         if lens.min() <= 0:
             raise ValueError("poly_hash_utf8 requires non-empty values")
-        seg = data[offs[0] : offs[-1]].astype(np.uint64)
+        seg = data[offs[0] : offs[-1]]
         starts_rel = offs[:-1] - offs[0]
-        pos_in = np.arange(len(seg), dtype=np.int64) - np.repeat(starts_rel, lens)
-        maxlen = int(lens.max())
-        pows = np.ones(maxlen, dtype=np.uint64)
-        if maxlen > 1:
-            np.multiply.accumulate(
-                np.full(maxlen - 1, B, dtype=np.uint64), out=pows[1:]
+        h = np.empty(m, dtype=np.uint64)
+        short = lens <= _PACK_MAX
+        si = np.flatnonzero(short)
+        if len(si):
+            dpad = np.concatenate([seg, np.zeros(_PACK_MAX, np.uint8)])
+            g = dpad[starts_rel[si][:, None] + np.arange(_PACK_MAX)]
+            g *= np.arange(_PACK_MAX)[None, :] < lens[si][:, None]
+            w = np.ascontiguousarray(g).view("<u8")
+            h[si] = _mix64(
+                (w[:, 1] * B + w[:, 0])
+                ^ (lens[si].astype(np.uint64) << np.uint64(48))
             )
-        weighted = seg * pows[pos_in]
-        hs = np.add.reduceat(weighted, starts_rel)
-        out[pos : pos + m] = _mix64(hs)
+        if len(si) < m:
+            li = np.flatnonzero(~short)
+            sub_lens = lens[li]
+            sub_starts = np.zeros(len(li), dtype=np.int64)
+            np.cumsum(sub_lens[:-1], out=sub_starts[1:])
+            total = int(sub_lens.sum())
+            intra = np.arange(total, dtype=np.int64) - np.repeat(sub_starts, sub_lens)
+            sub = seg[np.repeat(starts_rel[li], sub_lens) + intra]
+            h[li] = _poly_hash_segments(sub, sub_starts, sub_lens)
+        out[pos : pos + m] = h
         pos += m
     return out[:pos] if pos != n else out
