@@ -51,6 +51,41 @@ def test_fold_duplicate_delivery_invariant(events, dup_idx):
 
 
 @settings(max_examples=100, deadline=None)
+@given(
+    values=st.lists(
+        st.text(min_size=1, max_size=40).filter(lambda s: s.encode("utf-8")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_poly_hash_batch_composition_invariant(values):
+    """poly_hash_utf8(batch)[i] == poly_hash_utf8([v_i]) for arbitrary
+    unicode — the fast/slow split is by value length, never by batch
+    composition, which every cross-task hash comparison (minhash,
+    simhash, HLL) depends on.  Exercises the 16-byte packed-path
+    boundary since utf-8 lengths straddle it."""
+    import numpy as np
+
+    from web3research_etl_ray.functions.hashing import poly_hash_utf8
+
+    batch = poly_hash_utf8(pa.array(values, pa.string()))
+    singles = np.array(
+        [poly_hash_utf8(pa.array([v], pa.string()))[0] for v in values],
+        dtype=np.uint64,
+    )
+    assert (batch == singles).all()
+    # equal values hash equal; and chunked layout is irrelevant
+    if len(values) > 1:
+        mid = len(values) // 2 or 1
+        chunked = poly_hash_utf8(
+            pa.chunked_array(
+                [pa.array(values[:mid], pa.string()), pa.array(values[mid:], pa.string())]
+            )
+        )
+        assert (batch == chunked).all()
+
+
+@settings(max_examples=100, deadline=None)
 @given(events=events_strategy, split=st.integers(1, 39))
 def test_fold_associative_partial_then_final(events, split):
     """fold(fold(A) ∪ fold(B)) == fold(A ∪ B) — the partial/final
