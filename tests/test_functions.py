@@ -98,6 +98,47 @@ def test_simhash_neardup_rejects_bad_band_config():
         simhash_neardup_pairs(ds, num_bands=5)
 
 
+def test_connected_components_ds_matches_union_find():
+    """Distributed hash-to-min label propagation must equal the
+    driver union-find on adversarial shapes: a long path (worst-case
+    round count), a star, two disjoint cliques, and a random graph."""
+    from web3research_etl_ray.functions.dedup import (
+        connected_components,
+        connected_components_ds,
+    )
+
+    rng = np.random.default_rng(3)
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 140)]          # path
+    edges += [(200, j) for j in range(201, 221)]            # star
+    edges += [(a, b) for a in range(300, 306) for b in range(a + 1, 306)]
+    edges += [(a, b) for a in range(400, 406) for b in range(a + 1, 406)]
+    nodes = rng.integers(500, 560, size=(30, 2))            # random
+    edges += [(int(min(a, b)), int(max(a, b))) for a, b in nodes if a != b]
+    pairs = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in edges], pa.int64()),
+            "id_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).to_pylist()
+    }
+    got_ds = connected_components_ds(ray.data.from_arrow(pairs))
+    got = {(r["doc_id"], r["cluster_id"]) for r in got_ds.take_all()}
+    assert got == want
+
+
+def test_connected_components_ds_empty():
+    from web3research_etl_ray.functions.dedup import connected_components_ds
+
+    pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+    assert connected_components_ds(ray.data.from_arrow(pairs)).count() == 0
+
+
 def test_simhash_near_for_near_dups():
     from web3research_etl_ray.functions.text import hamming64, simhash64
 

@@ -690,6 +690,156 @@ def connected_components(pairs: pa.Table) -> pa.Table:
     )
 
 
+def connected_components_ds(
+    pairs: ray.data.Dataset, *, max_iters: int = 64
+) -> ray.data.Dataset:
+    """Distributed connected components over an (id_a, id_b) pair
+    Dataset: (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component — the scale path behind the driver-side
+    ``connected_components`` (which is fine for final near-dup pair
+    tables but not for 10^10-doc corpora where pairs alone exceed
+    driver memory).
+
+    Hash-to-min label propagation: each round, every node sends its
+    current label (a candidate component minimum) to every neighbor
+    and itself, and adopts the minimum it hears — two keyed exchanges
+    per round over O(E) fixed-width int rows, no driver state.
+    Labels are monotonically nonincreasing, so the driver-side
+    convergence probe (one Sum aggregate per round) terminates
+    exactly when a round changes nothing; rounds needed ~
+    O(log(component diameter)).  Tested for exact equality with the
+    union-find version on adversarial graph shapes."""
+    from ray.data.aggregate import Min, Sum
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(
+        both_directions, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}
+            )
+        )
+
+    # label(x) = min(x, min neighbor)
+    def seed_label(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        lbl = t.column("label").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "label": pa.array(np.minimum(node, lbl), pa.int64()),
+            }
+        )
+
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("nbr", alias_name="label"))
+        .map_batches(seed_label, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    NB = 64  # hash buckets per exchange — groups stay O(NB), not O(V)
+    #: absent-field sentinel: min() ignores it and ids stay int64
+    #: end-to-end (a null column would round-trip through float64 and
+    #: corrupt ids above 2^53)
+    _ABSENT = np.int64(np.iinfo(np.int64).max)
+
+    def tag_label(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "nbr": pa.array(np.full(t.num_rows, _ABSENT), pa.int64()),
+                "label": t.column("label"),
+                "__nb": pa.array(node % NB, pa.int64()),
+            }
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "nbr": t.column("nbr"),
+                "label": pa.array(np.full(t.num_rows, _ABSENT), pa.int64()),
+                "__nb": pa.array(node % NB, pa.int64()),
+            }
+        )
+
+    def bucket_fan_out(group: pa.Table) -> pa.Table:
+        """All of one hash bucket's nodes at once, vectorized: sort by
+        node, per-run min label (label rows), then every edge row
+        emits (nbr, run_label) plus one self-message per node."""
+        node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        nbrs = group.column("nbr").to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = group.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        node, nbrs, labs = node[order], nbrs[order], labs[order]
+        is_start = np.concatenate(([True], node[1:] != node[:-1]))
+        starts = np.flatnonzero(is_start)
+        run_lbl = np.minimum.reduceat(labs, starts)  # sentinel-ignoring
+        run_id = np.cumsum(is_start) - 1
+        row_lbl = run_lbl[run_id]
+        edge_mask = nbrs != _ABSENT
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate([nbrs[edge_mask], node[starts]]), pa.int64()
+                ),
+                "label": pa.array(
+                    np.concatenate([row_lbl[edge_mask], run_lbl]), pa.int64()
+                ),
+            }
+        )
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        """Per-batch (node, min label) — the combiner before the min
+        exchange: the shuffle moves one row per (node, batch)."""
+        return t.group_by("node").aggregate([("label", "min")]).rename_columns(
+            ["node", "label"]
+        )
+
+    for _ in range(max_iters):
+        msgs = (
+            labels.map_batches(tag_label, batch_format="pyarrow", zero_copy_batch=True)
+            .union(
+                edges.map_batches(
+                    tag_edge, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("__nb")
+            .map_groups(bucket_fan_out, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:  # labels nonincreasing => fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def dedup_keep_list(
     docs: ray.data.Dataset, pairs: pa.Table, id_col: str = "doc_id"
 ) -> ray.data.Dataset:

@@ -1600,6 +1600,22 @@ def q_simhash_neardup_pairs(sf_dir: str) -> pa.Table:
     return simhash_neardup_pairs(ds, max_hamming=3, num_bands=4)
 
 
+def q_dedup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup clusters: MinHash-LSH pairs → distributed hash-to-min
+    connected components → (doc_id, cluster_id)."""
+    from ..functions.dedup import connected_components_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    rows = connected_components_ds(ray.data.from_arrow(pairs)).take_all()
+    if not rows:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cluster_id": pa.array([], pa.int64())}
+        )
+    return pa.Table.from_pylist(rows).sort_by("doc_id")
+
+
 def q_knn_lsh(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     ids, mat = _load_queries(sf_dir)
@@ -1683,6 +1699,7 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
