@@ -1,0 +1,103 @@
+"""Incremental near-dup index: per-tick results must equal the batch
+operator run over everything ingested so far, restricted to pairs
+involving the tick's docs — the O(new docs) path with no loss."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and keeps running through "
+    "the quiet forest while the morning light rises slowly over the hills"
+)
+
+
+def _docs(ids, texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _pairs_set(t: pa.Table):
+    return set(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+
+
+def test_incremental_index_matches_batch_operator(tmp_path):
+    from web3research_etl_ray.functions.dedup import minhash_lsh_pairs
+    from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
+
+    texts_a = [
+        BASE,
+        BASE + " extra tail words here",  # near-dup of 0 (within tick 1)
+        "completely different content about database engines and arrow "
+        "record batches flowing through a streaming execution engine",
+        "yet another unrelated document discussing parquet row groups "
+        "predicate pushdown and column pruning at scan time",
+    ]
+    ids_a = [0, 1, 2, 3]
+    # tick 2: a near-dup of an OLD doc, an internal near-dup pair, and
+    # an unrelated doc
+    texts_b = [
+        BASE + " with a small suffix change",            # ~ dup of 0/1
+        "fresh corpus text about deterministic replay engines and "
+        "manifest generations in a parquet lake with watermarks",
+        "fresh corpus text about deterministic replay engines and "
+        "manifest generations in a parquet lake with watermarks today",
+        "isolated text mentioning nothing in common with anything else "
+        "quantum banana harvest telescope",
+    ]
+    ids_b = [100, 101, 102, 103]
+
+    ds_a = ray.data.from_arrow(_docs(ids_a, texts_a))
+    ds_b = ray.data.from_arrow(_docs(ids_b, texts_b))
+    ds_ab = ray.data.from_arrow(_docs(ids_a + ids_b, texts_a + texts_b))
+
+    idx = MinHashIndex(str(tmp_path / "idx"))
+
+    got1 = idx.dedup_tick(ds_a, threshold=0.3)
+    want1 = minhash_lsh_pairs(ds_a, threshold=0.3)
+    assert _pairs_set(got1) == _pairs_set(want1)
+    assert (0, 1) in _pairs_set(got1)
+
+    got2 = idx.dedup_tick(ds_b, threshold=0.3)
+    batch_all = minhash_lsh_pairs(ds_ab, threshold=0.3)
+    b_ids = set(ids_b)
+    want2 = {
+        p for p in _pairs_set(batch_all) if p[0] in b_ids or p[1] in b_ids
+    }
+    assert _pairs_set(got2) == want2
+    assert (101, 102) in _pairs_set(got2)        # internal to tick 2
+    assert any(a in (0, 1) and b == 100 for a, b in _pairs_set(got2))  # cross-tick
+    # old-old pairs are never re-reported
+    assert (0, 1) not in _pairs_set(got2)
+    # est_jaccard values match the batch operator's
+    est_batch = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"] for r in batch_all.to_pylist()
+    }
+    for r in got2.to_pylist():
+        assert r["est_jaccard"] == pytest.approx(est_batch[(r["id_a"], r["id_b"])])
+
+
+def test_index_param_mismatch_raises(tmp_path):
+    from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
+
+    MinHashIndex(str(tmp_path / "idx"), num_perm=64)
+    with pytest.raises(ValueError):
+        MinHashIndex(str(tmp_path / "idx"), num_perm=32)
+
+
+def test_empty_tick_is_safe(tmp_path):
+    from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
+
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    out = idx.dedup_tick(
+        ray.data.from_arrow(_docs([], [])), threshold=0.5
+    )
+    assert out.num_rows == 0

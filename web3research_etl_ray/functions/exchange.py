@@ -41,7 +41,10 @@ def attach_pair_values(
 ) -> ray.data.Dataset:
     """Returns a Dataset (id_a, id_b, *carry_cols, value_a, value_b).
 
-    ``pairs`` must have int64 id_a/id_b (+ carry cols); ``values`` must
+    ``pairs`` must have int64 id_a/id_b (+ carry cols) and be DISTINCT
+    on (id_a, id_b) — the pivot pairs sorted slot rows positionally,
+    so a duplicate pair would attach one doc's value to both sides
+    (dedup with a (id_a, id_b) groupby first); ``values`` must
     have one row per doc (doc_col, value_col).  Carry columns ride the
     slot-0 side row and are emitted once per pair.  Pass
     ``carry_types`` to avoid the schema probe (Dataset.schema() may

@@ -1,0 +1,361 @@
+"""Incremental near-duplicate detection at ingest: a persistent,
+bucketed MinHash band index that makes each tick O(new docs), not
+O(corpus).
+
+The batch operator (``functions/dedup.py::minhash_lsh_pairs``)
+re-shingles the whole corpus every run — right for one-shot dedup,
+wrong for a CDC lake ingesting ticks forever (the reference's `sync`
+loop shape, `/root/reference/src/ch_eth/sync.rs`).  This module keeps
+LSH state ON DISK next to the lake, the same philosophy as the
+engine's Parquet-lake-plus-manifest:
+
+    <root>/config.json                         hash params (validated per tick)
+    <root>/bands/bucket=K/*.parquet            (band_key, doc_id) rows
+    <root>/sigs/bucket=K/*.parquet             (doc_id, sig) rows
+
+Per tick:
+  1. signature + band explode for the NEW docs only (vectorized
+     MinHasher);
+  2. candidate generation reads ONLY the band buckets the new docs
+     touch (dir-level pruning — the 10^10-doc index never scans);
+     pairs must involve >=1 new doc, so previously-reported old-old
+     pairs are never re-emitted;
+  3. verify attaches signatures via the generic 2-shuffle
+     ``attach_pair_values`` exchange — old signatures read only from
+     the doc buckets that candidates touch;
+  4. the new rows append into the bucket dirs (one file per tick per
+     touched bucket).
+
+Crash note: appends land AFTER the pair table is computed; a re-run
+of a half-appended tick re-emits the same pairs (dedup downstream is
+idempotent by (id_a, id_b)) and duplicate band/sig rows only cost
+bytes — candidate runs dedup ids, and the sig attach picks one row
+per doc.  Wrap ticks in the lake's two-phase manifest if exactly-once
+index bytes matter.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.dedup import MinHasher, explode_bands
+from ..functions.exchange import attach_pair_values
+
+_CONFIG = "config.json"
+
+
+def _bucket_files(root: str, sub: str, buckets: set[int]) -> list[str]:
+    out = []
+    for k in sorted(buckets):
+        d = os.path.join(root, sub, f"bucket={k}")
+        if os.path.isdir(d):
+            out += [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+    return out
+
+
+class MinHashIndex:
+    """Handle on the on-disk index; parameters are persisted on first
+    use and validated on every subsequent tick (signatures from
+    different parameter sets must never mix)."""
+
+    def __init__(
+        self,
+        root: str,
+        *,
+        num_perm: int = 64,
+        num_bands: int = 16,
+        shingle_k: int = 3,
+        band_buckets: int = 256,
+        doc_buckets: int = 64,
+    ):
+        cfg = {
+            "num_perm": num_perm,
+            "num_bands": num_bands,
+            "shingle_k": shingle_k,
+            "band_buckets": band_buckets,
+            "doc_buckets": doc_buckets,
+        }
+        path = os.path.join(root, _CONFIG)
+        if os.path.exists(path):
+            stored = json.load(open(path))
+            if stored != cfg:
+                raise ValueError(
+                    f"index at {root} was built with {stored}, got {cfg}"
+                )
+        else:
+            os.makedirs(root, exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(cfg, f)
+        self.root = root
+        self.__dict__.update(cfg)
+
+    # -- per-tick pipeline -------------------------------------------------
+
+    def dedup_tick(
+        self,
+        docs: ray.data.Dataset,
+        *,
+        threshold: float = 0.5,
+        max_bucket: int = 256,
+    ) -> pa.Table:
+        """Near-dup pairs INVOLVING the tick's new docs:
+        (id_a, id_b, est_jaccard), id_a < id_b, vs both the existing
+        index and the tick itself; then the new docs join the index."""
+        sig_t = pa.binary(self.num_perm * 8)
+
+        hasher = MinHasher(num_perm=self.num_perm, shingle_k=self.shingle_k)
+        sigs_new = (
+            docs.map_batches(
+                lambda t, _h=hasher: _h(t).select(["doc_id", "minhash"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+
+        def bands_of(t: pa.Table, is_new: int) -> pa.Table:
+            b = explode_bands(
+                t,
+                self.num_bands,
+                self.num_perm,
+                num_buckets=self.band_buckets,
+                sig_col="minhash",
+            )
+            return b.append_column(
+                "is_new", pa.array(np.full(b.num_rows, is_new, np.int8), pa.int8())
+            )
+
+        bands_new = sigs_new.map_batches(
+            lambda t: bands_of(t, 1), batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+        # dir-level pruning: ≤ band_buckets small ints reach the driver
+        touched = {
+            int(r["__bucket"]) for r in bands_new.groupby("__bucket").count().take_all()
+        }
+        old_files = _bucket_files(self.root, "bands", touched)
+        BB = self.band_buckets
+
+        def tag_old_bands(t: pa.Table) -> pa.Table:
+            keys = t.column("band_key").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "band_key": t.column("band_key"),
+                    "__bucket": pa.array(keys % BB, pa.int64()),
+                    "is_new": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+                }
+            )
+
+        if old_files:
+            bands_old = ray.data.read_parquet(
+                old_files, columns=["band_key", "doc_id"]
+            ).map_batches(
+                tag_old_bands, batch_format="pyarrow", zero_copy_batch=True
+            )
+            all_bands = bands_new.union(bands_old)
+        else:
+            all_bands = bands_new
+
+        def new_aware_pairs(group: pa.Table) -> pa.Table:
+            """Pairs within band_key runs that involve >=1 NEW doc —
+            old-old pairs were reported by the tick that made them."""
+            empty = pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+            if group.num_rows < 2:
+                return empty
+            keys = group.column("band_key").to_numpy(zero_copy_only=False)
+            ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+            new = group.column("is_new").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, keys))
+            keys, ids, new = keys[order], ids[order], new[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], keys[1:] != keys[:-1]))
+            )
+            lens = np.diff(np.concatenate((starts, [len(keys)])))
+            out_a, out_b = [], []
+            for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+                run_ids = ids[s : s + ln]
+                run_new = new[s : s + ln]
+                uids = np.unique(run_ids)
+                # a doc re-ingested as "new" wins the new flag
+                flags = np.zeros(len(uids), bool)
+                np.logical_or.at(
+                    flags, np.searchsorted(uids, run_ids), run_new.astype(bool)
+                )
+                nids = uids[flags]
+                oids = uids[~flags]
+                if len(nids) == 0 or len(uids) < 2:
+                    continue
+                if len(uids) > max_bucket:
+                    # star around the global min keeps components
+                    rep = uids[0]
+                    others = uids[1:]
+                    if flags[0]:
+                        lo, hi = np.full(len(others), rep), others
+                    else:
+                        lo, hi = np.full(len(nids), rep), nids
+                        mask = hi != rep
+                        lo, hi = lo[mask], hi[mask]
+                    out_a.append(lo.astype(np.int64))
+                    out_b.append(hi.astype(np.int64))
+                    continue
+                if len(nids) >= 2:
+                    iu, ju = np.triu_indices(len(nids), k=1)
+                    out_a.append(nids[iu])
+                    out_b.append(nids[ju])
+                if len(oids):
+                    gn = np.repeat(nids, len(oids))
+                    go = np.tile(oids, len(nids))
+                    out_a.append(np.minimum(gn, go))
+                    out_b.append(np.maximum(gn, go))
+            if not out_a:
+                return empty
+            return pa.table(
+                {
+                    "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                    "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                }
+            )
+
+        # cross-band duplicate pairs MUST collapse before the attach
+        # exchange (attach_pair_values requires distinct pairs — dup
+        # rows would pair with themselves in the pivot)
+        cands = (
+            all_bands.groupby("__bucket")
+            .map_groups(new_aware_pairs, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .count()
+            .map_batches(
+                lambda t: t.select(["id_a", "id_b"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+
+        # signatures for the verify: new sigs + only the OLD doc
+        # buckets that candidates touch (≤ doc_buckets ints on driver)
+        def db_of(t: pa.Table) -> pa.Table:
+            a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+            db = np.unique(np.concatenate([a, b]) % self.doc_buckets)
+            return pa.table({"db": pa.array(db, pa.int64())})
+
+        cands = cands.materialize()
+        if cands.count() == 0:
+            attached = None
+        else:
+            cand_dbs = {
+                int(r["db"])
+                for r in cands.map_batches(
+                    db_of, batch_format="pyarrow", zero_copy_batch=True
+                ).take_all()
+            }
+            sig_files = _bucket_files(self.root, "sigs", cand_dbs)
+            values = sigs_new.map_batches(
+                lambda t: t.rename_columns(["doc_id", "sig"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            if sig_files:
+                values = values.union(
+                    ray.data.read_parquet(sig_files, columns=["doc_id", "sig"])
+                )
+
+            attached = attach_pair_values(
+                cands,
+                values,
+                value_col="sig",
+                value_type=sig_t,
+                doc_buckets=self.doc_buckets,
+            )
+
+        P = self.num_perm
+
+        def verify(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"id_a": pa.array([], pa.int64()),
+                     "id_b": pa.array([], pa.int64()),
+                     "est_jaccard": pa.array([], pa.float64())}
+                )
+            a = t.column("id_a").to_numpy(zero_copy_only=False)
+            b = t.column("id_b").to_numpy(zero_copy_only=False)
+            va = np.frombuffer(
+                b"".join(t.column("value_a").to_pylist()), dtype="<u8"
+            ).reshape(t.num_rows, P)
+            vb = np.frombuffer(
+                b"".join(t.column("value_b").to_pylist()), dtype="<u8"
+            ).reshape(t.num_rows, P)
+            est = (va == vb).mean(axis=1)
+            sel = est >= threshold
+            return pa.table(
+                {
+                    "id_a": pa.array(a[sel], pa.int64()),
+                    "id_b": pa.array(b[sel], pa.int64()),
+                    "est_jaccard": pa.array(est[sel], pa.float64()),
+                }
+            )
+
+        rows = (
+            attached.map_batches(
+                verify, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+            if attached is not None
+            else []
+        )
+
+        # append the tick into the index — DISTRIBUTED partitioned
+        # writes (uuid filenames: a re-run adds, never clobbers)
+        bands_new.map_batches(
+            lambda t: pa.table(
+                {
+                    "band_key": t.column("band_key"),
+                    "doc_id": t.column("doc_id"),
+                    "bucket": t.column("__bucket"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).write_parquet(
+            os.path.join(self.root, "bands"), partition_cols=["bucket"]
+        )
+        DB = self.doc_buckets
+
+        def sig_rows(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "sig": t.column("minhash").cast(sig_t),
+                    "bucket": pa.array(ids % DB, pa.int64()),
+                }
+            )
+
+        sigs_new.map_batches(
+            sig_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(os.path.join(self.root, "sigs"), partition_cols=["bucket"])
+
+        if not rows:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
+        out = pa.Table.from_pylist(rows)
+        # cross-band duplicates: keep one row per pair
+        grp = out.group_by(["id_a", "id_b"]).aggregate([("est_jaccard", "max")])
+        return grp.rename_columns(["id_a", "id_b", "est_jaccard"]).sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending")]
+        )

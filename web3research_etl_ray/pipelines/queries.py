@@ -1600,6 +1600,42 @@ def q_simhash_neardup_pairs(sf_dir: str) -> pa.Table:
     return simhash_neardup_pairs(ds, max_hamming=3, num_bands=4)
 
 
+def q_incremental_dedup_pairs(sf_dir: str) -> pa.Table:
+    """Two-tick incremental near-dup over a deterministic split of the
+    documents table (even doc_ids first, then odd): the union of the
+    per-tick pair outputs equals the batch minhash_lsh_pairs result on
+    the full corpus (tested in tests/test_dedup_index.py) — but each
+    tick reads only the index buckets its docs touch."""
+    import shutil
+    import tempfile
+
+    from .dedup_index import MinHashIndex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity: int):
+        return ds.map_batches(
+            lambda t, _p=parity: t.filter(
+                pc.equal(
+                    pc.bit_wise_and(t.column("doc_id").cast(pa.int64()), 1), _p
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    root = tempfile.mkdtemp(prefix="dedup_idx_")
+    try:
+        idx = MinHashIndex(root)
+        t1 = idx.dedup_tick(half(0), threshold=0.5)
+        t2 = idx.dedup_tick(half(1), threshold=0.5)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return pa.concat_tables([t1, t2]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup clusters: MinHash-LSH pairs → distributed hash-to-min
     connected components → (doc_id, cluster_id)."""
@@ -1700,6 +1736,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "incremental_dedup_pairs": q_incremental_dedup_pairs,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
