@@ -85,6 +85,29 @@ def test_incremental_index_matches_batch_operator(tmp_path):
         assert r["est_jaccard"] == pytest.approx(est_batch[(r["id_a"], r["id_b"])])
 
 
+def test_compact_merges_files_and_preserves_results(tmp_path):
+    import glob
+
+    from web3research_etl_ray.functions.dedup import minhash_lsh_pairs
+    from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
+
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    t1 = [BASE, "unrelated text about arrow buffers and record batches"]
+    t2 = ["more unrelated text mentioning shuffles and spills to disk"]
+    t3 = [BASE + " with a trailing addition"]
+    idx.dedup_tick(ray.data.from_arrow(_docs([0, 1], t1)), threshold=0.3)
+    idx.dedup_tick(ray.data.from_arrow(_docs([2], t2)), threshold=0.3)
+    idx.compact()
+    for d in glob.glob(str(tmp_path / "idx" / "*" / "bucket=*")):
+        assert len(glob.glob(d + "/*.parquet")) == 1
+    got = idx.dedup_tick(ray.data.from_arrow(_docs([3], t3)), threshold=0.3)
+    batch = minhash_lsh_pairs(
+        ray.data.from_arrow(_docs([0, 1, 2, 3], t1 + t2 + t3)), threshold=0.3
+    )
+    want = {p for p in _pairs_set(batch) if 3 in p}
+    assert _pairs_set(got) == want and (0, 3) in want
+
+
 def test_index_param_mismatch_raises(tmp_path):
     from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
 

@@ -38,16 +38,44 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
+import ray
 import ray.data
 
 from ..functions.dedup import MinHasher, explode_bands
 from ..functions.exchange import attach_pair_values
 
 _CONFIG = "config.json"
+
+
+def _write_bucketed(ds: ray.data.Dataset, root: str, sub: str) -> None:
+    """ONE file per bucket per tick, written inside the bucket's own
+    group task (the engine's spool pattern).  A naive
+    ``write_parquet(partition_cols=...)`` splits every BLOCK by value
+    — measured 9.5k files for one 400k-doc tick, and per-file footer
+    overhead then dominates every later read."""
+
+    def write_group(g: pa.Table) -> pa.Table:
+        k = int(g.column("bucket")[0].as_py())
+        d = os.path.join(root, sub, f"bucket={k}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            g.drop_columns(["bucket"]),
+            os.path.join(d, f"{uuid.uuid4().hex}.parquet"),
+        )
+        return pa.table(
+            {"bucket": pa.array([k], pa.int64()),
+             "rows": pa.array([g.num_rows], pa.int64())}
+        )
+
+    ds.groupby("bucket").map_groups(
+        write_group, batch_format="pyarrow"
+    ).materialize()
 
 
 def _bucket_files(root: str, sub: str, buckets: set[int]) -> list[str]:
@@ -99,6 +127,49 @@ class MinHashIndex:
         self.root = root
         self.__dict__.update(cfg)
 
+    def compact(self) -> None:
+        """Merge each bucket's tick files into one — run occasionally
+        in a long-lived sync loop (files accumulate one per bucket per
+        tick).  One Ray task per bucket; a crash between writing the
+        merged file and unlinking the originals leaves duplicate rows,
+        which every reader tolerates (candidate runs dedup ids, the
+        sig attach picks one row per doc) — re-running compact heals
+        the layout."""
+
+        def merge_one(batch: pa.Table) -> pa.Table:
+            merged = []
+            for d in batch.column("dir").to_pylist():
+                files = [
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                ]
+                if len(files) <= 1:
+                    merged.append(0)
+                    continue
+                t = pa.concat_tables([pq.read_table(f) for f in files])
+                pq.write_table(
+                    t, os.path.join(d, f"compact-{uuid.uuid4().hex}.parquet")
+                )
+                for f in files:
+                    os.remove(f)
+                merged.append(len(files))
+            return pa.table({"merged": pa.array(merged, pa.int64())})
+
+        dirs = []
+        for sub in ("bands", "sigs"):
+            base = os.path.join(self.root, sub)
+            if os.path.isdir(base):
+                dirs += [
+                    {"dir": os.path.join(base, b)}
+                    for b in os.listdir(base)
+                    if b.startswith("bucket=")
+                ]
+        if dirs:
+            ray.data.from_items(dirs).map_batches(
+                merge_one, batch_format="pyarrow", batch_size=1
+            ).materialize()
+
     # -- per-tick pipeline -------------------------------------------------
 
     def dedup_tick(
@@ -146,18 +217,47 @@ class MinHashIndex:
         old_files = _bucket_files(self.root, "bands", touched)
         BB = self.band_buckets
 
+        # The tick's band-key set is the SMALL side: broadcast it once
+        # (ray.put, zero-copy numpy in each task) and drop old band
+        # rows with no matching new key BEFORE the exchange — an old
+        # row whose band_key no new doc shares cannot form a candidate
+        # involving this tick, and on unrelated corpora that is ~all of
+        # them.  Driver/broadcast cost is O(16·tick_docs·8 B); for
+        # ticks so large that this matters, raise band_buckets (fewer
+        # files read per tick) — the filter itself stays a vectorized
+        # searchsorted per batch.
+        new_keys = np.unique(
+            np.concatenate(
+                [
+                    b["band_key"]
+                    for b in bands_new.select_columns(["band_key"]).iter_batches(
+                        batch_format="numpy", batch_size=None
+                    )
+                ]
+                or [np.zeros(0, np.int64)]
+            )
+        )
+        keys_ref = ray.put(new_keys)
+
         def tag_old_bands(t: pa.Table) -> pa.Table:
-            keys = t.column("band_key").to_numpy(zero_copy_only=False)
+            keys = ray.get(keys_ref)
+            bk = t.column("band_key").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, bk)
+            hit = (pos < len(keys)) & (
+                keys[np.minimum(pos, max(len(keys) - 1, 0))] == bk
+            )
+            t = t.filter(pa.array(hit))
+            kept = t.column("band_key").to_numpy(zero_copy_only=False)
             return pa.table(
                 {
                     "doc_id": t.column("doc_id"),
                     "band_key": t.column("band_key"),
-                    "__bucket": pa.array(keys % BB, pa.int64()),
+                    "__bucket": pa.array(kept % BB, pa.int64()),
                     "is_new": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
                 }
             )
 
-        if old_files:
+        if old_files and len(new_keys):
             bands_old = ray.data.read_parquet(
                 old_files, columns=["band_key", "doc_id"]
             ).map_batches(
@@ -316,20 +416,23 @@ class MinHashIndex:
             else []
         )
 
-        # append the tick into the index — DISTRIBUTED partitioned
-        # writes (uuid filenames: a re-run adds, never clobbers)
-        bands_new.map_batches(
-            lambda t: pa.table(
-                {
-                    "band_key": t.column("band_key"),
-                    "doc_id": t.column("doc_id"),
-                    "bucket": t.column("__bucket"),
-                }
+        # append the tick into the index — distributed, ONE file per
+        # bucket per tick (uuid filenames: a re-run adds, never
+        # clobbers)
+        _write_bucketed(
+            bands_new.map_batches(
+                lambda t: pa.table(
+                    {
+                        "band_key": t.column("band_key"),
+                        "doc_id": t.column("doc_id"),
+                        "bucket": t.column("__bucket"),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).write_parquet(
-            os.path.join(self.root, "bands"), partition_cols=["bucket"]
+            self.root,
+            "bands",
         )
         DB = self.doc_buckets
 
@@ -343,9 +446,13 @@ class MinHashIndex:
                 }
             )
 
-        sigs_new.map_batches(
-            sig_rows, batch_format="pyarrow", zero_copy_batch=True
-        ).write_parquet(os.path.join(self.root, "sigs"), partition_cols=["bucket"])
+        _write_bucketed(
+            sigs_new.map_batches(
+                sig_rows, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            self.root,
+            "sigs",
+        )
 
         if not rows:
             return pa.table(
