@@ -8,6 +8,7 @@ init / sync / check per chain; plus our gen / compact / bench helpers).
     python -m web3research_etl_ray compact --lake DIR [--keep K]
     python -m web3research_etl_ray backup  --lake DIR --out DIR
     python -m web3research_etl_ray restore --backup DIR --lake DIR
+    python -m web3research_etl_ray dedup-tick --docs PARQUET --index DIR [--out F --compact]
 
 This entry point owns the Ray session (guarded init; library code never
 calls ray.init).
@@ -74,6 +75,20 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("restore", help="restore a backup snapshot")
     r.add_argument("--backup", required=True)
     r.add_argument("--lake", required=True)
+
+    dd = sub.add_parser(
+        "dedup-tick",
+        help="incremental near-dup tick: signature new docs, probe the "
+             "persistent MinHash band index, emit pairs, join the index",
+    )
+    dd.add_argument("--docs", required=True,
+                    help="parquet file/dir with (doc_id, text)")
+    dd.add_argument("--index", required=True, help="index root dir")
+    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument("--out", default=None,
+                    help="write pairs parquet here (else print count only)")
+    dd.add_argument("--compact", action="store_true",
+                    help="merge each bucket's tick files after the tick")
 
     st = sub.add_parser("stats", help="lake lineage/watermark summary")
     st.add_argument("--lake", required=True)
@@ -163,6 +178,22 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "dedup-tick":
+            import pyarrow.parquet as pq
+
+            import ray.data
+
+            from .pipelines.dedup_index import MinHashIndex
+
+            idx = MinHashIndex(args.index)
+            docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
+            pairs = idx.dedup_tick(docs, threshold=args.threshold)
+            if args.out:
+                pq.write_table(pairs, args.out)
+            if args.compact:
+                idx.compact()
+            print(json.dumps({"pairs": pairs.num_rows,
+                              "out": args.out, "compacted": args.compact}))
         elif args.cmd == "check":
             from .pipelines.check import check, repair
 
