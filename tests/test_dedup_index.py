@@ -108,6 +108,31 @@ def test_compact_merges_files_and_preserves_results(tmp_path):
     assert _pairs_set(got) == want and (0, 3) in want
 
 
+def test_duplicate_index_rows_are_benign(tmp_path):
+    """Crash-mid-append leaves duplicate band/sig files; every reader
+    must tolerate them (candidate runs dedup ids, sig attach picks one
+    row per doc) — simulate by literally doubling the tick's files."""
+    import glob
+    import shutil as sh
+
+    from web3research_etl_ray.functions.dedup import minhash_lsh_pairs
+    from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
+
+    t1 = [BASE, "unrelated text about arrow buffers and record batches"]
+    t2 = [BASE + " with a trailing addition"]
+
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.dedup_tick(ray.data.from_arrow(_docs([0, 1], t1)), threshold=0.3)
+    for f in glob.glob(str(tmp_path / "idx" / "*" / "bucket=*" / "*.parquet")):
+        sh.copy(f, f.replace(".parquet", "-dup.parquet"))
+    got = idx.dedup_tick(ray.data.from_arrow(_docs([2], t2)), threshold=0.3)
+    batch = minhash_lsh_pairs(
+        ray.data.from_arrow(_docs([0, 1, 2], t1 + t2)), threshold=0.3
+    )
+    want = {p for p in _pairs_set(batch) if 2 in p}
+    assert _pairs_set(got) == want and (0, 2) in want
+
+
 def test_index_param_mismatch_raises(tmp_path):
     from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
 
