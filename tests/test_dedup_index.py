@@ -141,6 +141,81 @@ def test_index_param_mismatch_raises(tmp_path):
         MinHashIndex(str(tmp_path / "idx"), num_perm=32)
 
 
+def test_sync_with_inline_dedup(tmp_path):
+    """CDC tail loop with dedup_index_root: each tick's newly applied
+    upsert contents probe the persistent index; a tick-2 near-dup of a
+    tick-1 file is reported as a cross-tick pair keyed by commit_seq."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.tail import sync
+    from web3research_etl_ray.schema import ROLLBACK_SCHEMA
+
+    stream = str(tmp_path / "stream")
+    os.makedirs(stream)
+    pq.write_table(
+        pa.table(
+            {
+                "barrier_seq": pa.array([], pa.int64()),
+                "orphan_from": pa.array([], pa.int64()),
+                "orphan_to": pa.array([], pa.int64()),
+            },
+            schema=ROLLBACK_SCHEMA,
+        ),
+        os.path.join(stream, "rollbacks.parquet"),
+    )
+
+    def seg(name, rows):
+        seqs = [s for s, _ in rows]
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": pa.array(["r1"] * len(rows), pa.string()),
+                    "path": pa.array([f"src/f{s}.py" for s in seqs], pa.string()),
+                    "commit": pa.array([f"c{s}" for s in seqs], pa.string()),
+                    "lang": pa.array(["py"] * len(rows), pa.string()),
+                    "content": pa.array([c for _, c in rows], pa.string()),
+                    "commit_seq": pa.array(seqs, pa.int64()),
+                    "op": pa.array(["upsert"] * len(rows), pa.string()),
+                }
+            ),
+            os.path.join(stream, name),
+        )
+
+    unrel_a = "import os\nvalue = os.environ.get('KEY') or compute_default(1, 2, 3)\n" * 3
+    unrel_b = "class Widget:\n    def render(self):\n        return template.format(self.name)\n" * 3
+    unrel_c = "SELECT col_one, col_two FROM some_table WHERE col_three > 42 ORDER BY col_one\n" * 3
+    seg("events-00000.parquet", [(0, BASE), (1, unrel_a), (2, unrel_b)])
+
+    lake = str(tmp_path / "lake")
+    idx_root = str(tmp_path / "dedup_idx")
+    got: list = []
+    sync(
+        stream,
+        lake,
+        max_ticks=1,
+        num_partitions=4,
+        dedup_index_root=idx_root,
+        dedup_threshold=0.3,
+        on_dedup_pairs=lambda t, p: got.append(p),
+    )
+    assert len(got) == 1 and got[0].num_rows == 0  # no dups in tick 1
+
+    seg("events-00001.parquet", [(3, BASE + " extra tail words"), (4, unrel_c)])
+    sync(
+        stream,
+        lake,
+        max_ticks=1,
+        num_partitions=4,
+        dedup_index_root=idx_root,
+        dedup_threshold=0.3,
+        on_dedup_pairs=lambda t, p: got.append(p),
+    )
+    assert len(got) == 2
+    assert _pairs_set(got[1]) == {(0, 3)}  # cross-tick near-dup by commit_seq
+
+
 def test_empty_tick_is_safe(tmp_path):
     from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
 

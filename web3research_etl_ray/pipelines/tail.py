@@ -36,18 +36,46 @@ def sync(
     check_window: int = 100_000,
     gc_keep: int = 5,
     on_tick: Callable[[int, Manifest], None] | None = None,
+    dedup_index_root: str | None = None,
+    dedup_threshold: float = 0.5,
+    on_dedup_pairs: Callable[[int, "object"], None] | None = None,
     **replay_kw,
 ) -> list[CheckReport]:
     """Run the tail loop.  ``max_ticks`` bounds it for tests/CLI;
     ``check_every=k`` runs the trailing-window health check every k
     ticks (reference cadence: every 4h over 100k blocks,
-    src/ch_eth/sync.rs:348,406)."""
+    src/ch_eth/sync.rs:348,406).
+
+    ``dedup_index_root`` enables INLINE near-dup detection at ingest:
+    after each tick commits, the tick's newly applied upsert contents
+    (``commit_seq`` in (prev watermark, new watermark], read with
+    Parquet pushdown) flow into the persistent MinHash band index
+    (``pipelines/dedup_index.py``) keyed by commit_seq, and the pairs
+    found — vs the whole ingest history, at O(tick) cost — go to
+    ``on_dedup_pairs(tick, pairs_table)``."""
     reports: list[CheckReport] = []
     tick = 0
+    prev_wm = None
+    if dedup_index_root is not None:
+        m0 = load_latest(lake_dir)
+        prev_wm = m0.max_watermark if m0 is not None else -1
     while max_ticks is None or tick < max_ticks:
         manifest = tail_once(stream_dir, lake_dir, **replay_kw)
         if on_tick:
             on_tick(tick, manifest)
+        if dedup_index_root is not None:
+            new_wm = manifest.max_watermark
+            if new_wm is not None and (prev_wm is None or new_wm > prev_wm):
+                pairs = _dedup_new_events(
+                    stream_dir,
+                    dedup_index_root,
+                    prev_wm if prev_wm is not None else -1,
+                    new_wm,
+                    dedup_threshold,
+                )
+                if on_dedup_pairs:
+                    on_dedup_pairs(tick, pairs)
+                prev_wm = new_wm
         tick += 1
         if check_every and tick % check_every == 0:
             latest = load_latest(lake_dir)
@@ -64,6 +92,41 @@ def sync(
         if poll_interval_s and (max_ticks is None or tick < max_ticks):
             time.sleep(poll_interval_s)
     return reports
+
+
+def _dedup_new_events(
+    stream_dir: str,
+    index_root: str,
+    prev_wm: int,
+    new_wm: int,
+    threshold: float,
+):
+    """Feed the tick's upsert contents into the incremental index;
+    doc_id = commit_seq (unique per event).  Pushdown keeps the read
+    to the tick's commit range."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    from .dedup_index import MinHashIndex
+    from .replay import event_files
+
+    ds = ray.data.read_parquet(
+        event_files(stream_dir),
+        columns=["commit_seq", "content", "op"],
+        filter=(
+            (pads.field("commit_seq") > prev_wm)
+            & (pads.field("commit_seq") <= new_wm)
+        ),
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("op"), "upsert"))
+        .select(["commit_seq", "content"])
+        .rename_columns(["doc_id", "text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return MinHashIndex(index_root).dedup_tick(ds, threshold=threshold)
 
 
 def sync_fanout(
