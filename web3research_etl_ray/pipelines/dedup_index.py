@@ -210,11 +210,6 @@ class MinHashIndex:
             lambda t: bands_of(t, 1), batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
 
-        # dir-level pruning: ≤ band_buckets small ints reach the driver
-        touched = {
-            int(r["__bucket"]) for r in bands_new.groupby("__bucket").count().take_all()
-        }
-        old_files = _bucket_files(self.root, "bands", touched)
         BB = self.band_buckets
 
         # The tick's band-key set is the SMALL side: broadcast it once
@@ -238,6 +233,10 @@ class MinHashIndex:
             )
         )
         keys_ref = ray.put(new_keys)
+        # dir-level pruning derives from the same key set (one driver
+        # stream, no extra shuffle): __bucket = band_key % BB
+        touched = {int(k) for k in np.unique(new_keys % BB)}
+        old_files = _bucket_files(self.root, "bands", touched)
 
         def tag_old_bands(t: pa.Table) -> pa.Table:
             keys = ray.get(keys_ref)
