@@ -26,12 +26,13 @@ Per tick:
   4. the new rows append into the bucket dirs (one file per tick per
      touched bucket).
 
-Crash note: appends land AFTER the pair table is computed; a re-run
-of a half-appended tick re-emits the same pairs (dedup downstream is
-idempotent by (id_a, id_b)) and duplicate band/sig rows only cost
-bytes — candidate runs dedup ids, and the sig attach picks one row
-per doc.  Wrap ticks in the lake's two-phase manifest if exactly-once
-index bytes matter.
+Crash note: band appends are fused into the candidate exchange (the
+bucket's group task writes its own new rows) and sig appends land at
+the end of the tick; a re-run of a half-appended tick re-emits the
+same pairs (dedup downstream is idempotent by (id_a, id_b)) and
+duplicate band/sig rows only cost bytes — candidate runs dedup ids,
+and the sig attach picks one row per doc (tested).  Wrap ticks in the
+lake's two-phase manifest if exactly-once index bytes matter.
 """
 
 from __future__ import annotations
@@ -266,9 +267,24 @@ class MinHashIndex:
         else:
             all_bands = bands_new
 
+        root = self.root
+
         def new_aware_pairs(group: pa.Table) -> pa.Table:
             """Pairs within band_key runs that involve >=1 NEW doc —
-            old-old pairs were reported by the tick that made them."""
+            old-old pairs were reported by the tick that made them.
+            Side effect: appends the bucket's NEW band rows to the
+            index right here (same bucket key — fusing the append into
+            this exchange saves shuffling the band rows twice)."""
+            is_new_col = group.column("is_new").to_numpy(zero_copy_only=False)
+            fresh = group.filter(pa.array(is_new_col == 1))
+            if fresh.num_rows:
+                k = int(fresh.column("__bucket")[0].as_py())
+                d = os.path.join(root, "bands", f"bucket={k}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    fresh.select(["band_key", "doc_id"]),
+                    os.path.join(d, f"{uuid.uuid4().hex}.parquet"),
+                )
             empty = pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
             )
@@ -415,24 +431,10 @@ class MinHashIndex:
             else []
         )
 
-        # append the tick into the index — distributed, ONE file per
-        # bucket per tick (uuid filenames: a re-run adds, never
-        # clobbers)
-        _write_bucketed(
-            bands_new.map_batches(
-                lambda t: pa.table(
-                    {
-                        "band_key": t.column("band_key"),
-                        "doc_id": t.column("doc_id"),
-                        "bucket": t.column("__bucket"),
-                    }
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ),
-            self.root,
-            "bands",
-        )
+        # band rows already appended inside new_aware_pairs (fused into
+        # the candidate exchange); sigs append here — distributed, ONE
+        # file per bucket per tick (uuid filenames: a re-run adds,
+        # never clobbers)
         DB = self.doc_buckets
 
         def sig_rows(t: pa.Table) -> pa.Table:
