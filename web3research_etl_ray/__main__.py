@@ -3,7 +3,7 @@ init / sync / check per chain; plus our gen / compact / bench helpers).
 
     python -m web3research_etl_ray gen     --out DIR --n-events N [--seed S]
     python -m web3research_etl_ray init    --stream DIR --lake DIR [--from-seq A --to-seq B]
-    python -m web3research_etl_ray sync    --stream DIR --lake DIR [--ticks K --check-every E]
+    python -m web3research_etl_ray sync    --stream DIR --lake DIR [--ticks K --check-every E --dedup-index DIR]
     python -m web3research_etl_ray check   --stream DIR --lake DIR [--repair]
     python -m web3research_etl_ray compact --lake DIR [--keep K]
     python -m web3research_etl_ray backup  --lake DIR --out DIR
@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
         if name == "sync":
             s.add_argument("--ticks", type=int, default=1)
             s.add_argument("--check-every", type=int, default=0)
+            s.add_argument("--dedup-index", default=None,
+                           help="enable inline near-dup detection against "
+                                "this persistent index dir")
+            s.add_argument("--dedup-threshold", type=float, default=0.5)
         if name == "check":
             s.add_argument("--repair", action="store_true")
 
@@ -163,18 +167,31 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "sync":
             from .pipelines.tail import sync
 
+            dedup_counts: list[int] = []
             reports = sync(
                 args.stream,
                 args.lake,
                 max_ticks=args.ticks,
                 check_every=args.check_every,
                 num_partitions=args.partitions,
+                dedup_index_root=args.dedup_index,
+                dedup_threshold=args.dedup_threshold,
+                on_dedup_pairs=(
+                    (lambda t, p: dedup_counts.append(p.num_rows))
+                    if args.dedup_index
+                    else None
+                ),
             )
             print(
                 json.dumps(
                     {
                         "ticks": args.ticks,
                         "checks": [r.__dict__ for r in reports],
+                        **(
+                            {"dedup_pairs_per_tick": dedup_counts}
+                            if args.dedup_index
+                            else {}
+                        ),
                     }
                 )
             )
