@@ -85,6 +85,53 @@ def test_incremental_index_matches_batch_operator(tmp_path):
         assert r["est_jaccard"] == pytest.approx(est_batch[(r["id_a"], r["id_b"])])
 
 
+def test_randomized_incremental_equals_batch(tmp_path):
+    """Fuzz the tick-equivalence invariant: random corpora with random
+    duplicate planting, split into a RANDOM number of ticks — the
+    union of per-tick outputs must equal the batch operator on the
+    full corpus, exactly (pairs and est values)."""
+    from web3research_etl_ray.functions.dedup import minhash_lsh_pairs
+    from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    for trial in range(3):
+        n = int(rng.integers(12, 40))
+        texts, ids = [], []
+        for i in range(n):
+            words = list(rng.choice(vocab, size=int(rng.integers(8, 40))))
+            if i > 0 and rng.random() < 0.3:  # mutate an earlier doc
+                src = texts[int(rng.integers(len(texts)))].split()
+                words = src.copy()
+                if words:
+                    words[int(rng.integers(len(words)))] = str(rng.choice(vocab))
+            texts.append(" ".join(words))
+            ids.append(100 * trial + i)
+
+        batch = minhash_lsh_pairs(
+            ray.data.from_arrow(_docs(ids, texts)), threshold=0.4
+        )
+        want = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"] for r in batch.to_pylist()
+        }
+
+        idx = MinHashIndex(str(tmp_path / f"idx{trial}"))
+        n_ticks = int(rng.integers(1, 5))
+        cuts = sorted(rng.choice(range(1, n), size=n_ticks - 1, replace=False)) if n_ticks > 1 else []
+        bounds = [0] + [int(c) for c in cuts] + [n]
+        got = {}
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            t = idx.dedup_tick(
+                ray.data.from_arrow(_docs(ids[lo:hi], texts[lo:hi])),
+                threshold=0.4,
+            )
+            for r in t.to_pylist():
+                got[(r["id_a"], r["id_b"])] = r["est_jaccard"]
+        assert set(got) == set(want), f"trial {trial}: pair sets differ"
+        for k in want:
+            assert got[k] == pytest.approx(want[k]), f"trial {trial}: est differs at {k}"
+
+
 def test_compact_merges_files_and_preserves_results(tmp_path):
     import glob
 
