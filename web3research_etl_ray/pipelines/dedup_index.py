@@ -182,7 +182,16 @@ class MinHashIndex:
     ) -> pa.Table:
         """Near-dup pairs INVOLVING the tick's new docs:
         (id_a, id_b, est_jaccard), id_a < id_b, vs both the existing
-        index and the tick itself; then the new docs join the index."""
+        index and the tick itself; then the new docs join the index.
+
+        Equivalence note: banding is per-doc deterministic, so for
+        band runs under ``max_bucket`` the union of per-tick outputs
+        equals the batch operator on the full corpus EXACTLY (fuzzed
+        in tests).  Runs over the cap emit star pairs, and the run
+        composition differs between batch and incremental — both
+        still preserve connected components (clusters/keep-lists are
+        unchanged), but pair-level identity is only guaranteed below
+        the cap."""
         sig_t = pa.binary(self.num_perm * 8)
 
         hasher = MinHasher(num_perm=self.num_perm, shingle_k=self.shingle_k)
