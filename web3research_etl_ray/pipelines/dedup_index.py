@@ -106,6 +106,7 @@ class MinHashIndex:
         shingle_k: int = 3,
         band_buckets: int = 256,
         doc_buckets: int = 64,
+        scheme: str = "oph",
     ):
         cfg = {
             "num_perm": num_perm,
@@ -113,6 +114,7 @@ class MinHashIndex:
             "shingle_k": shingle_k,
             "band_buckets": band_buckets,
             "doc_buckets": doc_buckets,
+            "scheme": scheme,
         }
         path = os.path.join(root, _CONFIG)
         if os.path.exists(path):
@@ -194,7 +196,9 @@ class MinHashIndex:
         the cap."""
         sig_t = pa.binary(self.num_perm * 8)
 
-        hasher = MinHasher(num_perm=self.num_perm, shingle_k=self.shingle_k)
+        hasher = MinHasher(
+            num_perm=self.num_perm, shingle_k=self.shingle_k, scheme=self.scheme
+        )
         sigs_new = (
             docs.map_batches(
                 lambda t, _h=hasher: _h(t).select(["doc_id", "minhash"]),
