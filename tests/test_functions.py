@@ -86,6 +86,32 @@ def test_simhash_neardup_pairs_exact_vs_bruteforce():
         assert hm == hamming64(sims[ia : ia + 1], sims[ib : ib + 1])[0]
 
 
+def test_minhash_schemes_guard_and_agree_on_planted_dups():
+    """Both signature schemes find the planted near-dup; oph rejects
+    non-power-of-two perm counts; schemes yield different signatures
+    (they must never be mixed — the dedup index configs guard this)."""
+    import pytest
+
+    from web3research_etl_ray.functions.dedup import MinHasher, minhash_lsh_pairs
+
+    with pytest.raises(ValueError):
+        MinHasher(num_perm=48, scheme="oph")
+    MinHasher(num_perm=48, scheme="perm")  # fine
+
+    texts = [BASE, BASE + " extra tail words here",
+             "entirely different content about execution engines"]
+    tbl = _docs_table(texts)
+    sigs = {}
+    for scheme in ("perm", "oph"):
+        h = MinHasher(scheme=scheme)
+        sigs[scheme] = h(tbl)["minhash"].to_pylist()
+        ds = ray.data.from_arrow(tbl)
+        pairs = minhash_lsh_pairs(ds, threshold=0.3, scheme=scheme)
+        got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+        assert (0, 1) in got and all(p == (0, 1) for p in got), scheme
+    assert sigs["perm"] != sigs["oph"]
+
+
 def test_simhash_neardup_rejects_bad_band_config():
     import pytest
 

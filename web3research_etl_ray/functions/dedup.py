@@ -326,6 +326,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     concurrency: int | None = None,
     max_bucket: int = 256,
+    scheme: str = "oph",
 ) -> pa.Table:
     """Near-duplicate pairs with signature-estimated Jaccard >=
     threshold: (id_a, id_b, est_jaccard), deduplicated across bands.
@@ -367,7 +368,7 @@ def minhash_lsh_pairs(
     # spin-up per invocation (measured); pass concurrency=N for an
     # explicit pool when hashers should hold heavier state.
     if concurrency is None:
-        hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+        hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k, scheme=scheme)
         sigged = docs.map_batches(
             lambda t, _h=hasher: to_exchange_format(_h(t)),
             batch_format="pyarrow",
@@ -376,7 +377,9 @@ def minhash_lsh_pairs(
     else:
         sigged = docs.map_batches(
             MinHasher,
-            fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+            fn_constructor_kwargs={
+                "num_perm": num_perm, "shingle_k": shingle_k, "scheme": scheme
+            },
             batch_format="pyarrow",
             concurrency=concurrency,
         ).map_batches(
