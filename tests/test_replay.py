@@ -187,3 +187,28 @@ def test_randomized_streams_replay_equals_oracle(tmp_path):
         assert tables_equal(lake_table(lake), oracle_fold(stream)), (
             seed, P, load_rollback_ranges(stream)
         )
+
+
+def test_auto_partitions_matches_explicit(tmp_path, tiny_stream):
+    """num_partitions="auto" sizes P from input bytes on the first
+    generation, pins to the committed P on later ticks, and converges
+    to the oracle state."""
+    from web3research_etl_ray.oracle import oracle_fold, tables_equal
+    from web3research_etl_ray.pipelines.replay import (
+        auto_partitions,
+        event_files,
+        lake_table,
+        replay,
+    )
+
+    files = event_files(tiny_stream)
+    assert auto_partitions(files) == 32  # tiny input → default
+    assert auto_partitions(files, target_bytes=1) == 1024  # clamp hi
+
+    lake = str(tmp_path / "lake_auto")
+    m = replay(tiny_stream, lake, num_partitions="auto")
+    assert m.num_partitions == 32
+    assert tables_equal(lake_table(lake), oracle_fold(tiny_stream))
+    # second tick with auto must keep the committed layout
+    m2 = replay(tiny_stream, lake, num_partitions="auto")
+    assert m2.num_partitions == m.num_partitions
