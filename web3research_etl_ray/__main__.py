@@ -54,7 +54,13 @@ def main(argv: list[str] | None = None) -> int:
         s = sub.add_parser(name)
         s.add_argument("--stream", required=True)
         s.add_argument("--lake", required=True)
-        s.add_argument("--partitions", type=int, default=32)
+        s.add_argument(
+            "--partitions",
+            type=lambda v: v if v == "auto" else int(v),
+            default=32,
+            help="partition count, or 'auto' (sized from input bytes "
+                 "on the first generation)",
+        )
         if name == "init":
             s.add_argument("--to-seq", type=int, default=None)
         if name == "sync":
