@@ -238,6 +238,56 @@ def test_fanout_check_localizes_corruption(tiny_stream, lake_dir):
     assert reports2["repo_heads"].mismatched >= 1
 
 
+def test_fanout_check_and_repair_heals_corruption(tiny_stream, lake_dir):
+    """check_and_repair_fanout: localize a corrupted derived-table
+    partition, rebuild it in ONE atomic generation, re-check green —
+    and the repair generation advances ALL tables together."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.check import (
+        check_and_repair_fanout,
+        check_fanout,
+    )
+    from web3research_etl_ray.state.manifest import load_latest_multi
+
+    tables = _tables()
+    replay_fanout(tiny_stream, lake_dir, tables, num_partitions=8)
+    gen0 = load_latest_multi(lake_dir).generation
+
+    part = sorted(glob.glob(os.path.join(
+        lake_dir, "tables", "repo_heads", "data", "gen=*", "part-*.parquet")))[0]
+    t = pq.read_table(part)
+    seqs = t.column("commit_seq").to_pylist()
+    seqs[0] = seqs[0] + 999_999
+    t = t.set_column(t.schema.get_field_index("commit_seq"), "commit_seq",
+                     pa.array(seqs, pa.int64()))
+    pq.write_table(t, part)
+
+    pre = check_and_repair_fanout(tiny_stream, lake_dir, tables)
+    assert not pre["repo_heads"].ok  # reports show what WAS wrong
+    post = check_fanout(tiny_stream, lake_dir, tables)
+    assert all(r.ok for r in post.values())
+    m = load_latest_multi(lake_dir)
+    assert m.generation > gen0  # repair = one new atomic generation
+
+
+def test_sync_fanout_periodic_check(tiny_stream, lake_dir):
+    """sync_fanout(check_every=1) runs the per-table trailing-window
+    check each tick and returns the reports."""
+    from web3research_etl_ray.pipelines.tail import sync_fanout
+
+    tables = _tables()
+    last, reports = sync_fanout(
+        tiny_stream, lake_dir, tables,
+        max_ticks=2, check_every=1, num_partitions=8,
+    )
+    assert len(reports) == 2
+    for rep in reports:
+        assert all(r.ok for r in rep.values())
+
+
 def test_fanout_wide_many_tables(tiny_stream, lake_dir):
     """The tron shape (44 tables per block, reference
     src/ch_tron/init.rs:76-214): a WIDE fan-out list — base table plus

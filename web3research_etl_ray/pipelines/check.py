@@ -365,3 +365,48 @@ def check_and_repair(
     if not report.ok:
         repair(stream_dir, lake_dir, report.bad_partitions, spec=spec)
     return report
+
+
+def repair_fanout(
+    stream_dir: str,
+    lake_dir: str,
+    tables,
+    bad: dict[str, list[int]],
+):
+    """Rebuild the given partitions of a multi-table fan-out lake from
+    full event history — ONE new atomic generation covering all
+    tables (no table can heal ahead of another)."""
+    from ..state.manifest import load_latest_multi
+    from .fanout import replay_fanout
+
+    manifest = load_latest_multi(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed multi-lake under {lake_dir}")
+    P = next(iter(manifest.tables.values())).num_partitions
+    return replay_fanout(
+        stream_dir,
+        lake_dir,
+        tables,
+        num_partitions=P,
+        force_repair_pids={k: frozenset(v) for k, v in bad.items() if v},
+    )
+
+
+def check_and_repair_fanout(
+    stream_dir: str,
+    lake_dir: str,
+    tables,
+    *,
+    from_seq: int | None = None,
+) -> dict[str, CheckReport]:
+    """Fan-out analogue of :func:`check_and_repair`: per-table
+    conformance, then one atomic repair generation for any partition
+    that failed.  Returns the PRE-repair reports (like the
+    single-table version) so callers see what was wrong."""
+    reports = check_fanout(stream_dir, lake_dir, tables, from_seq=from_seq)
+    bad = {
+        name: r.bad_partitions for name, r in reports.items() if not r.ok
+    }
+    if bad:
+        repair_fanout(stream_dir, lake_dir, tables, bad)
+    return reports

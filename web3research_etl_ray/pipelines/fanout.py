@@ -252,6 +252,7 @@ def replay_fanout(
     *,
     num_partitions: int = 16,
     upto_seq: int | None = None,
+    force_repair_pids: dict[str, frozenset[int]] | None = None,
     _crash_before_commit: bool = False,
 ) -> MultiManifest:
     """One fan-out replay generation: every table advances together or
@@ -293,6 +294,13 @@ def replay_fanout(
                 pids = frozenset(range(num_partitions))
             if pids:
                 repair_pids[ft.spec.name] = pids
+    if force_repair_pids:
+        # externally detected corruption (check_fanout) — rebuild
+        # those partitions from history in this generation
+        for name, pids in force_repair_pids.items():
+            repair_pids[name] = repair_pids.get(name, frozenset()) | frozenset(
+                pids
+            )
     any_repair = any(repair_pids.values())
 
     if watermark >= 0 and not any_repair:

@@ -136,25 +136,40 @@ def sync_fanout(
     *,
     max_ticks: int | None = None,
     poll_interval_s: float = 0.0,
+    check_every: int = 0,
+    check_window: int = 100_000,
     gc_keep: int = 5,
     on_tick: Callable | None = None,
     **replay_kw,
 ):
     """Tail loop for the multi-table fan-out lake: each tick is one
     cross-table-atomic incremental generation (all tables advance
-    together), with snapshot rotation."""
-    from ..state.manifest import gc_multi_generations
+    together), with snapshot rotation and — like :func:`sync` — an
+    optional trailing-window per-table conformance check + atomic
+    repair every ``check_every`` ticks (reference cadence:
+    src/ch_eth/sync.rs:348,406)."""
+    from ..state.manifest import gc_multi_generations, load_latest_multi
+    from .check import check_and_repair_fanout
     from .fanout import replay_fanout
 
     tick = 0
     last = None
+    reports = []
     while max_ticks is None or tick < max_ticks:
         last = replay_fanout(stream_dir, lake_dir, tables, **replay_kw)
         if on_tick:
             on_tick(tick, last)
         tick += 1
-        if gc_keep and tick % 10 == 0:
+        if check_every and tick % check_every == 0:
+            latest = load_latest_multi(lake_dir)
+            from_seq = max(0, latest.max_watermark - check_window)
+            reports.append(
+                check_and_repair_fanout(
+                    stream_dir, lake_dir, tables, from_seq=from_seq
+                )
+            )
+        if gc_keep and tick % max(1, check_every or 10) == 0:
             gc_multi_generations(lake_dir, keep=gc_keep)
         if poll_interval_s and (max_ticks is None or tick < max_ticks):
             time.sleep(poll_interval_s)
-    return last
+    return (last, reports) if check_every else last

@@ -206,6 +206,12 @@ class TableState:
             return -1
         return min(p.watermark_seq for p in self.partitions.values())
 
+    @property
+    def max_watermark(self) -> int:
+        if not self.partitions:
+            return -1
+        return max(p.watermark_seq for p in self.partitions.values())
+
     def data_files(self, lake_dir: str) -> list[str]:
         base = os.path.join(lake_dir, "tables", self.name)
         return [
@@ -227,6 +233,12 @@ class MultiManifest:
         if not self.tables:
             return -1
         return min(t.min_watermark for t in self.tables.values())
+
+    @property
+    def max_watermark(self) -> int:
+        if not self.tables:
+            return -1
+        return max(t.max_watermark for t in self.tables.values())
 
 
 def table_dir(lake_dir: str, table: str) -> str:
