@@ -514,6 +514,49 @@ def test_media_decode_pipeline_real_features():
     assert rows[0]["features"] != rows[1]["features"]
 
 
+def test_rawvideo_roundtrip_and_frame_sampling():
+    from web3research_etl_ray.functions.multimodal import (
+        decode_rawvideo,
+        encode_rawvideo,
+        sample_frame_indices,
+    )
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, size=(12, 8, 8, 3)).astype(np.uint8)
+    data = encode_rawvideo(frames, fps=6)
+    back, fps = decode_rawvideo(data)
+    assert fps == 6 and (back == frames).all()
+    # uniform sampling: deterministic, endpoints included, monotone
+    idx = sample_frame_indices(12, 4)
+    assert list(idx) == [0, 4, 7, 11]
+    assert list(sample_frame_indices(3, 4)) == [0, 1, 2]  # short clip → all
+
+
+def test_video_frame_pipeline_explodes_and_features():
+    from web3research_etl_ray.functions.multimodal import (
+        decode_rawvideo,
+        docs_as_video_media,
+        image_features,
+        video_frame_pipeline,
+    )
+
+    texts = ["the quick brown fox " * 40, "other content " * 50]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    rows = video_frame_pipeline(ds, concurrency=1, batch_size=2).take_all()
+    assert len(rows) == 2 * 4  # 4 sampled frames per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    # features must match a direct decode of the same sampled frame
+    media = docs_as_video_media(_docs_table(texts))
+    for mid, doc_rows in by_doc.items():
+        payload = media.column("payload")[mid].as_py()
+        frames, _ = decode_rawvideo(payload)
+        for r in doc_rows:
+            want = image_features(frames[r["frame_idx"]])
+            assert np.allclose(r["features"], want)
+
+
 def test_hll_distinct_accuracy_vs_exact():
     """HLL sketch distinct: within 5% of exact per group (p=12 sigma
     ~1.6%), register kernel merge-correct across batches."""

@@ -340,6 +340,118 @@ def docs_as_bmp_media(batch: pa.Table) -> pa.Table:
     )
 
 
+_RAWV_MAGIC = b"RAWV"
+
+
+def encode_rawvideo(frames: np.ndarray, fps: int = 8) -> bytes:
+    """Deterministic uncompressed video container (magic + T,H,W,fps
+    uint32 LE + raw uint8 RGB frames) — the codec-free stand-in that
+    keeps the frame-sampling PLUMBING real in this container-less
+    environment; a codec decoder slots in behind the same interface
+    (mirrors the BMP/WAV approach)."""
+    t, h, w, c = frames.shape
+    if c != 3 or frames.dtype != np.uint8:
+        raise ValueError("frames must be [T,H,W,3] uint8")
+    head = _RAWV_MAGIC + np.array([t, h, w, fps], dtype="<u4").tobytes()
+    return head + frames.tobytes()
+
+
+def decode_rawvideo(data: bytes) -> tuple[np.ndarray, int]:
+    """(frames [T,H,W,3] uint8, fps)."""
+    if data[:4] != _RAWV_MAGIC:
+        raise ValueError("not a RAWV payload")
+    t, h, w, fps = np.frombuffer(data[4:20], dtype="<u4")
+    frames = np.frombuffer(data[20 : 20 + t * h * w * 3], dtype=np.uint8)
+    return frames.reshape(int(t), int(h), int(w), 3), int(fps)
+
+
+def sample_frame_indices(n_frames: int, target: int) -> np.ndarray:
+    """Uniform deterministic frame sample: `target` indices evenly
+    spaced across [0, n_frames) (all frames when n_frames <= target)."""
+    if n_frames <= target:
+        return np.arange(n_frames)
+    return np.linspace(0, n_frames - 1, num=target).round().astype(np.int64)
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: explode each video payload into `target`
+    uniformly sampled frames with per-frame features — one row per
+    (media_id, frame_idx).  Setup once per actor, vectorized numpy per
+    frame; small batches (payloads are the large column)."""
+
+    def __init__(self, target_frames: int = 4):
+        self.target = target_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, widths, heights, feats = [], [], [], [], []
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        mids = batch.column("media_id").to_pylist()
+        for mid, kind, payload in zip(mids, kinds, payloads):
+            if kind != "video":
+                continue
+            frames, _fps = decode_rawvideo(payload)
+            for fi in sample_frame_indices(len(frames), self.target):
+                ids.append(mid)
+                idxs.append(int(fi))
+                widths.append(frames.shape[2])
+                heights.append(frames.shape[1])
+                feats.append(image_features(frames[fi]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+
+def docs_as_video_media(batch: pa.Table) -> pa.Table:
+    """Adapter: render each document as a deterministic 8-frame
+    16×16 RAWV clip (frame f = text bytes rolled by f) so the frame
+    sampler runs on real multi-frame payloads."""
+    texts = batch.column("text").to_pylist()
+    payloads = []
+    for t in texts:
+        raw = np.frombuffer(t.encode()[:768].ljust(768, b"\0"), dtype=np.uint8)
+        frames = np.stack([np.roll(raw, f) for f in range(8)]).reshape(
+            8, 16, 16, 3
+        )
+        payloads.append(encode_rawvideo(frames, fps=4))
+    n = batch.num_rows
+    return pa.table(
+        {
+            "media_id": batch.column("doc_id").cast(pa.int64()),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_format": pa.array(["rawv"] * n),
+            "meta_width": pa.array([16] * n, pa.int32()),
+            "meta_height": pa.array([16] * n, pa.int32()),
+            "meta_duration_ms": pa.array([8 * 250] * n, pa.int64()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def video_frame_pipeline(
+    ds, *, target_frames: int = 4, concurrency: int = 2, batch_size: int = 64
+):
+    """documents → RAWV clips → actor-pool frame sample + features."""
+    return ds.map_batches(
+        docs_as_video_media, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"target_frames": target_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def media_feature_pipeline(ds, *, concurrency: int = 2, batch_size: int = 256):
     """documents → media schema → actor-pool stub decode → features.
 

@@ -1691,6 +1691,26 @@ def q_multimodal_decode_bmp(sf_dir: str) -> pa.Table:
     )
 
 
+def q_video_frame_sample(sf_dir: str) -> pa.Table:
+    """Frame-sampling path: documents rendered as deterministic
+    8-frame RAWV clips, uniformly sampled to 4 frames per clip with
+    per-frame features, in an actor-pool stage."""
+    from ..functions.multimodal import video_frame_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = video_frame_pipeline(ds).take_all()
+    rows.sort(key=lambda r: (r["media_id"], r["frame_idx"]))
+    return pa.table(
+        {
+            "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+            "frame_idx": pa.array([r["frame_idx"] for r in rows], pa.int64()),
+            "feat0": pa.array(
+                [float(r["features"][0]) for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1742,6 +1762,7 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
+    "video_frame_sample": q_video_frame_sample,
 }
 
 ORACLE_SQL = {
