@@ -52,3 +52,25 @@ def test_entry_smoke():
 def test_query(results, name):
     passed, msg = results[name]
     assert passed, f"{name}: {msg}"
+
+
+def test_exact_dedup_keep_drops_planted_duplicates(tmp_path):
+    """The keep-list must actually DROP non-representative exact
+    duplicates (the sf fixtures contain none, so plant some)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.queries import q_exact_dedup_keep
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(["same text", "same text", "unique a",
+                                  "same text", "unique b"]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_exact_dedup_keep(str(tmp_path))
+    assert out["doc_id"].to_pylist() == [1, 3, 5]

@@ -826,6 +826,43 @@ FROM documents GROUP BY text
 """
 
 
+def q_exact_dedup_keep(sf_dir: str) -> pa.Table:
+    """Exact-dedup KEEP-LIST: the corpus with every non-representative
+    exact duplicate dropped (representative = min doc_id per text).
+    Distributed: the rep-id set from the groups fold is the small side
+    — broadcast once, vectorized membership filter over the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    reps = exact_dedup_groups(ds)
+    rep_ids = np.sort(
+        np.concatenate(
+            [
+                b["rep_id"]
+                for b in reps.select_columns(["rep_id"]).iter_batches(
+                    batch_format="numpy", batch_size=None
+                )
+            ]
+            or [np.zeros(0, np.int64)]
+        )
+    )
+    ref = ray.put(rep_ids)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep_mask = np.isin(ids, ray.get(ref))
+        return pa.table({"doc_id": pa.array(ids[keep_mask], pa.int64())})
+
+    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+
+
+ORACLE_DEDUP_KEEP = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_token_stats_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
@@ -1738,6 +1775,7 @@ QUERIES = {
     "top_events": q_top_events,
     "sha256_documents": q_sha256_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
+    "exact_dedup_keep": q_exact_dedup_keep,
     "token_stats_documents": q_token_stats_documents,
     "doc_quality": q_doc_quality,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1786,6 +1824,7 @@ ORACLE_SQL = {
     "top_events": ORACLE_TOP,
     "sha256_documents": ORACLE_SHA,
     "exact_dedup_documents": ORACLE_DEDUP,
+    "exact_dedup_keep": ORACLE_DEDUP_KEEP,
     "token_stats_documents": ORACLE_TOKENS,
     "doc_quality": ORACLE_QUALITY,
     "ngram_jaccard_pairs": ORACLE_NGRAM,
