@@ -69,3 +69,79 @@ def test_sigkill_mid_replay_then_resume(tmp_path):
     # idempotent re-tick after the crash/resume cycle
     replay(stream, lake, num_partitions=8)
     assert tables_equal(lake_table(lake), oracle_fold(stream))
+
+
+_CHILD_FANOUT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import pyarrow as pa
+from web3research_etl_ray.pipelines.fanout import FanoutTable, replay_fanout
+from web3research_etl_ray.schema import REPO_FILES, TableSpec
+heads_schema = pa.schema([
+    pa.field("repo", pa.string(), nullable=False),
+    pa.field("commit", pa.string(), nullable=False),
+    pa.field("commit_seq", pa.int64(), nullable=False),
+])
+heads = TableSpec(name="repo_heads", schema=heads_schema, key=("repo",),
+                  event_schema=heads_schema.append(pa.field("op", pa.string())))
+def derive_heads(t):
+    return pa.table({{"repo": t.column("repo"), "commit": t.column("commit"),
+                     "commit_seq": t.column("commit_seq"),
+                     "op": pa.array(["upsert"] * t.num_rows, pa.string())}})
+tables = [FanoutTable(REPO_FILES, None), FanoutTable(heads, derive_heads)]
+print("START", flush=True)
+replay_fanout({stream!r}, {lake!r}, tables, num_partitions=8)
+print("DONE", flush=True)
+"""
+
+
+def test_sigkill_mid_fanout_then_resume(tmp_path):
+    """Same hard-crash contract for the multi-table fan-out: after a
+    SIGKILL the multi-manifest is all-or-nothing (no table a
+    generation ahead), and a resume converges every table."""
+    from web3research_etl_ray.gen import ensure_stream
+    from web3research_etl_ray.state.manifest import load_latest_multi
+    from tests.test_fanout import _heads_oracle, _tables
+
+    from web3research_etl_ray.pipelines.fanout import (
+        fanout_table,
+        replay_fanout,
+    )
+
+    stream = ensure_stream(60_000)
+    lake = str(tmp_path / "mlake")
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         _CHILD_FANOUT.format(repo=REPO, stream=stream, lake=lake)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,
+    )
+    line = child.stdout.readline()
+    assert "START" in line
+    time.sleep(1.2)
+    if child.poll() is None:
+        try:
+            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        child.wait()
+
+    m = load_latest_multi(lake)
+    if m is not None:
+        # atomic: one generation covering BOTH tables, never a subset
+        assert set(m.tables) == {"repo_files", "repo_heads"}
+
+    tables = _tables()
+    replay_fanout(stream, lake, tables, num_partitions=8)
+    heads = fanout_table(lake, "repo_heads")
+    want = _heads_oracle(stream)
+    got = {r: c for r, c in zip(heads["repo"].to_pylist(),
+                                heads["commit"].to_pylist())}
+    assert got == want
