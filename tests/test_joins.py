@@ -112,3 +112,59 @@ def test_asof_join_salted_matches_unsalted():
     ga = _sorted_rows(a, ["click", "view"])
     gb = _sorted_rows(b, ["click", "view"])
     assert ga == gb and len(ga) == n
+
+
+def test_range_join_matches_duckdb_random():
+    """Randomized interval join (overlapping, boundary-crossing, and
+    empty intervals) must equal DuckDB's inequality join exactly."""
+    import duckdb
+
+    from web3research_etl_ray.functions.joins import range_join
+
+    rng = np.random.default_rng(7)
+    n_pts, n_iv = 5_000, 300
+    pts = pa.table({
+        "pid": np.arange(n_pts, dtype=np.int64),
+        "v": np.round(rng.uniform(0, 100, n_pts), 3),
+    })
+    lo = np.round(rng.uniform(-5, 100, n_iv), 3)
+    width = np.round(rng.uniform(0, 12, n_iv), 3)
+    width[::50] = 0.0  # empty intervals: must match nothing
+    iv = pa.table({
+        "iid": np.arange(n_iv, dtype=np.int64),
+        "lo": lo,
+        "hi": lo + width,
+    })
+    out = range_join(
+        ray.data.from_arrow(pts), ray.data.from_arrow(iv),
+        on="v", lo="lo", hi="hi",
+        point_cols=["pid"], interval_cols=["iid"],
+        num_chunks=16,
+    )
+    got = _sorted_rows(out, ["pid", "iid"])
+    con = duckdb.connect()
+    con.register("pts", pts)
+    con.register("iv", iv)
+    want = sorted(
+        map(tuple, con.sql(
+            "SELECT pid, iid FROM pts JOIN iv ON v >= lo AND v < hi"
+        ).fetchall())
+    )
+    assert got == want and len(want) > 0
+
+
+def test_range_join_explicit_boundaries_and_wide_interval():
+    """A full-domain interval replicates to every chunk but each pair
+    is still emitted exactly once (points live in one chunk each)."""
+    from web3research_etl_ray.functions.joins import range_join
+
+    pts = pa.table({"pid": [0, 1, 2, 3], "v": [0.5, 10.5, 20.5, 30.5]})
+    iv = pa.table({"iid": [0, 1], "lo": [0.0, 10.0], "hi": [100.0, 11.0]})
+    out = range_join(
+        ray.data.from_arrow(pts), ray.data.from_arrow(iv),
+        on="v", lo="lo", hi="hi",
+        point_cols=["pid"], interval_cols=["iid"],
+        boundaries=[10.0, 20.0, 30.0],
+    )
+    got = _sorted_rows(out, ["pid", "iid"])
+    assert got == [(0, 0), (1, 0), (1, 1), (2, 0), (3, 0)]

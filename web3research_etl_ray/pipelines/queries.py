@@ -1604,6 +1604,46 @@ def q_lang_id_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def _lang_id_oracle() -> str:
+    """Exact SQL mirror of ``functions/text.py::lang_id``: the engine's
+    RE2 stopword counts are reproducible in DuckDB (also RE2-backed) as
+    ``len(regexp_extract_all(...))``; the argmax with first-max-wins in
+    sorted language order becomes a CASE cascade.  Generated from the
+    same STOPWORDS dict so the two sides cannot drift."""
+    from ..functions.text import CJK_RE, STOPWORDS
+
+    score_cols = []
+    for lg, words in STOPWORDS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        score_cols.append(
+            f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lg}"
+        )
+    score_cols.append(f"len(regexp_extract_all(text, '{CJK_RE}')) AS s_zh")
+    langs = sorted(list(STOPWORDS) + ["zh"])
+    cases = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lg} >= s_{other}" for other in langs[i + 1:]
+        )
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    all_s = ", ".join(f"s_{lg}" for lg in langs)
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, {", ".join(score_cols)}
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest({all_s}) = 0 THEN 'und'
+       {" ".join(cases)}
+       ELSE '{langs[-1]}'
+  END AS lang_pred
+FROM s
+"""
+
+
+ORACLE_LANG_ID = _lang_id_oracle()
+
+
 def q_simhash_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
@@ -1748,6 +1788,141 @@ def q_video_frame_sample(sf_dir: str) -> pa.Table:
     )
 
 
+def q_range_join_value_bins(sf_dir: str) -> pa.Table:
+    """Distributed interval (range) join — one of the custom operators
+    the task brief names (as-of / RANGE join / windowed aggregate).
+    Events join OVERLAPPING value bins (width 15, stride 5 ⇒ each value
+    matches up to 3 bins) via ``functions/joins.py::range_join``'s
+    chunked exchange, then a partial+final grouped aggregate per bin.
+    The bin table is generated deterministically on both sides
+    (numpy here, ``range()`` in the oracle)."""
+    from ..functions.joins import range_join
+
+    ds = _read(sf_dir, "events", ["value"])
+    i = np.arange(98, dtype=np.int64)
+    bins = ray.data.from_arrow(
+        pa.table(
+            {
+                "bin_id": pa.array(i),
+                "lo": pa.array(i * 5.0),
+                "hi": pa.array(i * 5.0 + 15.0),
+            }
+        )
+    )
+    joined = range_join(
+        ds,
+        bins,
+        on="value",
+        lo="lo",
+        hi="hi",
+        point_cols=["value"],
+        interval_cols=["bin_id"],
+        boundaries=[float(b) for b in range(25, 500, 25)],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "bin_id": t.column("bin_id").cast(pa.int64()),
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+        return (
+            g.group_by("bin_id")
+            .aggregate([("value_cents", "sum"), ("value_cents", "count")])
+            .rename_columns(["bin_id", "sum_value_cents", "n"])
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin_id")
+        .aggregate(
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT b.bin_id,
+       CAST(sum(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       count(*) AS n
+FROM events e
+JOIN (SELECT i AS bin_id, i * 5.0 AS lo, i * 5.0 + 15.0 AS hi
+      FROM range(0, 98) t(i)) b
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.bin_id
+"""
+
+
+def q_sliding_window_activity(sf_dir: str) -> pa.Table:
+    """Sliding (hopping) window aggregate: 60-minute windows advancing
+    every 15 minutes — each event lands in exactly 4 windows.  The
+    window fan-out is a vectorized flat_map (bucket − k·stride for
+    k = 0..3) followed by a per-batch partial and one small final
+    groupby; no per-row Python and no all-to-all beyond the grouped
+    aggregate itself.  Complements the tumbling (`hourly_user_activity`)
+    and session (`session_windows`) variants."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    stride_us = 15 * 60 * 1_000_000
+    n_offsets = 4
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (ts // stride_us) * stride_us
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [bucket - k * stride_us for k in range(n_offsets)]
+        )
+        g = pa.table(
+            {
+                "window_start_us": pa.array(starts),
+                "value_cents": pa.array(np.tile(cents, n_offsets)),
+            }
+        )
+        return (
+            g.group_by("window_start_us")
+            .aggregate([("value_cents", "sum"), ("value_cents", "count")])
+            .rename_columns(["window_start_us", "sum_value_cents", "n"])
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("window_start_us")
+        .aggregate(
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": t.column("window_start_us").cast(
+                    pa.timestamp("us")
+                ),
+                "sum_value_cents": t.column("sum_value_cents"),
+                "n": t.column("n"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SLIDING = """
+WITH x AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS b,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT b - CAST(k AS INT) * INTERVAL '15 minutes' AS window_start,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents,
+       count(*) AS n
+FROM x, range(0, 4) t(k)
+GROUP BY window_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1784,6 +1959,8 @@ QUERIES = {
     "broadcast_join_segment": q_broadcast_join_segment,
     "hash_join_orders_customer": q_hash_join_orders_customer,
     "asof_join_clicks_views": q_asof_join_clicks_views,
+    "range_join_value_bins": q_range_join_value_bins,
+    "sliding_window_activity": q_sliding_window_activity,
     "repo_stats_lake": q_repo_stats_lake,
     "fanout_repo_heads": q_fanout_repo_heads,
     "fanout_repo_langs": q_fanout_repo_langs,
@@ -1833,11 +2010,14 @@ ORACLE_SQL = {
     "broadcast_join_segment": ORACLE_BROADCAST,
     "hash_join_orders_customer": ORACLE_HASH_JOIN,
     "asof_join_clicks_views": ORACLE_ASOF,
+    "range_join_value_bins": ORACLE_RANGE_JOIN,
+    "sliding_window_activity": ORACLE_SLIDING,
     "repo_stats_lake": ORACLE_REPO_STATS,
     "fanout_repo_heads": ORACLE_FANOUT_HEADS,
     "fanout_repo_langs": ORACLE_FANOUT_LANGS,
     "tpch_q1": ORACLE_Q1,
-    # lang_id/simhash/simhash_neardup/fingerprint/minhash_lsh/knn_lsh/
-    # multimodal: model-scoring / probabilistic / stub ops → rows-only
+    "lang_id_documents": ORACLE_LANG_ID,
+    # simhash/simhash_neardup/fingerprint/minhash_lsh/knn_lsh/
+    # multimodal: model-scoring / probabilistic / media ops → rows-only
     # check
 }
