@@ -1,0 +1,212 @@
+"""Debezium-style CDC wire adapter (JSONL envelopes → canonical stream).
+
+The reference ingests from chain RPC endpoints (src/ch_eth/init.rs:19-97);
+real CDC deployments ingest binlog/WAL tails serialized as Debezium
+envelopes — one JSON object per line:
+
+    {"op": "c"|"r"|"u",  "before": null,   "after": {row...}, "seq": N}
+    {"op": "d",          "before": {row...}, "after": null,   "seq": N}
+
+``row`` carries the input_hint columns (repo, path, commit, lang,
+content) plus the schema-evolution extras when present (``metadata``
+object, ``size_bytes``).  A reorg extension (no Debezium analogue —
+the reference's new-head delete+reinsert, src/ch_eth/sync.rs:92-116)
+rides the same stream:
+
+    {"op": "rollback", "seq": B, "orphan_from": F, "orphan_to": T}
+
+Landing-zone design, deliberately NOT a parallel replay path: the wire
+stream is converted ONCE — a streaming `read_json` → vectorized
+envelope unwrap → `write_parquet` pass, one task per input file — into
+the engine's canonical segment layout.  Replay then runs with all of
+its footer-stats pruning, watermark resume and manifest machinery; at
+100 TB the conversion is embarrassingly parallel and the parquet
+landing zone is what makes every later incremental tick prunable
+(JSONL has no row-group stats to push a `commit_seq > watermark`
+filter into).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data.datasource.filename_provider import FilenameProvider
+
+from ..schema import ROLLBACK_SCHEMA, UNIFIED_EVENT_SCHEMA, unify_to
+
+_OP_MAP = {"c": "upsert", "r": "upsert", "u": "upsert", "d": "delete"}
+
+
+def _struct_field(col, name: str, typ: pa.DataType, n_rows: int = 0):
+    """struct_field that tolerates the field being absent from the
+    inferred JSON schema (older envelopes) — returns typed nulls."""
+    if col is None or pa.types.is_null(col.type) or not any(
+        f.name == name for f in col.type
+    ):
+        n = len(col) if col is not None else n_rows
+        return pa.nulls(n, typ)
+    out = pc.struct_field(col, name)
+    if out.type != typ and not pa.types.is_struct(out.type):
+        out = out.cast(typ)
+    return out
+
+
+def _struct_to_map(col) -> pa.Array:
+    """struct<k1:string,...> → map<string,string>, preserving field
+    order, null rows stay null.  Vectorized: presence matrix + one
+    row-major flatten; no per-row Python in the value path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    mtype = pa.map_(pa.string(), pa.string())
+    if n == 0 or pa.types.is_null(col.type):
+        return pa.nulls(n, mtype)
+    names = [f.name for f in col.type]
+    if not names:
+        return pa.nulls(n, mtype)
+    row_valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    vals = [pc.struct_field(col, nm).cast(pa.string()) for nm in names]
+    present = np.stack(
+        [pc.is_valid(v).to_numpy(zero_copy_only=False) for v in vals], axis=1
+    )  # [n, K] row-major
+    present &= row_valid[:, None]
+    counts = present.sum(axis=1)
+    flat = present.ravel()
+    keys_flat = np.tile(np.array(names, dtype=object), n)[flat]
+    items_mat = np.stack(
+        [v.to_numpy(zero_copy_only=False) for v in vals], axis=1
+    )
+    items_flat = items_mat.ravel()[flat]
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    # null offsets mark null map rows (offsets[i] null => row i null)
+    off_arr = pa.array(
+        offsets, pa.int32(),
+        mask=np.concatenate([~row_valid, [False]]),
+    )
+    return pa.MapArray.from_arrays(
+        off_arr,
+        pa.array(keys_flat.tolist(), pa.string()),
+        pa.array(items_flat.tolist(), pa.string()),
+    )
+
+
+def envelopes_to_events(t: pa.Table) -> pa.Table:
+    """One batch of parsed envelopes → canonical UNIFIED_EVENT_SCHEMA
+    rows, sorted by commit_seq (keeps landed segments prunable).
+    Rollback envelopes must be filtered out upstream."""
+    op_in = t.column("op").cast(pa.string())
+    is_del = pc.equal(op_in, "d")
+    op = pc.if_else(is_del, "delete", "upsert")
+    before = t.column("before") if "before" in t.column_names else None
+    after = t.column("after") if "after" in t.column_names else None
+
+    def fld(name: str, typ: pa.DataType):
+        a = _struct_field(after, name, typ, t.num_rows)
+        b = _struct_field(before, name, typ, t.num_rows)
+        am = _struct_to_map(a) if pa.types.is_struct(a.type) else a
+        bm = _struct_to_map(b) if pa.types.is_struct(b.type) else b
+        if pa.types.is_nested(am.type) or pa.types.is_nested(bm.type):
+            # if_else has no kernel for nested types → concat + take
+            if isinstance(am, pa.ChunkedArray):
+                am = am.combine_chunks()
+            if isinstance(bm, pa.ChunkedArray):
+                bm = bm.combine_chunks()
+            del_np = is_del.to_numpy(zero_copy_only=False)
+            idx = np.arange(len(del_np), dtype=np.int64) + del_np * len(del_np)
+            return pa.concat_arrays([am, bm.cast(am.type)]).take(pa.array(idx))
+        return pc.if_else(is_del, bm, am)
+
+    content = fld("content", pa.string())
+    out = pa.table(
+        {
+            "repo": fld("repo", pa.string()),
+            "path": fld("path", pa.string()),
+            "commit": fld("commit", pa.string()),
+            "lang": fld("lang", pa.string()),
+            # engine delete rows carry empty content (gen.py:146-148)
+            "content": content.fill_null(""),
+            "commit_seq": t.column("seq").cast(pa.int64()),
+            "op": op,
+            "metadata": fld("metadata", pa.map_(pa.string(), pa.string())),
+            "size_bytes": fld("size_bytes", pa.int64()),
+        }
+    )
+    return unify_to(out, UNIFIED_EVENT_SCHEMA).sort_by(
+        [("commit_seq", "ascending")]
+    )
+
+
+class _SegmentNames(FilenameProvider):
+    def get_filename_for_block(self, block, write_uuid, task_index,
+                               block_index) -> str:
+        return (
+            f"events-{write_uuid}-{task_index:05d}-{block_index:03d}.parquet"
+        )
+
+
+def land_debezium_jsonl(src: str | list[str], out_stream_dir: str) -> dict:
+    """Convert a directory (or list) of Debezium JSONL files into the
+    canonical stream layout under ``out_stream_dir``.
+
+    Two streaming passes over the JSONL (events, then the tiny rollback
+    control set) — JSON has no projection pushdown, so a second read is
+    one extra decode of the wire files, in exchange for keeping each
+    pass a plain Dataset pipeline with no driver-side event rows.
+    Returns {"files": n_in, "segments": n_out, "rollbacks": n_rb}.
+    """
+    files = (
+        sorted(glob.glob(os.path.join(src, "*.jsonl")))
+        if isinstance(src, str)
+        else list(src)
+    )
+    if not files:
+        raise FileNotFoundError(f"no *.jsonl under {src!r}")
+    os.makedirs(out_stream_dir, exist_ok=True)
+
+    def convert(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("op").cast(pa.string()), "rollback")
+        return envelopes_to_events(t.filter(keep))
+
+    # one read task + one landed segment per wire file; batch_size=None
+    # keeps each file's rows in one block so mixed envelope schemas
+    # never concat before normalization (same trick as replay's reader)
+    ds = ray.data.read_json(files, override_num_blocks=len(files))
+    ds.map_batches(
+        convert, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).write_parquet(out_stream_dir, filename_provider=_SegmentNames())
+
+    def rollbacks_only(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("op").cast(pa.string()), "rollback")
+        t = t.filter(keep)
+        if t.num_rows == 0 or "orphan_from" not in t.column_names:
+            return ROLLBACK_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "barrier_seq": t.column("seq").cast(pa.int64()),
+                "orphan_from": t.column("orphan_from").cast(pa.int64()),
+                "orphan_to": t.column("orphan_to").cast(pa.int64()),
+            }
+        )
+
+    rb_rows = (
+        ray.data.read_json(files, override_num_blocks=len(files))
+        .map_batches(rollbacks_only, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+        .take_all()
+    )
+    rb = (
+        pa.Table.from_pylist(rb_rows, schema=ROLLBACK_SCHEMA)
+        if rb_rows
+        else ROLLBACK_SCHEMA.empty_table()
+    )
+    pq.write_table(rb, os.path.join(out_stream_dir, "rollbacks.parquet"))
+    n_seg = len(glob.glob(os.path.join(out_stream_dir, "events-*.parquet")))
+    return {"files": len(files), "segments": n_seg, "rollbacks": rb.num_rows}
