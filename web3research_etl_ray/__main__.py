@@ -9,6 +9,7 @@ init / sync / check per chain; plus our gen / compact / bench helpers).
     python -m web3research_etl_ray backup  --lake DIR --out DIR
     python -m web3research_etl_ray restore --backup DIR --lake DIR
     python -m web3research_etl_ray dedup-tick --docs PARQUET --index DIR [--out F --compact]
+    python -m web3research_etl_ray land    --format debezium|wal --src DIR --out DIR [--offsets F]
 
 This entry point owns the Ray session (guarded init; library code never
 calls ray.init).
@@ -99,6 +100,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="write pairs parquet here (else print count only)")
     dd.add_argument("--compact", action="store_true",
                     help="merge each bucket's tick files after the tick")
+
+    ld = sub.add_parser(
+        "land",
+        help="land an external CDC wire dump (Debezium JSONL or binary "
+             "WAL segments) into the canonical stream layout",
+    )
+    ld.add_argument("--format", choices=("debezium", "wal"), required=True)
+    ld.add_argument("--src", required=True, help="wire dump dir")
+    ld.add_argument("--out", required=True, help="canonical stream dir")
+    ld.add_argument("--offsets", default=None,
+                    help="(wal) JSON file holding per-segment byte offsets; "
+                         "read before landing, rewritten after — makes "
+                         "repeated `land` calls a binlog tail")
 
     st = sub.add_parser("stats", help="lake lineage/watermark summary")
     st.add_argument("--lake", required=True)
@@ -217,6 +231,24 @@ def main(argv: list[str] | None = None) -> int:
                 idx.compact()
             print(json.dumps({"pairs": pairs.num_rows,
                               "out": args.out, "compacted": args.compact}))
+        elif args.cmd == "land":
+            if args.format == "debezium":
+                from .sources.debezium import land_debezium_jsonl
+
+                print(json.dumps(land_debezium_jsonl(args.src, args.out)))
+            else:
+                from .sources.wal import land_wal_segments
+
+                since = {}
+                if args.offsets and os.path.exists(args.offsets):
+                    with open(args.offsets) as fh:
+                        since = json.load(fh)
+                info = land_wal_segments(args.src, args.out, since=since)
+                if args.offsets:
+                    with open(args.offsets, "w") as fh:
+                        json.dump(info["offsets"], fh)
+                print(json.dumps({k: v for k, v in info.items()
+                                  if k != "offsets"}))
         elif args.cmd == "check":
             from .pipelines.check import check, repair
 
