@@ -3,7 +3,7 @@ init / sync / check per chain; plus our gen / compact / bench helpers).
 
     python -m web3research_etl_ray gen     --out DIR --n-events N [--seed S]
     python -m web3research_etl_ray init    --stream DIR --lake DIR [--from-seq A --to-seq B]
-    python -m web3research_etl_ray sync    --stream DIR --lake DIR [--ticks K --check-every E --dedup-index DIR]
+    python -m web3research_etl_ray sync    --stream DIR --lake DIR [--ticks K --check-every E --dedup-index DIR --wire wal|debezium --wire-src DIR]
     python -m web3research_etl_ray check   --stream DIR --lake DIR [--repair]
     python -m web3research_etl_ray compact --lake DIR [--keep K]
     python -m web3research_etl_ray backup  --lake DIR --out DIR
@@ -71,6 +71,11 @@ def main(argv: list[str] | None = None) -> int:
                            help="enable inline near-dup detection against "
                                 "this persistent index dir")
             s.add_argument("--dedup-threshold", type=float, default=0.5)
+            s.add_argument("--wire", choices=("debezium", "wal"), default=None,
+                           help="tail an external wire dump: land new "
+                                "bytes into --stream before each tick")
+            s.add_argument("--wire-src", default=None,
+                           help="wire dump dir (required with --wire)")
         if name == "check":
             s.add_argument("--repair", action="store_true")
 
@@ -187,10 +192,23 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "sync":
             from .pipelines.tail import sync
 
+            wire = None
+            if args.wire:
+                if not args.wire_src:
+                    p.error("--wire requires --wire-src")
+                if args.wire == "wal":
+                    from .sources.wal import WalTail
+
+                    wire = WalTail(args.wire_src, args.stream)
+                else:
+                    from .sources.debezium import DebeziumTail
+
+                    wire = DebeziumTail(args.wire_src, args.stream)
             dedup_counts: list[int] = []
             reports = sync(
                 args.stream,
                 args.lake,
+                wire=wire,
                 max_ticks=args.ticks,
                 check_every=args.check_every,
                 num_partitions=args.partitions,

@@ -39,12 +39,19 @@ def sync(
     dedup_index_root: str | None = None,
     dedup_threshold: float = 0.5,
     on_dedup_pairs: Callable[[int, "object"], None] | None = None,
+    wire=None,
     **replay_kw,
 ) -> list[CheckReport]:
     """Run the tail loop.  ``max_ticks`` bounds it for tests/CLI;
     ``check_every=k`` runs the trailing-window health check every k
     ticks (reference cadence: every 4h over 100k blocks,
     src/ch_eth/sync.rs:348,406).
+
+    ``wire`` (a ``sources.wal.WalTail`` / ``sources.debezium.
+    DebeziumTail``) makes this the full "binlog/WAL tail -> lake
+    upsert" loop: each tick first lands the wire bytes appended since
+    the last tick into ``stream_dir`` (the canonical landing zone),
+    then replays past the watermark as usual.
 
     ``dedup_index_root`` enables INLINE near-dup detection at ingest:
     after each tick commits, the tick's newly applied upsert contents
@@ -60,6 +67,8 @@ def sync(
         m0 = load_latest(lake_dir)
         prev_wm = m0.max_watermark if m0 is not None else -1
     while max_ticks is None or tick < max_ticks:
+        if wire is not None:
+            wire.land_new()
         manifest = tail_once(stream_dir, lake_dir, **replay_kw)
         if on_tick:
             on_tick(tick, manifest)
@@ -140,6 +149,7 @@ def sync_fanout(
     check_window: int = 100_000,
     gc_keep: int = 5,
     on_tick: Callable | None = None,
+    wire=None,
     **replay_kw,
 ):
     """Tail loop for the multi-table fan-out lake: each tick is one
@@ -156,6 +166,8 @@ def sync_fanout(
     last = None
     reports = []
     while max_ticks is None or tick < max_ticks:
+        if wire is not None:
+            wire.land_new()
         last = replay_fanout(stream_dir, lake_dir, tables, **replay_kw)
         if on_tick:
             on_tick(tick, last)

@@ -152,6 +152,47 @@ class _SegmentNames(FilenameProvider):
         )
 
 
+class DebeziumTail:
+    """Stateful tail of a growing Debezium JSONL dump dir for
+    ``pipelines.tail.sync(wire=...)``: a size-keyed ledger (persisted
+    tmp+rename AFTER landing) tracks how many bytes of each wire file
+    have been landed; each :meth:`land_new` re-lands only new or grown
+    files.  A grown file is re-landed WHOLE (JSONL mid-file resume
+    would need line-boundary bookkeeping for no gain) — duplicate
+    frames are absorbed by replay's watermark/LWW, same at-least-once
+    contract as :class:`..wal.WalTail`."""
+
+    def __init__(self, src: str, out_stream_dir: str,
+                 state_path: str | None = None):
+        self.src = src
+        self.out = out_stream_dir
+        self.state_path = state_path or os.path.join(
+            out_stream_dir, "_debezium_ledger.json")
+        self.landed: dict[str, int] = {}
+        if os.path.exists(self.state_path):
+            import json
+
+            with open(self.state_path) as fh:
+                self.landed = json.load(fh)
+
+    def land_new(self) -> dict:
+        files = sorted(glob.glob(os.path.join(self.src, "*.jsonl")))
+        todo = [f for f in files
+                if os.path.getsize(f) > self.landed.get(f, 0)]
+        if not todo:
+            return {"files": 0, "segments": 0, "rollbacks": 0}
+        sizes = {f: os.path.getsize(f) for f in todo}  # pre-land snapshot
+        info = land_debezium_jsonl(todo, self.out)
+        self.landed.update(sizes)
+        import json
+
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.landed, fh)
+        os.replace(tmp, self.state_path)
+        return info
+
+
 def land_debezium_jsonl(src: str | list[str], out_stream_dir: str) -> dict:
     """Convert a directory (or list) of Debezium JSONL files into the
     canonical stream layout under ``out_stream_dir``.
@@ -207,6 +248,17 @@ def land_debezium_jsonl(src: str | list[str], out_stream_dir: str) -> dict:
         if rb_rows
         else ROLLBACK_SCHEMA.empty_table()
     )
-    pq.write_table(rb, os.path.join(out_stream_dir, "rollbacks.parquet"))
+    # merge with any previously landed rollbacks (incremental landings
+    # pass only the new wire files) and dedup re-landed frames
+    rb_path = os.path.join(out_stream_dir, "rollbacks.parquet")
+    if os.path.exists(rb_path):
+        rb = pa.concat_tables([pq.read_table(rb_path), rb])
+    rb = (
+        rb.group_by(["barrier_seq", "orphan_from", "orphan_to"])
+        .aggregate([])
+        .sort_by([("barrier_seq", "ascending")])
+        .cast(ROLLBACK_SCHEMA)
+    )
+    pq.write_table(rb, rb_path)
     n_seg = len(glob.glob(os.path.join(out_stream_dir, "events-*.parquet")))
     return {"files": len(files), "segments": n_seg, "rollbacks": rb.num_rows}

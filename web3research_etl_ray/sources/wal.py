@@ -224,6 +224,44 @@ def _land_one(path: str, start: int, out_stream_dir: str, idx: int) -> dict:
     }
 
 
+class WalTail:
+    """Stateful binlog tail: each :meth:`land_new` call lands only the
+    bytes appended to ``src`` since the previous call, persisting the
+    per-segment offsets crash-safe (tmp + rename, written AFTER the
+    landing itself).  A crash between landing and offset persist means
+    the next call re-lands those frames — benign, because replay's
+    watermark/LWW absorbs double-landed frames (at-least-once producer
+    + idempotent sink, the engine contract per SURVEY §1.3).
+
+    This is the ``wire=`` adapter for ``pipelines.tail.sync`` — the
+    north rule's "binlog/WAL tail -> lake upsert" as one loop.
+    """
+
+    def __init__(self, src: str, out_stream_dir: str,
+                 state_path: str | None = None):
+        self.src = src
+        self.out = out_stream_dir
+        self.state_path = state_path or os.path.join(
+            out_stream_dir, "_wal_offsets.json")
+        self.offsets: dict[str, int] = {}
+        if os.path.exists(self.state_path):
+            import json
+
+            with open(self.state_path) as fh:
+                self.offsets = json.load(fh)
+
+    def land_new(self) -> dict:
+        info = land_wal_segments(self.src, self.out, since=self.offsets)
+        self.offsets = info["offsets"]
+        import json
+
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.offsets, fh)
+        os.replace(tmp, self.state_path)
+        return info
+
+
 def land_wal_segments(
     src: str | list[str],
     out_stream_dir: str,
