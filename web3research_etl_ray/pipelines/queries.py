@@ -167,8 +167,10 @@ def q_cdc_replay_lake(sf_dir: str) -> pa.Table:
     return out.sort_by([("repo", "ascending"), ("path", "ascending")])
 
 
-_CDC_SQL = f"""
-WITH ev AS (
+#: shared oracle prefix: the derived change-event stream + the
+#: rollback-effective subset, exactly mirroring _derive_cdc_stream
+_EV_CTE = f"""
+ev AS (
   SELECT source AS repo,
          'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
          i * 100000 + doc_id AS commit_seq,
@@ -179,7 +181,11 @@ WITH ev AS (
 ),
 eff AS (
   SELECT * FROM ev WHERE commit_seq NOT BETWEEN {_ORPHAN_LO} AND {_ORPHAN_HI}
-),
+)"""
+
+
+_CDC_SQL = f"""
+WITH {_EV_CTE},
 win AS (
   SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
   FROM eff
@@ -188,6 +194,58 @@ SELECT repo, path,
        sha256(repo || '/' || path || '@' || CAST(commit_seq AS VARCHAR)) AS commit,
        lang, content, sha256(content) AS content_sha256, commit_seq
 FROM win WHERE rn = 1 AND op <> 'delete'
+ORDER BY repo, path
+"""
+
+
+_TT_SPLIT = 99_999  # gen 0 = commits with seq <= split; gen 1 = the rest
+
+
+def q_time_travel_diff(sf_dir: str) -> pa.Table:
+    """Replay the derived stream in two ticks (two committed manifest
+    generations), then snapshot-diff them — partition-aligned file-pair
+    compare, NO shuffle (pipelines/replay.py::lake_diff).  Exercises
+    time travel (read gen 0 after gen 1 committed), tombstone deletes
+    (i=2 doc_id%37 → 'deleted' rows) and reorg fallback (orphaned i=2
+    commits fall back to the i=1 winner → still 'updated')."""
+    import shutil
+
+    from .replay import lake_diff, replay
+
+    stream = _derive_cdc_stream(sf_dir)
+    lake_dir = stream + "-ttlake"
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    replay(stream, lake_dir, num_partitions=8, upto_seq=_TT_SPLIT)
+    replay(stream, lake_dir, num_partitions=8)
+    diff = pa.Table.from_pylist(lake_diff(lake_dir, 0, 1).take_all())
+    return diff.select(["repo", "path", "change", "old_seq", "new_seq"]).sort_by(
+        [("repo", "ascending"), ("path", "ascending")]
+    )
+
+
+ORACLE_TT_DIFF = f"""
+WITH {_EV_CTE},
+old_w AS (
+  SELECT repo, path, commit_seq, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM eff WHERE commit_seq <= {_TT_SPLIT}
+),
+old_s AS (SELECT repo, path, commit_seq FROM old_w WHERE rn = 1 AND op <> 'delete'),
+new_w AS (
+  SELECT repo, path, commit_seq, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM eff
+),
+new_s AS (SELECT repo, path, commit_seq FROM new_w WHERE rn = 1 AND op <> 'delete')
+SELECT COALESCE(o.repo, n.repo) AS repo,
+       COALESCE(o.path, n.path) AS path,
+       CASE WHEN o.path IS NULL THEN 'added'
+            WHEN n.path IS NULL THEN 'deleted'
+            ELSE 'updated' END AS change,
+       o.commit_seq AS old_seq,
+       n.commit_seq AS new_seq
+FROM old_s o FULL OUTER JOIN new_s n ON o.repo = n.repo AND o.path = n.path
+WHERE o.commit_seq IS DISTINCT FROM n.commit_seq
 ORDER BY repo, path
 """
 
@@ -1925,6 +1983,7 @@ GROUP BY window_start
 
 QUERIES = {
     "cdc_replay_lake": q_cdc_replay_lake,
+    "time_travel_diff": q_time_travel_diff,
     "lww_upsert_events": q_lww_upsert_events,
     "watermark_events": q_watermark_events,
     "per_type_counts": q_per_type_counts,
@@ -1978,6 +2037,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "cdc_replay_lake": _CDC_SQL,
+    "time_travel_diff": ORACLE_TT_DIFF,
     "lww_upsert_events": ORACLE_LWW,
     "watermark_events": "SELECT max(event_id) AS max_event_id, count(*) AS n_events FROM events",
     "per_type_counts": ORACLE_PER_TYPE,

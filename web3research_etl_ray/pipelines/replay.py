@@ -60,7 +60,9 @@ from ..state.manifest import (
     Manifest,
     PartitionEntry,
     commit_manifest,
+    committed_chain,
     load_latest,
+    load_manifest,
 )
 
 DEFAULT_NUM_PARTITIONS = 32
@@ -528,12 +530,35 @@ def replay(
     return manifest
 
 
-def read_lake(lake_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Dataset over the current committed lake state (manifest-listed
-    files only — staged/orphaned files are invisible)."""
-    manifest = load_latest(lake_dir)
-    if manifest is None:
+def _manifest_at(lake_dir: str, generation: int | None) -> Manifest:
+    """LATEST, or a time-travel generation — which must be on the
+    committed parent chain: a manifest file staged by a crashed writer
+    (never published by the LATEST swap) is as invisible to time
+    travel as it is to normal reads."""
+    latest = load_latest(lake_dir)
+    if latest is None:
         raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    if generation is None or generation == latest.generation:
+        return latest
+    if generation not in committed_chain(lake_dir):
+        raise ValueError(
+            f"generation {generation} is not on the committed chain of "
+            f"{lake_dir} (staged-only, GC'd, or never existed)"
+        )
+    return load_manifest(lake_dir, generation)
+
+
+def read_lake(
+    lake_dir: str,
+    columns: list[str] | None = None,
+    *,
+    generation: int | None = None,
+) -> ray.data.Dataset:
+    """Dataset over a committed lake state (manifest-listed files only
+    — staged/orphaned files are invisible).  ``generation`` time-travels
+    to any snapshot still on the committed chain (bounded by
+    ``gc_generations`` retention)."""
+    manifest = _manifest_at(lake_dir, generation)
     files = manifest.data_files(lake_dir)
     if not files:
         return ray.data.from_items([])
@@ -541,7 +566,121 @@ def read_lake(lake_dir: str, columns: list[str] | None = None) -> ray.data.Datas
     return ray.data.read_parquet(files, **kwargs)
 
 
-def lookup_key(lake_dir: str, repo: str, path: str) -> dict | None:
+def lake_diff(
+    lake_dir: str,
+    gen_old: int,
+    gen_new: int | None = None,
+    *,
+    spec: TableSpec = REPO_FILES,
+) -> ray.data.Dataset:
+    """Distributed snapshot diff between two committed generations:
+    one row per upsert key whose state changed, with columns
+    key_cols... + (change ∈ added|deleted|updated, old_seq, new_seq).
+
+    Scale shape: both snapshots share the lake's hash partitioning, so
+    the diff is partition-aligned — one task per partition id reads the
+    two partition files and compares vectorized (index_in on the
+    composite key).  NO shuffle: at 10^10 keys this moves zero rows
+    between workers and touches only partitions whose file actually
+    differs between the generations (identical carried-forward files
+    are skipped entirely)."""
+    m_old = _manifest_at(lake_dir, gen_old)
+    m_new = _manifest_at(lake_dir, gen_new)
+    if m_old.num_partitions != m_new.num_partitions:
+        raise ValueError(
+            "snapshot diff across a repartitioned lake is not partition-"
+            f"aligned ({m_old.num_partitions} vs {m_new.num_partitions}); "
+            "re-key with a replay at the new partition count first"
+        )
+    pairs = []
+    for pid in range(m_new.num_partitions):
+        fo = m_old.partitions.get(pid)
+        fn = m_new.partitions.get(pid)
+        fo = fo.file if fo else None
+        fn = fn.file if fn else None
+        if fo == fn:
+            continue  # untouched partition carried forward — no diff
+        pairs.append({"part_id": pid, "old_file": fo, "new_file": fn})
+    key_cols, order_col = list(spec.key), spec.order_col
+    key_types = [spec.schema.field(c).type for c in key_cols]
+
+    def diff_partition(batch: pa.Table) -> pa.Table:
+        out = []
+        cols = key_cols + [order_col]
+        for row in batch.to_pylist():
+            old_t = (
+                pq.read_table(os.path.join(lake_dir, row["old_file"]), columns=cols)
+                if row["old_file"]
+                else None
+            )
+            new_t = (
+                pq.read_table(os.path.join(lake_dir, row["new_file"]), columns=cols)
+                if row["new_file"]
+                else None
+            )
+
+            def ckey(t: pa.Table) -> pa.Array:
+                parts = [t.column(c).cast(pa.string()) for c in key_cols]
+                return pc.binary_join_element_wise(*parts, "\x00")
+
+            empty = pa.table(
+                {c: pa.array([], spec.schema.field(c).type) for c in cols}
+            )
+            old_t = old_t if old_t is not None else empty
+            new_t = new_t if new_t is not None else empty
+            ko, kn = ckey(old_t), ckey(new_t)
+            idx_on = pc.index_in(ko, kn)  # old key's position in new
+            idx_no = pc.index_in(kn, ko)  # new key's position in old
+            # deleted: in old, not in new
+            del_mask = pc.is_null(idx_on)
+            deleted = old_t.filter(del_mask)
+            # added: in new, not in old
+            add_mask = pc.is_null(idx_no)
+            added = new_t.filter(add_mask)
+            # updated: in both, order col differs
+            both = new_t.filter(pc.is_valid(idx_no))
+            old_seq_for_new = pc.take(
+                old_t.column(order_col), idx_no.filter(pc.is_valid(idx_no))
+            )
+            upd_mask = pc.not_equal(both.column(order_col), old_seq_for_new)
+            updated = both.filter(upd_mask)
+            upd_old_seq = old_seq_for_new.filter(upd_mask)
+
+            def emit(t: pa.Table, change: str, old_seq, new_seq):
+                d = {c: t.column(c) for c in key_cols}
+                d["change"] = pa.array([change] * t.num_rows, pa.string())
+                d["old_seq"] = old_seq
+                d["new_seq"] = new_seq
+                out.append(pa.table(d))
+
+            nulls = lambda n: pa.nulls(n, pa.int64())  # noqa: E731
+            emit(deleted, "deleted", deleted.column(order_col).cast(pa.int64()),
+                 nulls(deleted.num_rows))
+            emit(added, "added", nulls(added.num_rows),
+                 added.column(order_col).cast(pa.int64()))
+            emit(updated, "updated", upd_old_seq.cast(pa.int64()),
+                 updated.column(order_col).cast(pa.int64()))
+        if not out:
+            schema = pa.schema(
+                [(c, t) for c, t in zip(key_cols, key_types)]
+                + [("change", pa.string()), ("old_seq", pa.int64()),
+                   ("new_seq", pa.int64())]
+            )
+            return schema.empty_table()
+        return pa.concat_tables(out)
+
+    if not pairs:
+        return ray.data.from_items([]).map_batches(
+            diff_partition, batch_format="pyarrow"
+        )
+    return ray.data.from_items(pairs).map_batches(
+        diff_partition, batch_format="pyarrow", batch_size=1
+    )
+
+
+def lookup_key(
+    lake_dir: str, repo: str, path: str, *, generation: int | None = None
+) -> dict | None:
     """Point lookup by upsert key — the reference's stored-hash probe
     for one block (src/ch_eth/sync.rs:164-169).  Partition-pruned: the
     key hashes to exactly one partition file, and the Parquet read
@@ -551,8 +690,9 @@ def lookup_key(lake_dir: str, repo: str, path: str) -> dict | None:
 
     from ..functions.hashing import key_hash64
 
-    manifest = load_latest(lake_dir)
-    if manifest is None:
+    try:
+        manifest = _manifest_at(lake_dir, generation)
+    except FileNotFoundError:
         return None
     pid = int(
         key_hash64(pa.array([repo]), pa.array([path]))[0]
@@ -568,9 +708,12 @@ def lookup_key(lake_dir: str, repo: str, path: str) -> dict | None:
     return t.to_pylist()[0] if t.num_rows else None
 
 
-def lake_table(lake_dir: str):
+def lake_table(lake_dir: str, *, generation: int | None = None):
     """Driver-side pyarrow.Table of the lake (tests / small results only)."""
-    manifest = load_latest(lake_dir)
+    try:
+        manifest = _manifest_at(lake_dir, generation)
+    except FileNotFoundError:
+        manifest = None
     files = manifest.data_files(lake_dir) if manifest else []
     import pyarrow as pa
 

@@ -139,6 +139,26 @@ def load_latest(lake_dir: str) -> Manifest | None:
     return load_manifest(lake_dir, generation)
 
 
+def committed_chain(lake_dir: str) -> list[int]:
+    """Generations readable via time travel, oldest→newest: the
+    ``parent_generation`` walk back from LATEST.  A manifest file
+    staged by a crashed writer (written but never pointed to by the
+    LATEST swap) is NOT on the chain and stays invisible — same
+    visibility rule the two-phase commit gives normal reads."""
+    latest = load_latest(lake_dir)
+    if latest is None:
+        return []
+    chain = [latest.generation]
+    m = latest
+    while m.parent_generation is not None:
+        try:
+            m = load_manifest(lake_dir, m.parent_generation)
+        except FileNotFoundError:
+            break  # older links GC'd — chain ends here
+        chain.append(m.generation)
+    return chain[::-1]
+
+
 def gc_generations(lake_dir: str, keep: int = 2) -> list[int]:
     """Snapshot GC — the analogue of the reference's backup rotation
     (scripts/backup_db.py keeps per-table BACKUPs): keep the newest
