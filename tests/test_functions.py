@@ -726,3 +726,76 @@ def test_approx_quantiles_accuracy():
             # rank-space error bound: |F(est) - q| <= ~2/sqrt(k)
             rank_est = np.searchsorted(sub, est) / len(sub)
             assert abs(rank_est - q) < 2 / np.sqrt(2048) + 0.01, (g, q, rank_est)
+
+
+# ---------------------------------------------------------------------------
+# keyed window primitives (functions/window.py)
+# ---------------------------------------------------------------------------
+
+
+def test_window_primitives_match_pandas():
+    """lag/running-sum/row-number/dense-rank over a sorted key-major
+    array must agree with pandas groupby window semantics."""
+    import pandas as pd
+
+    from web3research_etl_ray.functions.window import (
+        dense_ranks, lag_one, row_numbers, running_sum, segment_starts)
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    keys = np.sort(rng.integers(0, 37, n))
+    vals = rng.integers(-100, 100, n).astype(np.int64)
+    starts = segment_starts(keys)
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    g = df.groupby("k", sort=False)["v"]
+
+    lagged, valid = lag_one(vals, starts)
+    exp_lag = g.shift(1)
+    assert np.array_equal(valid, exp_lag.notna().to_numpy())
+    assert np.array_equal(lagged[valid], exp_lag.dropna().to_numpy().astype(np.int64))
+
+    assert np.array_equal(running_sum(vals, starts), g.cumsum().to_numpy())
+    assert np.array_equal(row_numbers(starts), g.cumcount().to_numpy() + 1)
+
+    change = np.zeros(n, dtype=bool)
+    change[1:] = vals[1:] != vals[:-1]
+    exp_rank = df.groupby("k", sort=False)["v"].transform(
+        lambda s: s.map({u: i + 1 for i, u in enumerate(pd.unique(s))})
+    )
+    # dense rank in ENCOUNTER order equals dense_ranks on the sorted-by-
+    # value layout only if vals are sorted within key; test on that layout
+    order = np.lexsort((vals, keys))
+    keys2, vals2 = keys[order], vals[order]
+    starts2 = segment_starts(keys2)
+    change2 = np.zeros(n, dtype=bool)
+    change2[1:] = vals2[1:] != vals2[:-1]
+    got = dense_ranks(change2, starts2)
+    exp = (
+        pd.DataFrame({"k": keys2, "v": vals2})
+        .groupby("k", sort=False)["v"]
+        .rank(method="dense")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    assert np.array_equal(got, exp)
+
+
+def test_window_single_and_empty_segments():
+    from web3research_etl_ray.functions.window import (
+        lag_one, row_numbers, running_sum, segment_starts)
+
+    # empty
+    e = np.array([], dtype=np.int64)
+    s = segment_starts(e)
+    assert len(s) == 0 and len(running_sum(e, s)) == 0 and len(row_numbers(s)) == 0
+
+    # every row its own key
+    k = np.array([1, 2, 3], dtype=np.int64)
+    v = np.array([10, 20, 30], dtype=np.int64)
+    s = segment_starts(k)
+    assert s.all()
+    _, valid = lag_one(v, s)
+    assert not valid.any()
+    assert np.array_equal(running_sum(v, s), v)
+    assert np.array_equal(row_numbers(s), np.ones(3, dtype=np.int64))

@@ -48,6 +48,7 @@ def test_entry_smoke():
         "tpch_q1", "lang_id_documents",
         "simhash_documents", "fingerprint_documents", "minhash_lsh_pairs",
         "knn_lsh", "multimodal_features",
+        "window_lag_value", "window_running_totals", "window_dense_rank",
     ],
 )
 def test_query(results, name):

@@ -1978,6 +1978,128 @@ GROUP BY window_start
 
 
 # ---------------------------------------------------------------------------
+# 8. Keyed window functions (lag / running totals / ranking)
+# ---------------------------------------------------------------------------
+
+
+def _window_sorted(g: pa.Table):
+    """Common prep: bucket sorted key-major by (user_id, ts, event_id);
+    returns (uid, ts, eid, cents, starts) numpy views."""
+    from ..functions.window import segment_starts
+
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = g.column("event_id").to_numpy(zero_copy_only=False)
+    cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, uid))
+    uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+    return uid, ts, eid, cents, segment_starts(uid)
+
+
+def q_window_lag_value(sf_dir: str) -> pa.Table:
+    """lag(1) per user ordered by (ts, event_id): previous event id and
+    value, NULL at each user's first event.  One vectorized shift per
+    bucket — no per-user grouping."""
+    from ..functions.window import keyed_window, lag_one
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid, ts, eid, cents, starts = _window_sorted(g)
+        prev_eid, valid = lag_one(eid, starts)
+        prev_cents, _ = lag_one(cents, starts)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "prev_event_id": pa.array(prev_eid, pa.int64(), mask=~valid),
+                "prev_cents": pa.array(prev_cents, pa.int64(), mask=~valid),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_WINDOW_LAG = """
+SELECT event_id, user_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       lag(event_id) OVER w AS prev_event_id,
+       lag(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS prev_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_window_running_totals(sf_dir: str) -> pa.Table:
+    """Running row count + running value sum per user ordered by
+    (ts, event_id) — global cumsum rebased per segment (one pass per
+    bucket, zero per-key work)."""
+    from ..functions.window import keyed_window, row_numbers, running_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid, ts, eid, cents, starts = _window_sorted(g)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "rn": pa.array(row_numbers(starts), pa.int64()),
+                "run_cents": pa.array(running_sum(cents, starts), pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_WINDOW_RUN = """
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_dense_rank(sf_dir: str) -> pa.Table:
+    """dense_rank of value (cents, descending) per user — ties share a
+    rank, computed from a within-segment change mask over the whole
+    bucket at once."""
+    from ..functions.window import dense_ranks, keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -cents, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        starts = segment_starts(uid)
+        change = np.zeros(len(cents), dtype=bool)
+        change[1:] = cents[1:] != cents[:-1]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "drank": pa.array(dense_ranks(change, starts), pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_WINDOW_RANK = """
+SELECT event_id, user_id,
+       dense_rank() OVER (PARTITION BY user_id
+                          ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC) AS drank
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2033,6 +2155,9 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
     "video_frame_sample": q_video_frame_sample,
+    "window_lag_value": q_window_lag_value,
+    "window_running_totals": q_window_running_totals,
+    "window_dense_rank": q_window_dense_rank,
 }
 
 ORACLE_SQL = {
@@ -2073,6 +2198,9 @@ ORACLE_SQL = {
     "fanout_repo_langs": ORACLE_FANOUT_LANGS,
     "tpch_q1": ORACLE_Q1,
     "lang_id_documents": ORACLE_LANG_ID,
+    "window_lag_value": ORACLE_WINDOW_LAG,
+    "window_running_totals": ORACLE_WINDOW_RUN,
+    "window_dense_rank": ORACLE_WINDOW_RANK,
     # simhash/simhash_neardup/fingerprint/minhash_lsh/knn_lsh/
     # multimodal: model-scoring / probabilistic / media ops → rows-only
     # check
