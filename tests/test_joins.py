@@ -168,3 +168,58 @@ def test_range_join_explicit_boundaries_and_wide_interval():
     )
     got = _sorted_rows(out, ["pid", "iid"])
     assert got == [(0, 0), (1, 0), (1, 1), (2, 0), (3, 0)]
+
+
+# ---------------------------------------------------------------------------
+# outer / semi / anti variants
+# ---------------------------------------------------------------------------
+
+_L = pa.table({"k": [1, 2, 2, 3, 5], "lv": [10, 20, 21, 30, 50]})
+_R = pa.table({"k": [2, 2, 3, 4], "rv": ["a", "b", "c", "d"]})
+
+
+def _run_how(how, **kw):
+    return hash_join(
+        ray.data.from_arrow(_L), ray.data.from_arrow(_R), "k",
+        left_cols=["lv"], right_cols=["rv"], num_buckets=4, how=how, **kw,
+    )
+
+
+def test_hash_join_left_outer_null_extends():
+    got = _sorted_rows(_run_how("left"), ["k", "lv", "rv"])
+    want = sorted(
+        [(2, 20, "a"), (2, 20, "b"), (2, 21, "a"), (2, 21, "b"),
+         (3, 30, "c"), (1, 10, None), (5, 50, None)],
+        key=lambda r: tuple((v is None, v) for v in r),
+    )
+    assert sorted(got, key=lambda r: tuple((v is None, v) for v in r)) == want
+
+
+def test_hash_join_full_outer_keeps_both_unmatched():
+    got = _sorted_rows(_run_how("full"), ["k", "lv", "rv"])
+    assert (4, None, "d") in got  # right-unmatched kept once
+    assert (1, 10, None) in got and (5, 50, None) in got
+    assert len(got) == 5 + 2 + 1  # 5 inner pairs + l-unmatched 1,5 + r-unmatched 4
+
+
+def test_hash_join_semi_anti():
+    semi = _sorted_rows(_run_how("semi"), ["k", "lv"])
+    assert semi == [(2, 20), (2, 21), (3, 30)]
+    anti = _sorted_rows(_run_how("anti"), ["k", "lv"])
+    assert anti == [(1, 10), (5, 50)]
+
+
+def test_hash_join_semi_salted_matches_unsalted():
+    a = _sorted_rows(_run_how("semi"), ["k", "lv"])
+    b = _sorted_rows(_run_how("semi", salt=4), ["k", "lv"])
+    assert a == b
+
+
+def test_hash_join_outer_rejects_salt():
+    import pytest
+
+    for how in ("right", "full"):
+        with pytest.raises(ValueError):
+            _run_how(how, salt=2)
+    with pytest.raises(ValueError):
+        _run_how("cross")

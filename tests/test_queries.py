@@ -43,6 +43,8 @@ def test_entry_smoke():
         "exact_dedup_documents", "token_stats_documents", "doc_quality",
         "ngram_jaccard_pairs", "knn_cosine", "embedding_neardup",
         "broadcast_join_segment", "hash_join_orders_customer",
+        "left_join_customer_orders", "semi_join_customers",
+        "anti_join_customers",
         "asof_join_clicks_views", "range_join_value_bins",
         "sliding_window_activity", "repo_stats_lake",
         "tpch_q1", "lang_id_documents",

@@ -121,6 +121,20 @@ def _bucketed_union(
     return ds, target
 
 
+#: public ``how`` names → Acero join types.  Every variant stays a
+#: per-bucket local join: a key lives in exactly one bucket, so
+#: null-extension (outer) and existence tests (semi/anti) decided
+#: inside the bucket are globally correct.
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "full": "full outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -130,27 +144,41 @@ def hash_join(
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
     salt: int = 1,
+    how: str = "inner",
 ) -> ray.data.Dataset:
-    """Inner equi-join of two large datasets on ``key``.
+    """Equi-join of two large datasets on ``key``.
 
-    Arrow-native: per-bucket ``pa.Table.join`` (hash join in Acero) on
-    the two filtered sides — zero pandas copies.  Column order is
-    left columns then right non-key columns; collisions on the right
-    get an ``_r`` suffix.
+    ``how``: inner | left | right | full | semi | anti (semi/anti emit
+    left columns only).  Arrow-native: per-bucket ``pa.Table.join``
+    (hash join in Acero) on the two filtered sides — zero pandas
+    copies.  Column order is left columns then right non-key columns;
+    collisions on the right get an ``_r`` suffix.
+
+    Salting replicates the right side into every sub-bucket, so with
+    ``salt > 1`` a right row appears in S groups: fine for inner/left
+    (probe rows are still unique), wrong for right/full outer
+    (unmatched right rows would be emitted S times) and for semi/anti
+    only the probe side matters, so those remain allowed.
     """
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
+    if salt > 1 and how in ("right", "full"):
+        raise ValueError("salt > 1 duplicates unmatched right rows under "
+                         "right/full outer joins; use salt=1")
     keys = [key] if isinstance(key, str) else list(key)
     ds, _ = _bucketed_union(left, right, keys, num_buckets, salt)
     lcols = left_cols or [f for f in left.schema().names]
     rcols = right_cols or [f for f in right.schema().names]
     lsel = sorted(set(lcols + keys))
     rsel = sorted(set(rcols + keys))
+    join_type = _JOIN_TYPES[how]
 
     def join_bucket(group: pa.Table) -> pa.Table:
         lmask = pc.equal(group.column("__side"), "l")
         ltab = group.filter(lmask).select(lsel)
         rtab = group.filter(pc.invert(lmask)).select(rsel)
         return ltab.join(
-            rtab, keys=keys, join_type="inner", right_suffix="_r"
+            rtab, keys=keys, join_type=join_type, right_suffix="_r"
         ).combine_chunks()
 
     return ds.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

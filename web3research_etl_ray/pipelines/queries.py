@@ -1392,6 +1392,106 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+#: order-value threshold for the outer/semi/anti join family: splits
+#: customers into ~60% with and ~40% without a qualifying order, so
+#: null-extension and existence paths are genuinely exercised.
+_BIG_ORDER_CENTS = 45_000_000
+
+
+def _big_orders(sf_dir: str) -> ray.data.Dataset:
+    """High-value orders with the key renamed to the customer side's
+    column name (hash_join joins on a shared key name)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice"))
+        keep = pc.greater(cents, pa.scalar(_BIG_ORDER_CENTS, pa.int64()))
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_totalprice_cents": cents,
+            }
+        ).filter(keep)
+
+    return orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_left_join_customer_orders(sf_dir: str) -> pa.Table:
+    """LEFT OUTER hash join: every customer, null-extended when no
+    high-value order exists.  Same bucket exchange as the inner join —
+    null extension is decided bucket-locally (a key lives in exactly
+    one bucket)."""
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return hash_join(
+        cust,
+        _big_orders(sf_dir),
+        "c_custkey",
+        left_cols=["c_mktsegment"],
+        right_cols=["o_orderkey", "o_totalprice_cents"],
+        how="left",
+    )
+
+
+ORACLE_LEFT_JOIN = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice_cents
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+    FROM orders
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 45000000
+) o ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_semi_join_customers(sf_dir: str) -> pa.Table:
+    """LEFT SEMI hash join: customers holding at least one high-value
+    order, emitted once, left columns only."""
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return hash_join(
+        cust,
+        _big_orders(sf_dir),
+        "c_custkey",
+        left_cols=["c_mktsegment"],
+        right_cols=[],
+        how="semi",
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND CAST(ROUND(o.o_totalprice * 100) AS BIGINT) > 45000000)
+"""
+
+
+def q_anti_join_customers(sf_dir: str) -> pa.Table:
+    """LEFT ANTI hash join: customers with NO high-value order."""
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return hash_join(
+        cust,
+        _big_orders(sf_dir),
+        "c_custkey",
+        left_cols=["c_mktsegment"],
+        right_cols=[],
+        how="anti",
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND CAST(ROUND(o.o_totalprice * 100) AS BIGINT) > 45000000)
+"""
+
+
 def q_asof_join_clicks_views(sf_dir: str) -> pa.Table:
     """As-of join (absent from both the reference and Ray Data —
     implemented as bucketed merge_asof): for each click, the latest
@@ -2135,6 +2235,9 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "broadcast_join_segment": q_broadcast_join_segment,
     "hash_join_orders_customer": q_hash_join_orders_customer,
+    "left_join_customer_orders": q_left_join_customer_orders,
+    "semi_join_customers": q_semi_join_customers,
+    "anti_join_customers": q_anti_join_customers,
     "asof_join_clicks_views": q_asof_join_clicks_views,
     "range_join_value_bins": q_range_join_value_bins,
     "sliding_window_activity": q_sliding_window_activity,
@@ -2190,6 +2293,9 @@ ORACLE_SQL = {
     "embedding_neardup": ORACLE_NEARDUP,
     "broadcast_join_segment": ORACLE_BROADCAST,
     "hash_join_orders_customer": ORACLE_HASH_JOIN,
+    "left_join_customer_orders": ORACLE_LEFT_JOIN,
+    "semi_join_customers": ORACLE_SEMI_JOIN,
+    "anti_join_customers": ORACLE_ANTI_JOIN,
     "asof_join_clicks_views": ORACLE_ASOF,
     "range_join_value_bins": ORACLE_RANGE_JOIN,
     "sliding_window_activity": ORACLE_SLIDING,
