@@ -799,3 +799,43 @@ def test_window_single_and_empty_segments():
     assert not valid.any()
     assert np.array_equal(running_sum(v, s), v)
     assert np.array_equal(row_numbers(s), np.ones(3, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# reshape: pivot / unpivot (functions/reshape.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_counts_ignores_out_of_domain_and_sums_across_batches():
+    from web3research_etl_ray.functions.reshape import pivot_counts
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 2, 3], pa.int64()),
+            "c": pa.array(["a", "b", "a", "zzz", None, "b"]),
+        }
+    )
+    # two 3-row blocks force the cross-batch sum path
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = pa.Table.from_pylist(
+        pivot_counts(ds, "k", "c", ["a", "b"]).take_all()
+    ).sort_by("k")
+    assert out.column_names == ["k", "n_a", "n_b"]
+    assert out["k"].to_pylist() == [1, 2, 3]
+    assert out["n_a"].to_pylist() == [1, 1, 0]   # zzz/None ignored
+    assert out["n_b"].to_pylist() == [1, 0, 1]
+
+
+def test_unpivot_round_trips_pivot():
+    from web3research_etl_ray.functions.reshape import pivot_counts, unpivot
+
+    t = pa.table(
+        {"k": pa.array([1, 2, 2], pa.int64()), "c": pa.array(["a", "a", "b"])}
+    )
+    wide = pivot_counts(ray.data.from_arrow(t), "k", "c", ["a", "b"])
+    long = pa.Table.from_pylist(
+        unpivot(wide, ["k"], ["n_a", "n_b"], "cat", "n").take_all()
+    )
+    got = sorted(zip(long["k"].to_pylist(), long["cat"].to_pylist(),
+                     long["n"].to_pylist()))
+    assert got == [(1, "n_a", 1), (1, "n_b", 0), (2, "n_a", 1), (2, "n_b", 1)]

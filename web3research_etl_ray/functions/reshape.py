@@ -1,0 +1,92 @@
+"""Reshape operators: pivot (long→wide) and unpivot/melt (wide→long).
+
+The reference has no reshape ops (its tables are born wide —
+e.g. topics spread to topic0..3, SURVEY.md M3); these close the
+standard query-surface gap the same way the window family does.
+
+Scale shape
+-----------
+- ``pivot_counts``: the category domain must be SMALL and KNOWN (it
+  becomes the schema — same contract as every SQL PIVOT).  Each batch
+  folds to at most one row per key present in the batch with one count
+  column per category (vectorized mask-sums), so the shuffle moves
+  pre-aggregated wide rows, not events; a tiny ``groupby(key).sum``
+  finishes.  At 10^10 rows the exchange volume is O(distinct keys ×
+  batches), the classic partial-agg bound.
+- ``unpivot``: stateless per-batch melt (columns → stacked rows) —
+  embarrassingly parallel, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    categories: list[str],
+    prefix: str = "n_",
+) -> ray.data.Dataset:
+    """Wide per-``key`` occurrence counts of ``col`` over a fixed
+    ``categories`` domain.  Values outside ``categories`` are ignored
+    (mirror with a WHERE/FILTER in any SQL oracle)."""
+
+    out_cols = [prefix + c for c in categories]
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key)
+        uniq = pc.unique(keys)
+        idx = pc.index_in(keys, value_set=uniq).to_numpy(zero_copy_only=False)
+        cols = {key: uniq}
+        for cat, out in zip(categories, out_cols):
+            m = pc.equal(t.column(col), cat).fill_null(False).to_numpy(
+                zero_copy_only=False
+            )
+            cols[out] = pa.array(
+                np.bincount(idx, weights=m, minlength=len(uniq)).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    wide = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = wide.groupby(key).sum(out_cols)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [key if c == key else c[len("sum(") : -1] for c in t.column_names]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """Melt ``value_cols`` into (``var_name``, ``value_name``) rows,
+    repeating ``id_cols`` — one zero-shuffle pass, batch-local."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        vtype = t.column(value_cols[0]).type
+        parts = []
+        for vc in value_cols:
+            cols = {c: t.column(c) for c in id_cols}
+            # constant label without a Python list: dictionary with one
+            # entry, indices all-zero, cast to plain string
+            cols[var_name] = pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n, dtype=np.int32)), pa.array([vc])
+            ).cast(pa.string())
+            cols[value_name] = t.column(vc).cast(vtype)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)

@@ -2200,6 +2200,60 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# 9. Reshape: pivot / unpivot
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_event_counts(sf_dir: str) -> pa.Table:
+    """Long→wide: per-user occurrence counts of each event type as
+    columns.  Batch-local partial pivot (mask bincounts) → tiny
+    groupby-sum; the shuffle moves wide partials, not events."""
+    from ..functions.reshape import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type", _EVENT_TYPES)
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_unpivot_event_counts(sf_dir: str) -> pa.Table:
+    """Wide→long round-trip: melt the pivoted per-user counts back to
+    (user_id, event_type, n) rows — zero-shuffle batch-local melt."""
+    from ..functions.reshape import pivot_counts, unpivot
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    wide = pivot_counts(ds, "user_id", "event_type", _EVENT_TYPES)
+    return unpivot(
+        wide,
+        ["user_id"],
+        ["n_" + c for c in _EVENT_TYPES],
+        var_name="event_type",
+        value_name="n",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH w AS ({pivot})
+SELECT user_id, 'n_' || t AS event_type,
+       CASE t WHEN 'click' THEN n_click WHEN 'view' THEN n_view
+              WHEN 'purchase' THEN n_purchase WHEN 'signup' THEN n_signup
+              ELSE n_error END AS n
+FROM w, unnest(['click','view','purchase','signup','error']) AS u(t)
+""".format(pivot=ORACLE_PIVOT)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2261,6 +2315,8 @@ QUERIES = {
     "window_lag_value": q_window_lag_value,
     "window_running_totals": q_window_running_totals,
     "window_dense_rank": q_window_dense_rank,
+    "pivot_event_counts": q_pivot_event_counts,
+    "unpivot_event_counts": q_unpivot_event_counts,
 }
 
 ORACLE_SQL = {
@@ -2307,6 +2363,8 @@ ORACLE_SQL = {
     "window_lag_value": ORACLE_WINDOW_LAG,
     "window_running_totals": ORACLE_WINDOW_RUN,
     "window_dense_rank": ORACLE_WINDOW_RANK,
+    "pivot_event_counts": ORACLE_PIVOT,
+    "unpivot_event_counts": ORACLE_UNPIVOT,
     # simhash/simhash_neardup/fingerprint/minhash_lsh/knn_lsh/
     # multimodal: model-scoring / probabilistic / media ops → rows-only
     # check
