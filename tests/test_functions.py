@@ -839,3 +839,28 @@ def test_unpivot_round_trips_pivot():
     got = sorted(zip(long["k"].to_pylist(), long["cat"].to_pylist(),
                      long["n"].to_pylist()))
     assert got == [(1, "n_a", 1), (1, "n_b", 0), (2, "n_a", 1), (2, "n_b", 1)]
+
+
+def test_rollup_counts_three_level_hierarchy():
+    """ROLLUP over (a, b, c): every prefix level present with correct
+    counts and NULL-marked rolled columns."""
+    from web3research_etl_ray.functions.reshape import rollup_counts
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y", "y", "y"]),
+            "b": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "c": pa.array(["p", "q", "p", "p", "p"]),
+        }
+    )
+    out = pa.Table.from_pylist(
+        rollup_counts(ray.data.from_arrow(t).repartition(2),
+                      ["a", "b", "c"], "n").take_all()
+    )
+    rows = {(r["a"], r["b"], r["c"]): r["n"] for r in out.to_pylist()}
+    assert rows[("x", 1, "p")] == 1 and rows[("x", 1, "q")] == 1
+    assert rows[("y", 2, "p")] == 2
+    assert rows[("x", 1, None)] == 2 and rows[("y", 2, None)] == 2
+    assert rows[("x", None, None)] == 2 and rows[("y", None, None)] == 3
+    assert rows[(None, None, None)] == 5
+    assert len(rows) == 4 + 3 + 2 + 1  # finest, (a,b), (a), total

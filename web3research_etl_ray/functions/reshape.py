@@ -64,6 +64,81 @@ def pivot_counts(
     return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def rollup_counts(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    count_name: str = "n",
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(cols): row counts at every prefix grouping of
+    ``cols`` (finest → … → grand total), rolled-up columns NULL —
+    matching SQL ROLLUP output shape.
+
+    Scale shape: ONE distributed aggregation computes the finest level
+    (per-batch partial counts → groupby-sum, the usual partial-agg
+    bound); every coarser level is derived from the previous (already
+    aggregated, far smaller) level by another groupby-sum — no second
+    pass over the input, and the grand total reduces rows that already
+    fit anywhere.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = t.select(cols)
+        grouped = sub.group_by(cols).aggregate([([], "count_all")])
+        return grouped.rename_columns(cols + [count_name])
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(cols)
+        .sum(count_name)
+    )
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [count_name if c == f"sum({count_name})" else c
+             for c in t.column_names]
+        )
+
+    finest = finest.map_batches(rename, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    levels = [finest]
+    prev = finest
+    for depth in range(len(cols) - 1, -1, -1):
+        keep, dropped = cols[:depth], cols[depth:]
+
+        def roll(t: pa.Table, keep=keep, dropped=dropped) -> pa.Table:
+            if keep:
+                g = t.select(keep + [count_name]).group_by(keep).aggregate(
+                    [(count_name, "sum")]
+                ).rename_columns(keep + [count_name])
+            else:
+                g = pa.table(
+                    {count_name: pa.array(
+                        [pc.sum(t.column(count_name)).as_py() or 0], pa.int64()
+                    )}
+                )
+            for c in dropped:
+                g = g.append_column(
+                    c, pa.nulls(g.num_rows, t.column(c).type)
+                )
+            return g.select(cols + [count_name])
+
+        # each coarser level folds the previous one: tiny input, but the
+        # fold itself still runs distributed (repartition keeps one
+        # final combine per level)
+        level = prev.map_batches(
+            roll, batch_format="pyarrow", batch_size=None
+        ).repartition(1).map_batches(
+            roll, batch_format="pyarrow", batch_size=None
+        )
+        levels.append(level)
+        prev = level
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 def unpivot(
     ds: ray.data.Dataset,
     id_cols: list[str],

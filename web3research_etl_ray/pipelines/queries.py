@@ -2253,6 +2253,23 @@ FROM w, unnest(['click','view','purchase','signup','error']) AS u(t)
 """.format(pivot=ORACLE_PIVOT)
 
 
+def q_rollup_event_counts(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(event_type, user_id): counts at every prefix
+    grouping, NULLs in rolled-up columns.  One distributed pass builds
+    the finest level; coarser levels fold the (already tiny) previous
+    level."""
+    from ..functions.reshape import rollup_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return rollup_counts(ds, ["event_type", "user_id"], "n")
+
+
+ORACLE_ROLLUP = """
+SELECT event_type, user_id, count(*) AS n
+FROM events GROUP BY ROLLUP(event_type, user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2317,6 +2334,7 @@ QUERIES = {
     "window_dense_rank": q_window_dense_rank,
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
+    "rollup_event_counts": q_rollup_event_counts,
 }
 
 ORACLE_SQL = {
@@ -2365,6 +2383,7 @@ ORACLE_SQL = {
     "window_dense_rank": ORACLE_WINDOW_RANK,
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
+    "rollup_event_counts": ORACLE_ROLLUP,
     # simhash/simhash_neardup/fingerprint/minhash_lsh/knn_lsh/
     # multimodal: model-scoring / probabilistic / media ops → rows-only
     # check
