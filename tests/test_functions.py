@@ -864,3 +864,26 @@ def test_rollup_counts_three_level_hierarchy():
     assert rows[("x", None, None)] == 2 and rows[("y", None, None)] == 3
     assert rows[(None, None, None)] == 5
     assert len(rows) == 4 + 3 + 2 + 1  # finest, (a,b), (a), total
+
+
+def test_window_lead_and_moving_sum_match_pandas():
+    import pandas as pd
+
+    from web3research_etl_ray.functions.window import (
+        lead_one, moving_sum, segment_starts)
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    keys = np.sort(rng.integers(0, 29, n))
+    vals = rng.integers(-50, 50, n).astype(np.int64)
+    starts = segment_starts(keys)
+    g = pd.DataFrame({"k": keys, "v": vals}).groupby("k", sort=False)["v"]
+
+    led, valid = lead_one(vals, starts)
+    exp = g.shift(-1)
+    assert np.array_equal(valid, exp.notna().to_numpy())
+    assert np.array_equal(led[valid], exp.dropna().to_numpy().astype(np.int64))
+
+    for k in (1, 3, 7):
+        exp_ms = g.rolling(k, min_periods=1).sum().reset_index(drop=True).to_numpy()
+        assert np.array_equal(moving_sum(vals, starts, k), exp_ms.astype(np.int64)), k

@@ -51,6 +51,7 @@ def test_entry_smoke():
         "simhash_documents", "fingerprint_documents", "minhash_lsh_pairs",
         "knn_lsh", "multimodal_features",
         "window_lag_value", "window_running_totals", "window_dense_rank",
+        "window_lead_moving",
         "pivot_event_counts", "unpivot_event_counts", "rollup_event_counts",
     ],
 )

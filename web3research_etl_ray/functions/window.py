@@ -82,6 +82,33 @@ def lag_one(values: np.ndarray, starts: np.ndarray) -> tuple[np.ndarray, np.ndar
     return lagged, valid
 
 
+def lead_one(values: np.ndarray, starts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment shift-by-minus-one: returns (led values, valid mask);
+    invalid at each segment's last row."""
+    led = np.empty_like(values)
+    led[:-1] = values[1:]
+    valid = np.empty(len(values), dtype=bool)
+    valid[:-1] = ~starts[1:]
+    if len(valid):
+        valid[-1] = False
+    return led, valid
+
+
+def moving_sum(values: np.ndarray, starts: np.ndarray, k: int) -> np.ndarray:
+    """Per-segment moving sum over the trailing window of ``k`` rows
+    (SQL ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW), one pass:
+    within-segment cumsum minus the same cumsum shifted by ``k`` —
+    valid because whenever a row's segment row-number exceeds ``k``,
+    the row ``k`` back is in the same segment."""
+    s = running_sum(values, starts)
+    rn = row_numbers(starts)
+    out = s.copy()
+    if len(s) > k:
+        take_back = rn > k
+        out[k:] = np.where(take_back[k:], s[k:] - s[:-k], s[k:])
+    return out
+
+
 def running_sum(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """Inclusive per-segment cumulative sum, one pass over the bucket:
     global cumsum rebased by the running total just before each

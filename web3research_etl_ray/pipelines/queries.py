@@ -2199,6 +2199,40 @@ FROM events
 """
 
 
+def q_window_lead_moving(sf_dir: str) -> pa.Table:
+    """lead(1) plus a 3-row trailing moving sum per user ordered by
+    (ts, event_id) — both from the same single vectorized segment
+    pass."""
+    from ..functions.window import keyed_window, lead_one, moving_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid, ts, eid, cents, starts = _window_sorted(g)
+        next_eid, valid = lead_one(eid, starts)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "next_event_id": pa.array(next_eid, pa.int64(), mask=~valid),
+                "mov3_cents": pa.array(moving_sum(cents, starts, 3), pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_WINDOW_LEAD = """
+SELECT event_id, user_id,
+       lead(event_id) OVER w AS next_event_id,
+       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # 9. Reshape: pivot / unpivot
 # ---------------------------------------------------------------------------
@@ -2332,6 +2366,7 @@ QUERIES = {
     "window_lag_value": q_window_lag_value,
     "window_running_totals": q_window_running_totals,
     "window_dense_rank": q_window_dense_rank,
+    "window_lead_moving": q_window_lead_moving,
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
     "rollup_event_counts": q_rollup_event_counts,
@@ -2381,6 +2416,7 @@ ORACLE_SQL = {
     "window_lag_value": ORACLE_WINDOW_LAG,
     "window_running_totals": ORACLE_WINDOW_RUN,
     "window_dense_rank": ORACLE_WINDOW_RANK,
+    "window_lead_moving": ORACLE_WINDOW_LEAD,
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
     "rollup_event_counts": ORACLE_ROLLUP,
