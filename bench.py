@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "top_events",
     "embedding_neardup",
     "fanout_repo_heads",
+    "window_running_totals",
+    "pivot_event_counts",
 ]
 
 
@@ -103,11 +105,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     _rd.range(10_000).map_batches(lambda b: b).count()
 
-    # best of two fresh replays: single-run walls at this tiny scale
-    # (200k events ~ 1.3s) swing ±50% with machine state; min-of-2 is
-    # the standard way to report an overhead-dominated microbench
+    # best of three fresh replays: single-run walls at this tiny scale
+    # (200k events ~ 1.3s) swing ±50% with machine state (measured
+    # 2.0 / 0.9 / 1.2 / 1.1 s back-to-back); min-of-N is the standard
+    # way to report an overhead-dominated microbench
     headline_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         lake = f"/tmp/w3r_bench_lake_{num_cpus}"
         shutil.rmtree(lake, ignore_errors=True)
         t0 = time.perf_counter()
@@ -119,6 +122,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     if not os.environ.get("W3R_SKIP_QUERIES"):
         from web3research_etl_ray.pipelines.queries import QUERIES
 
+        # query inputs live in sf_dir, not the stream dir — warm those
+        # files too so the first query isn't a cold-disk outlier
+        for f in sorted(os.listdir(sf_dir)):
+            if f.endswith(".parquet"):
+                with open(os.path.join(sf_dir, f), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             _consume(QUERIES[name](sf_dir))
