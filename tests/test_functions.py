@@ -887,3 +887,40 @@ def test_window_lead_and_moving_sum_match_pandas():
     for k in (1, 3, 7):
         exp_ms = g.rolling(k, min_periods=1).sum().reset_index(drop=True).to_numpy()
         assert np.array_equal(moving_sum(vals, starts, k), exp_ms.astype(np.int64)), k
+
+
+def test_heavy_hitters_exact_under_pruning():
+    """Distinct domain ≫ k: the MG sketch must prune yet never miss a
+    true heavy hitter, and reported counts are exact."""
+    from web3research_etl_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(17)
+    n = 40_000
+    # 3 planted heavy values + a long light tail of 5000 distinct
+    tail = rng.integers(1000, 6000, n)
+    heavy = rng.choice([7, 8, 9], size=n)
+    vals = np.where(rng.random(n) < 0.3, heavy, tail).astype(np.int64)
+    t = pa.table({"v": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    out = pa.Table.from_pylist(
+        heavy_hitters(ds, "v", k=128, min_share=0.01).take_all()
+    )
+    got = dict(zip(out["v"].to_pylist(), out["n"].to_pylist()))
+
+    import collections
+
+    exact = collections.Counter(vals.tolist())
+    want = {v: c for v, c in exact.items() if c >= int(np.ceil(0.01 * n))}
+    assert got == want
+    assert set(want) == {7, 8, 9}
+
+
+def test_heavy_hitters_k_guard():
+    import pytest
+
+    from web3research_etl_ray.functions.sketch import heavy_hitters
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError):
+        heavy_hitters(ds, "v", k=10, min_share=0.01)

@@ -214,3 +214,107 @@ def approx_quantiles(
         .groupby(group_cols)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def _misra_gries(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra–Gries summary of integer codes: returns (codes, lower-bound
+    counts) for at most ``k`` candidates.  Vectorized: exact bincount of
+    the batch's (already small) code space, then keep the top-k minus
+    the (k+1)-th count — equivalent to running the streaming algorithm
+    over the batch and tight enough for the superset guarantee."""
+    if not len(codes):
+        return codes[:0], codes[:0]
+    counts = np.bincount(codes)
+    nz = np.flatnonzero(counts)
+    if len(nz) <= k:
+        return nz, counts[nz]
+    order = np.argsort(counts[nz])[::-1]
+    kept = nz[order[:k]]
+    decrement = counts[nz[order[k]]]
+    return kept, counts[kept] - decrement
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 64,
+    min_share: float = 0.01,
+) -> ray.data.Dataset:
+    """Exact counts of every value of ``col`` whose global frequency is
+    at least ``min_share`` of all rows — found WITHOUT a full-domain
+    groupby.
+
+    Pass 1 (sketch): each batch emits a Misra–Gries(k) summary — at
+    most ``k`` (value, count) rows.  By averaging, any value with
+    global share > 1/k is heavy in at least one batch, so the union of
+    per-batch candidates is a SUPERSET of the true heavy hitters
+    (choose ``k >= 1/min_share``); the shuffle moves O(k × batches)
+    rows instead of O(distinct values).
+    Pass 2 (verify): candidates are broadcast (``ray.put``) and each
+    batch counts ONLY candidate rows (index_in + bincount); a tiny
+    groupby-sum then a share filter yields exact counts — so the
+    output is oracle-exact (SQL: HAVING count(*) * N >= min_share
+    terms), with the sketch only bounding the exchange.
+    """
+    if k < 1.0 / min_share:
+        raise ValueError("need k >= 1/min_share for the superset guarantee")
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = vals.drop_null()
+        uniq = pc.unique(vals)
+        codes = pc.index_in(vals, value_set=uniq).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        kept, cnts = _misra_gries(codes, k)
+        return pa.table(
+            {
+                col: pc.take(uniq, pa.array(kept)),
+                "__mg": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # candidate set + total rows: ≤ k rows per batch — a final-small
+    # take (at extreme batch counts, MG-fold the partials once more)
+    rows = partials.take_all()
+    total = ds.count()
+    if not rows:
+        empty = ds.schema().base_schema.field(col).type
+        return ray.data.from_arrow(
+            pa.table({col: pa.nulls(0, empty), "n": pa.nulls(0, pa.int64())})
+        )
+    cand = pc.unique(pa.Table.from_pylist(rows).column(col))
+    cand_ref = ray.put(cand)
+    threshold = min_share * total
+
+    def recount(t: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        vals = t.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        idx = pc.index_in(vals, value_set=cset)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        codes = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(codes[valid], minlength=len(cset))
+        return pa.table(
+            {col: cset, "n": pa.array(counts.astype(np.int64))}
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .sum("n")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([col, "n"])
+        return t.filter(pc.greater_equal(t.column("n"),
+                                         pa.scalar(int(np.ceil(threshold)))))
+
+    return exact.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -2304,6 +2304,23 @@ FROM events GROUP BY ROLLUP(event_type, user_id)
 """
 
 
+def q_heavy_hitter_users(sf_dir: str) -> pa.Table:
+    """Users with ≥0.5% of all events, with EXACT counts, found via a
+    Misra–Gries candidate sketch (shuffle moves ≤k rows per batch, not
+    the distinct-user domain) + a broadcast-candidate exact recount —
+    the 10^10-scale heavy-hitter pattern with an exact SQL oracle."""
+    from ..functions.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", k=256, min_share=0.005)
+
+
+ORACLE_HEAVY = """
+SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+HAVING count(*) >= CAST(ceil(0.005 * (SELECT count(*) FROM events)) AS BIGINT)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2370,6 +2387,7 @@ QUERIES = {
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
     "rollup_event_counts": q_rollup_event_counts,
+    "heavy_hitter_users": q_heavy_hitter_users,
 }
 
 ORACLE_SQL = {
@@ -2420,6 +2438,7 @@ ORACLE_SQL = {
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
     "rollup_event_counts": ORACLE_ROLLUP,
+    "heavy_hitter_users": ORACLE_HEAVY,
     # simhash/simhash_neardup/fingerprint/minhash_lsh/knn_lsh/
     # multimodal: model-scoring / probabilistic / media ops → rows-only
     # check
