@@ -376,3 +376,157 @@ def test_randomized_fanout_streams_match_oracles(tmp_path):
         got = {r: c for r, c in zip(heads["repo"].to_pylist(),
                                     heads["commit"].to_pylist())}
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# additive (SummingMergeTree-mode) tables: spec.sum_cols
+# ---------------------------------------------------------------------------
+
+
+def _additive_tables():
+    act_schema = pa.schema(
+        [
+            pa.field("repo", pa.string(), nullable=False),
+            pa.field("n_changes", pa.int64(), nullable=False),
+            pa.field("content_chars", pa.int64(), nullable=False),
+            pa.field("commit_seq", pa.int64(), nullable=False),
+        ]
+    )
+    act = TableSpec(
+        name="repo_activity",
+        schema=act_schema,
+        key=("repo",),
+        event_schema=act_schema.append(pa.field("op", pa.string())),
+        sum_cols=("n_changes", "content_chars"),
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "repo": t.column("repo"),
+                "n_changes": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "content_chars": pc.utf8_length(t.column("content")).cast(
+                    pa.int64()
+                ),
+                "commit_seq": t.column("commit_seq"),
+                "op": pa.array(["upsert"] * t.num_rows, pa.string()),
+            }
+        )
+
+    return [FanoutTable(REPO_FILES, None), FanoutTable(act, derive)]
+
+
+def _activity_oracle(stream_dir):
+    """Single-process reference: per-repo (count, char-sum, max seq)
+    over non-orphaned events."""
+    import pyarrow.dataset as pads
+
+    from web3research_etl_ray.oracle import in_orphan_range, load_rollback_ranges
+    from web3research_etl_ray.pipelines.replay import event_files
+    from web3research_etl_ray.schema import unify_to
+
+    ranges = load_rollback_ranges(stream_dir)
+    acc: dict[str, list[int]] = {}
+    for f in event_files(stream_dir):
+        t = unify_to(pads.dataset(f).to_table())
+        for repo, content, seq in zip(
+            t["repo"].to_pylist(), t["content"].to_pylist(),
+            t["commit_seq"].to_pylist(),
+        ):
+            if in_orphan_range(seq, ranges):
+                continue
+            a = acc.setdefault(repo, [0, 0, -1])
+            a[0] += 1
+            a[1] += len(content)
+            a[2] = max(a[2], seq)
+    return {r: tuple(v) for r, v in acc.items()}
+
+
+def _activity_rows(lake):
+    t = fanout_table(lake, "repo_activity")
+    return {
+        r["repo"]: (r["n_changes"], r["content_chars"], r["commit_seq"])
+        for r in t.to_pylist()
+    }
+
+
+def test_additive_table_one_shot_matches_oracle(tiny_stream, lake_dir):
+    replay_fanout(tiny_stream, lake_dir, _additive_tables(), num_partitions=8)
+    assert _activity_rows(lake_dir) == _activity_oracle(tiny_stream)
+
+
+def test_additive_table_accumulates_across_ticks(tiny_stream, tmp_path):
+    """Sums must accumulate over merge generations: 3-tick sync equals
+    the one-shot replay equals the oracle."""
+    lake_a, lake_b = str(tmp_path / "a"), str(tmp_path / "b")
+    replay_fanout(tiny_stream, lake_a, _additive_tables(), num_partitions=8)
+    replay_fanout(tiny_stream, lake_b, _additive_tables(), num_partitions=8,
+                  upto_seq=400)
+    replay_fanout(tiny_stream, lake_b, _additive_tables(), num_partitions=8,
+                  upto_seq=900)
+    replay_fanout(tiny_stream, lake_b, _additive_tables(), num_partitions=8)
+    want = _activity_oracle(tiny_stream)
+    assert _activity_rows(lake_a) == want
+    assert _activity_rows(lake_b) == want
+
+
+def test_additive_table_retick_is_idempotent(tiny_stream, lake_dir):
+    replay_fanout(tiny_stream, lake_dir, _additive_tables(), num_partitions=8)
+    before = _activity_rows(lake_dir)
+    replay_fanout(tiny_stream, lake_dir, _additive_tables(), num_partitions=8)
+    assert _activity_rows(lake_dir) == before  # no double counting
+
+
+def test_additive_table_rollback_repair_rebuilds_sums(tmp_path):
+    """Events applied into the sums then orphaned by a late rollback
+    must be SUBTRACTED — via the repair rebuild, since additive state
+    can't retract per-row."""
+    from web3research_etl_ray.gen import generate_events
+    from web3research_etl_ray.oracle import load_rollback_ranges
+
+    stream = str(tmp_path / "stream")
+    generate_events(stream, n_events=2_000, seed=9)
+    (lo, _hi) = load_rollback_ranges(stream)[0]
+    lake = str(tmp_path / "lake")
+    replay_fanout(stream, lake, _additive_tables(), num_partitions=8,
+                  upto_seq=lo - 1)
+    replay_fanout(stream, lake, _additive_tables(), num_partitions=8)
+    assert _activity_rows(lake) == _activity_oracle(stream)
+
+
+def test_additive_table_check_detects_and_repairs_corruption(
+    tiny_stream, lake_dir
+):
+    """check_fanout must validate additive sums (full-history fold even
+    when a trailing window is requested) and heal corruption through
+    the shared atomic repair generation."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.check import (
+        check_and_repair_fanout,
+        check_fanout,
+    )
+
+    tables = _additive_tables()
+    replay_fanout(tiny_stream, lake_dir, tables, num_partitions=8)
+    reports = check_fanout(tiny_stream, lake_dir, tables, from_seq=500)
+    assert all(r.ok for r in reports.values())
+
+    # corrupt one activity partition file: zero out the sums
+    fpat = os.path.join(lake_dir, "tables", "repo_activity", "data",
+                        "gen=*", "part-*.parquet")
+    victim = sorted(glob.glob(fpat))[0]
+    t = pq.read_table(victim)
+    idx = t.schema.get_field_index("n_changes")
+    t = t.set_column(idx, "n_changes",
+                     pa.array([0] * t.num_rows, pa.int64()))
+    pq.write_table(t, victim)
+
+    reports = check_fanout(tiny_stream, lake_dir, tables, from_seq=500)
+    assert not reports["repo_activity"].ok
+    check_and_repair_fanout(tiny_stream, lake_dir, tables)
+    assert _activity_rows(lake_dir) == _activity_oracle(tiny_stream)

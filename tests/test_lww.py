@@ -109,3 +109,38 @@ def test_normalize_unifies_v1_batch():
         sha256_binary(out.column("content"))[0].as_py()
         == hashlib.sha256(b"body-r-a-1").digest()
     )
+
+
+def test_fold_lww_sum_cols_accumulate_and_associate():
+    """sum_cols generalize the fold to SummingMergeTree semantics:
+    per-key sums (null = 0), other payload from the max-order row, and
+    the fold is associative over any split of the rows."""
+    import pyarrow as pa
+
+    from web3research_etl_ray.stages.lww import fold_lww
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "a", "b"]),
+            "seq": pa.array([1, 3, 2, 2, 9], pa.int64()),
+            "n_events": pa.array([1, 1, 1, 1, 1], pa.int64()),
+            "add": pa.array([10, None, 5, 7, 1], pa.int64()),
+            "payload": pa.array(["p1", "p3", "q2", "p2", "q9"]),
+        }
+    )
+    out = fold_lww(t, "n_events", ("k",), "seq", sum_cols=("add",))
+    rows = {r["k"]: r for r in out.to_pylist()}
+    assert rows["a"]["add"] == 17 and rows["b"]["add"] == 6  # null = 0
+    assert rows["a"]["payload"] == "p3" and rows["b"]["payload"] == "q9"
+    assert rows["a"]["n_events"] == 3 and rows["b"]["n_events"] == 2
+
+    # associativity: fold halves, then fold the folded halves
+    h1 = fold_lww(t.slice(0, 2), "n_events", ("k",), "seq", sum_cols=("add",))
+    h2 = fold_lww(t.slice(2), "n_events", ("k",), "seq", sum_cols=("add",))
+    refold = fold_lww(
+        pa.concat_tables([h1, h2]), "n_events", ("k",), "seq",
+        sum_cols=("add",),
+    )
+    assert sorted(refold.to_pylist(), key=lambda r: r["k"]) == sorted(
+        out.to_pylist(), key=lambda r: r["k"]
+    )

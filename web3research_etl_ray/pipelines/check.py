@@ -188,7 +188,8 @@ def _conformance_rows(
         pid = int(group.column("part_id")[0].as_py())
         exp = group.filter(pc.equal(group.column("src"), "e"))
         exp = exp.filter(pc.not_equal(exp.column(spec.op_col), ORPHAN_OP))
-        exp = fold_lww(exp, "n_events", tuple(key), order)
+        exp = fold_lww(exp, "n_events", tuple(key), order,
+                       getattr(spec, "sum_cols", ()))
         exp = exp.filter(pc.not_equal(exp.column(spec.op_col), "delete"))
         lake = group.filter(pc.equal(group.column("src"), "l"))
 
@@ -276,7 +277,9 @@ def check(
         P,
         ranges,
         spec,
-        from_seq,
+        # additive tables: sums are a function of full history (see
+        # check_fanout) — ignore the window
+        None if getattr(spec, "sum_cols", ()) else from_seq,
         exp_prepare=lambda t: partial_lww(normalize(t), spec),
     )
     report = _rows_to_report(rows)
@@ -326,7 +329,10 @@ def check_fanout(
             P,
             ranges,
             spec,
-            from_seq,
+            # additive state is a function of FULL history — a trailing
+            # window can't reproduce accumulated sums, so sum-mode
+            # tables always check from the beginning
+            None if getattr(spec, "sum_cols", ()) else from_seq,
             exp_prepare=lambda t, _s=stage: _s(t).drop_columns(["__table"]),
         )
         reports[spec.name] = _rows_to_report(rows)

@@ -117,14 +117,20 @@ class FanoutNormalize:
         num_partitions: int,
         orphan_ranges: list[tuple[int, int]],
         base_spec: TableSpec = REPO_FILES,
-        route_wm: int | None = None,
+        wm_by_table: dict[str, np.ndarray | None] | None = None,
         repair_pids: dict[str, frozenset[int]] | None = None,
     ):
         self.tables = tables
         self.num_partitions = num_partitions
         self.ranges = sorted(orphan_ranges)
         self.base_spec = base_spec
-        self.route_wm = route_wm
+        #: per-table per-PARTITION committed watermarks (len
+        #: num_partitions, -1 = empty).  Exact routing: a row reaches a
+        #: partition only if past that partition's own watermark — the
+        #: read filter prunes only at the global min, and re-delivery,
+        #: harmless under LWW, would double-count additive (sum_cols)
+        #: tables.
+        self.wm_by_table = wm_by_table or {}
         self.repair_pids = repair_pids or {}
         self.union_schema = _union_flight_schema(tables)
 
@@ -152,18 +158,14 @@ class FanoutNormalize:
             rows = rows.append_column(
                 "schema_version", pa.array(np.full(len(rows), version, dtype=np.int8))
             )
-            if self.route_wm is not None:
+            wm_vec = self.wm_by_table.get(spec.name)
+            if wm_vec is not None and rows.num_rows:
                 repair = self.repair_pids.get(spec.name, frozenset())
-                keep = pc.greater(rows.column(spec.order_col), self.route_wm)
+                keep = seqs > wm_vec[pid]
                 if repair:
-                    keep = pc.or_(
-                        keep,
-                        pc.is_in(
-                            rows.column("part_id"),
-                            value_set=pa.array(sorted(repair)),
-                        ),
-                    )
-                rows = rows.filter(keep)
+                    keep |= np.isin(pid, np.array(sorted(repair), dtype=np.int64))
+                if not keep.all():
+                    rows = rows.filter(pa.array(keep))
             rows = partial_lww(rows, spec)
             rows = rows.append_column(
                 "__table", pa.array([spec.name] * rows.num_rows, pa.string())
@@ -333,9 +335,21 @@ def replay_fanout(
         expr = e if expr is None else (expr & e)
     read_kwargs = {"filter": expr} if expr is not None else {}
 
-    route_wm = watermark if (watermark >= 0 and any_repair) else None
+    wm_by_table: dict[str, np.ndarray | None] = {}
+    if prior is not None:
+        for ft in tables:
+            ts = prior.tables.get(ft.spec.name)
+            if ts is None or ts.num_partitions != num_partitions:
+                # new or repartitioned table: full-rebuild repair set
+                # already covers it — no watermark routing
+                wm_by_table[ft.spec.name] = None
+                continue
+            vec = np.full(num_partitions, -1, dtype=np.int64)
+            for _pid, _e in ts.partitions.items():
+                vec[_pid] = _e.watermark_seq
+            wm_by_table[ft.spec.name] = vec
     stage = FanoutNormalize(
-        tables, num_partitions, ranges, base_spec, route_wm, repair_pids
+        tables, num_partitions, ranges, base_spec, wm_by_table, repair_pids
     )
     ds = ray.data.read_parquet(
         files, override_num_blocks=len(files), **read_kwargs
@@ -359,6 +373,7 @@ def replay_fanout(
                         sub, "n_events",
                         tuple(ft.spec.key) + ("part_id",),
                         ft.spec.order_col,
+                        ft.spec.sum_cols,
                     )
                 )
         return pa.concat_tables(outs) if outs else t.slice(0, 0)

@@ -1654,10 +1654,43 @@ def _fanout_tables():
             }
         )
 
+    activity_schema = pa.schema(
+        [
+            pa.field("repo", pa.string(), nullable=False),
+            pa.field("n_changes", pa.int64(), nullable=False),
+            pa.field("content_chars", pa.int64(), nullable=False),
+            pa.field("commit_seq", pa.int64(), nullable=False),
+        ]
+    )
+    activity_spec = TableSpec(
+        name="repo_activity",
+        schema=activity_schema,
+        key=("repo",),
+        event_schema=activity_schema.append(pa.field("op", pa.string())),
+        sum_cols=("n_changes", "content_chars"),
+    )
+
+    def derive_activity(t: pa.Table) -> pa.Table:
+        # additive (SummingMergeTree) table: every surviving event adds
+        # one change + its content length; sums accumulate across ticks
+        n = t.num_rows
+        return pa.table(
+            {
+                "repo": t.column("repo"),
+                "n_changes": pa.array(np.ones(n, dtype=np.int64)),
+                "content_chars": pc.utf8_length(t.column("content")).cast(
+                    pa.int64()
+                ),
+                "commit_seq": t.column("commit_seq"),
+                "op": pa.array(["upsert"] * n, pa.string()),
+            }
+        )
+
     return [
         FanoutTable(REPO_FILES, None),
         FanoutTable(heads_spec, derive_heads),
         FanoutTable(langs_spec, derive_langs),
+        FanoutTable(activity_spec, derive_activity),
     ]
 
 
@@ -1741,6 +1774,30 @@ win AS (
 SELECT repo, lang, path, commit_seq
 FROM win WHERE rn = 1
 ORDER BY repo, lang
+"""
+
+
+def q_fanout_repo_activity(sf_dir: str) -> pa.Table:
+    """Fourth table of the atomic fan-out — the ADDITIVE
+    (SummingMergeTree-mode) one: per-repo change count + total content
+    chars, accumulated across merge generations by ``sum_cols`` instead
+    of last-writer-wins.  Same combiner → spool → merge-on-write path;
+    the partial folds ship per-(key, block) SUMS, not raw events."""
+    from .fanout import fanout_table
+
+    t = fanout_table(_fanout_lake(sf_dir), "repo_activity")
+    return t.select(
+        ["repo", "n_changes", "content_chars", "commit_seq"]
+    ).sort_by([("repo", "ascending")])
+
+
+ORACLE_FANOUT_ACTIVITY = f"""
+WITH {_EV_CTE}
+SELECT repo,
+       count(*) AS n_changes,
+       CAST(sum(length(content)) AS BIGINT) AS content_chars,
+       max(commit_seq) AS commit_seq
+FROM eff GROUP BY repo ORDER BY repo
 """
 
 
@@ -2366,6 +2423,7 @@ QUERIES = {
     "repo_stats_lake": q_repo_stats_lake,
     "fanout_repo_heads": q_fanout_repo_heads,
     "fanout_repo_langs": q_fanout_repo_langs,
+    "fanout_repo_activity": q_fanout_repo_activity,
     "tpch_q1": q_tpch_q1,
     "lang_id_documents": q_lang_id_documents,
     "simhash_documents": q_simhash_documents,
@@ -2429,6 +2487,7 @@ ORACLE_SQL = {
     "repo_stats_lake": ORACLE_REPO_STATS,
     "fanout_repo_heads": ORACLE_FANOUT_HEADS,
     "fanout_repo_langs": ORACLE_FANOUT_LANGS,
+    "fanout_repo_activity": ORACLE_FANOUT_ACTIVITY,
     "tpch_q1": ORACLE_Q1,
     "lang_id_documents": ORACLE_LANG_ID,
     "window_lag_value": ORACLE_WINDOW_LAG,

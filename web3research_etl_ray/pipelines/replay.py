@@ -44,6 +44,7 @@ from __future__ import annotations
 import glob
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -291,20 +292,31 @@ def replay(
                     pid for pid, v in traffic.items() if v > max(1, 4 * median)
                 )
     normalize = Normalize(num_partitions, ranges, spec)
-    # incremental + repair tick: keep fresh events everywhere, full
-    # history only for partitions being rebuilt (routed between
-    # normalize and the partial fold so lineage counts stay exact)
-    route_wm = watermark if (watermark >= 0 and repair_pids) else None
-    repair_set = pa.array(sorted(repair_pids)) if repair_pids else None
+    # Exact per-PARTITION watermark routing on resumed ticks: the read
+    # filter prunes at the global MIN watermark, so partitions whose own
+    # watermark is ahead would see already-applied events again.  For
+    # LWW that re-delivery is merely wasted work (idempotent fold, but
+    # inflated superseded counters); for additive tables (spec.sum_cols)
+    # it would DOUBLE-COUNT — so each row is kept only if it is past its
+    # own partition's committed watermark.  Repair partitions keep full
+    # history (they rebuild from scratch).
+    wm_vec = None
+    if prior is not None and prior.num_partitions == num_partitions:
+        wm_vec = np.full(num_partitions, -1, dtype=np.int64)
+        for _pid, _e in prior.partitions.items():
+            wm_vec[_pid] = _e.watermark_seq
+    repair_np = np.array(sorted(repair_pids), dtype=np.int64) if repair_pids else None
 
     def norm_partial(t):
         t = normalize(t)
-        if route_wm is not None:
-            keep = pc.or_(
-                pc.greater(t.column(spec.order_col), route_wm),
-                pc.is_in(t.column("part_id"), value_set=repair_set),
-            )
-            t = t.filter(keep)
+        if wm_vec is not None and t.num_rows:
+            seqs = t.column(spec.order_col).to_numpy(zero_copy_only=False)
+            pids = t.column("part_id").to_numpy(zero_copy_only=False)
+            keep = seqs > wm_vec[pids]
+            if repair_np is not None:
+                keep |= np.isin(pids, repair_np)
+            if not keep.all():
+                t = t.filter(pa.array(keep))
         t = partial_lww(t, spec)
         if salt_buckets:
             # salt-based skew splitting (BASELINE.json): a hot
@@ -351,7 +363,8 @@ def replay(
         def second_fold(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return t
-            return fold_lww(t, "n_events", refold_keys, spec.order_col)
+            return fold_lww(t, "n_events", refold_keys, spec.order_col,
+                            spec.sum_cols)
 
         ds = ds.map_batches(
             second_fold,

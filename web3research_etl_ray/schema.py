@@ -142,6 +142,16 @@ class TableSpec:
     event_schema: pa.Schema | None = None  # unified in-flight schema
     hash_source: str | None = None  # column to sha256 into hash_col at merge
     hash_col: str | None = None
+    #: non-empty ⇒ SummingMergeTree semantics (ClickHouse's sibling of
+    #: the reference's ReplacingMergeTree): these columns ACCUMULATE per
+    #: key across events and merge generations (null = 0), all other
+    #: payload still comes from the max-order_col row.  Contract:
+    #: additive tables are upsert-only (emit no 'delete' ops from a
+    #: derive fn) — per-row retraction does not compose associatively
+    #: with partial sums; rollbacks are still exact because orphaned
+    #: events never enter the fold and late rollbacks rebuild the
+    #: partition from surviving history (repair path).
+    sum_cols: tuple[str, ...] = ()
     extra: dict = field(default_factory=dict)
 
     @property

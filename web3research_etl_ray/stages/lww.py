@@ -49,6 +49,7 @@ def fold_lww(
     count_col: str | None = "n_events",
     key_cols: tuple[str, ...] = ("repo", "path"),
     order_col: str = "commit_seq",
+    sum_cols: tuple[str, ...] = (),
 ) -> pa.Table:
     """Keep the max-``order_col`` row per key tuple; sum ``count_col``
     over the folded rows (skipped if None/absent).  Ties on order
@@ -58,13 +59,21 @@ def fold_lww(
     because of it).  Generic over key/order so it doubles as the
     engine's keyed-dedup operator for arbitrary tables (TableSpec).
 
+    ``sum_cols`` generalizes the fold from Replacing- to
+    SummingMergeTree (the reference's ClickHouse sibling engine): those
+    columns ACCUMULATE per key (null = 0) while every other payload
+    column still comes from the max-order row.  The fold stays
+    associative — partial sums from any split of the rows add to the
+    same total — which is what lets additive tables ride the exact
+    combiner → spool → merge-on-write path the LWW lake uses.
+
     The sort and the fold run over ONLY the key/order columns (plus an
     optional subset of row positions); the wide payload (content etc.)
     is gathered ONCE for the winner rows.  Physically sorting or
     filtering the whole table costs seconds per 600 MB block just to
     keep ~10k winners (measured at 50M events) — this path touches
     O(rows) narrow columns + O(winners) wide ones."""
-    return _fold_lww_sel(t, None, count_col, key_cols, order_col)
+    return _fold_lww_sel(t, None, count_col, key_cols, order_col, sum_cols)
 
 
 def _fold_lww_sel(
@@ -73,6 +82,7 @@ def _fold_lww_sel(
     count_col: str | None = "n_events",
     key_cols: tuple[str, ...] = ("repo", "path"),
     order_col: str = "commit_seq",
+    sum_cols: tuple[str, ...] = (),
 ) -> pa.Table:
     """fold_lww restricted to ``row_sel`` positions (None = all rows)
     WITHOUT materializing the subset of wide columns first."""
@@ -99,13 +109,17 @@ def _fold_lww_sel(
     win_local = idx_np[starts]
     win_global = win_local if row_sel is None else row_sel[win_local]
     out = t.take(pa.array(win_global, pa.int64()))
-    if count_col and count_col in t.column_names:
-        counts = t.column(count_col).to_numpy(zero_copy_only=False)
-        counts = counts if row_sel is None else counts[row_sel]
-        counts = counts[idx_np]
-        summed = np.add.reduceat(counts, starts) if len(starts) else counts[:0]
-        ci = out.schema.get_field_index(count_col)
-        out = out.set_column(ci, count_col, pa.array(summed, pa.int64()))
+    to_sum = [c for c in ((count_col,) if count_col else ()) + tuple(sum_cols)
+              if c and c in t.column_names]
+    for c in to_sum:
+        vals = pc.fill_null(t.column(c), 0).to_numpy(zero_copy_only=False)
+        vals = vals if row_sel is None else vals[row_sel]
+        vals = vals[idx_np]
+        summed = np.add.reduceat(vals, starts) if len(starts) else vals[:0]
+        ci = out.schema.get_field_index(c)
+        out = out.set_column(
+            ci, c, pa.array(summed).cast(t.schema.field(c).type)
+        )
     return out
 
 
@@ -132,6 +146,7 @@ def partial_lww(batch: pa.Table, spec=None) -> pa.Table:
     winners = _fold_lww_sel(
         batch, None if len(live_sel) == batch.num_rows else live_sel,
         "n_events", spec.key, spec.order_col,
+        getattr(spec, "sum_cols", ()),
     )
     nullable = pa.schema([f.with_nullable(True) for f in winners.schema])
     winners = winners.cast(nullable)

@@ -115,7 +115,8 @@ class Merger:
         ]
         watermark = max(max_seq_vals) if max_seq_vals else -1
 
-        folded = fold_lww(real, "n_events", spec.key, spec.order_col)
+        folded = fold_lww(real, "n_events", spec.key, spec.order_col,
+                          spec.sum_cols)
         repair = pid in self.repair_pids
         prior_path = None if repair else self.prior_files.get(pid)
         if prior_path:
@@ -124,7 +125,8 @@ class Merger:
             folded = pa.concat_tables(
                 [folded, _prior_as_events(prior, spec)], promote_options="default"
             )
-            folded = fold_lww(folded, "n_events", spec.key, spec.order_col)
+            folded = fold_lww(folded, "n_events", spec.key, spec.order_col,
+                              spec.sum_cols)
 
         n_events_col = folded.column("n_events").to_numpy(zero_copy_only=False)
         applied = int((n_events_col > 0).sum())
@@ -238,5 +240,6 @@ class SpoolMerger:
                 if winners is None
                 else pa.concat_tables([winners, shard], promote_options="default")
             )
-            winners = fold_lww(merged, "n_events", spec.key, spec.order_col)
+            winners = fold_lww(merged, "n_events", spec.key, spec.order_col,
+                               spec.sum_cols)
         return winners if winners is not None else _empty_group(spec)
