@@ -144,3 +144,37 @@ def test_fold_lww_sum_cols_accumulate_and_associate():
     assert sorted(refold.to_pylist(), key=lambda r: r["k"]) == sorted(
         out.to_pylist(), key=lambda r: r["k"]
     )
+
+
+def test_fold_lww_min_max_cols():
+    """AggregatingMergeTree family: running min/max per key, nulls
+    ignored, all-null key → null, associative over splits."""
+    import pyarrow as pa
+
+    from web3research_etl_ray.stages.lww import fold_lww
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "a", "b", "c"]),
+            "seq": pa.array([1, 3, 2, 2, 9, 4], pa.int64()),
+            "n_events": pa.array([1] * 6, pa.int64()),
+            "lo": pa.array([5, None, 7, 2, 3, None], pa.int64()),
+            "hi": pa.array([5.0, 9.5, 7.0, None, 3.0, None], pa.float64()),
+        }
+    )
+    out = fold_lww(t, "n_events", ("k",), "seq",
+                   min_cols=("lo",), max_cols=("hi",))
+    rows = {r["k"]: r for r in out.to_pylist()}
+    assert rows["a"]["lo"] == 2 and rows["b"]["lo"] == 3
+    assert rows["a"]["hi"] == 9.5 and rows["b"]["hi"] == 7.0
+    assert rows["c"]["lo"] is None and rows["c"]["hi"] is None
+
+    h1 = fold_lww(t.slice(0, 3), "n_events", ("k",), "seq",
+                  min_cols=("lo",), max_cols=("hi",))
+    h2 = fold_lww(t.slice(3), "n_events", ("k",), "seq",
+                  min_cols=("lo",), max_cols=("hi",))
+    refold = fold_lww(pa.concat_tables([h1, h2]), "n_events", ("k",), "seq",
+                      min_cols=("lo",), max_cols=("hi",))
+    assert sorted(refold.to_pylist(), key=lambda r: r["k"]) == sorted(
+        out.to_pylist(), key=lambda r: r["k"]
+    )

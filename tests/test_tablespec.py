@@ -131,6 +131,7 @@ ADD_LAKE = pa.schema(
         pa.field("user_id", pa.int64(), nullable=False),
         pa.field("hits", pa.int64(), nullable=False),
         pa.field("bytes", pa.int64(), nullable=False),
+        pa.field("peak", pa.int64(), nullable=True),
         pa.field("seq", pa.int64(), nullable=False),
     ]
 )
@@ -142,6 +143,7 @@ ADD_SPEC = TableSpec(
     order_col="seq",
     event_schema=ADD_LAKE.append(pa.field("op", pa.string(), nullable=True)),
     sum_cols=("hits", "bytes"),
+    max_cols=("peak",),
 )
 
 
@@ -152,6 +154,7 @@ def _write_add_stream(d, rows):
             "user_id": pa.array([r[0] for r in rows], pa.int64()),
             "hits": pa.array([r[1] for r in rows], pa.int64()),
             "bytes": pa.array([r[2] for r in rows], pa.int64()),
+            "peak": pa.array([r[2] for r in rows], pa.int64()),
             "seq": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
@@ -173,14 +176,14 @@ def test_additive_spec_single_table_replay_and_tail(tmp_path):
     def rows():
         t = lake_table(lake)
         return {
-            r["user_id"]: (r["hits"], r["bytes"], r["seq"])
+            r["user_id"]: (r["hits"], r["bytes"], r["peak"], r["seq"])
             for r in t.to_pylist()
         }
 
-    assert rows() == {1: (2, 150, 2), 2: (1, 10, 1)}
+    assert rows() == {1: (2, 150, 100, 2), 2: (1, 10, 10, 1)}
     # re-tick: nothing new → unchanged
     replay(stream, lake, num_partitions=4, spec=ADD_SPEC)
-    assert rows() == {1: (2, 150, 2), 2: (1, 10, 1)}
+    assert rows() == {1: (2, 150, 100, 2), 2: (1, 10, 10, 1)}
     # incremental tail with skewed seqs: user 1 far ahead of user 2 —
     # the new segment's low seqs (for user 2) must still apply exactly
     # once even though user 1's partition watermark is higher
@@ -188,7 +191,8 @@ def test_additive_spec_single_table_replay_and_tail(tmp_path):
         (2, 1, 5, 3), (1, 1, 25, 10), (3, 2, 7, 4),
     ])
     replay(stream, lake, num_partitions=4, spec=ADD_SPEC)
-    assert rows() == {1: (3, 175, 10), 2: (2, 15, 3), 3: (2, 7, 4)}
-    # one more empty tick: still unchanged
+    want = {1: (3, 175, 100, 10), 2: (2, 15, 10, 3), 3: (2, 7, 7, 4)}
+    assert rows() == want
+    # one more empty tick: still unchanged (incl. running max)
     replay(stream, lake, num_partitions=4, spec=ADD_SPEC)
-    assert rows() == {1: (3, 175, 10), 2: (2, 15, 3), 3: (2, 7, 4)}
+    assert rows() == want

@@ -39,7 +39,7 @@ import ray.data
 from ..functions.hashing import key_hash64, sha256_binary
 from ..oracle import load_rollback_ranges
 from ..schema import REPO_FILES, TableSpec
-from ..stages.lww import ORPHAN_OP, fold_lww, partial_lww
+from ..stages.lww import ORPHAN_OP, agg_kwargs, fold_lww, partial_lww
 from ..stages.normalize import Normalize
 from ..state.manifest import load_latest
 from .replay import event_files, read_lake, replay
@@ -189,7 +189,7 @@ def _conformance_rows(
         exp = group.filter(pc.equal(group.column("src"), "e"))
         exp = exp.filter(pc.not_equal(exp.column(spec.op_col), ORPHAN_OP))
         exp = fold_lww(exp, "n_events", tuple(key), order,
-                       getattr(spec, "sum_cols", ()))
+                       **agg_kwargs(spec))
         exp = exp.filter(pc.not_equal(exp.column(spec.op_col), "delete"))
         lake = group.filter(pc.equal(group.column("src"), "l"))
 

@@ -49,7 +49,7 @@ from ..schema import (
     schema_version_of,
     unify_to,
 )
-from ..stages.lww import fold_lww, partial_lww
+from ..stages.lww import agg_kwargs, fold_lww, partial_lww
 from ..stages.merge import ENTRY_SCHEMA, Merger
 from ..stages.normalize import orphan_mask
 from ..state.manifest import (
@@ -373,7 +373,7 @@ def replay_fanout(
                         sub, "n_events",
                         tuple(ft.spec.key) + ("part_id",),
                         ft.spec.order_col,
-                        ft.spec.sum_cols,
+                        **agg_kwargs(ft.spec),
                     )
                 )
         return pa.concat_tables(outs) if outs else t.slice(0, 0)

@@ -54,7 +54,7 @@ import ray.data
 
 from ..oracle import load_rollback_ranges
 from ..schema import REPO_FILES, TableSpec
-from ..stages.lww import fold_lww, partial_lww
+from ..stages.lww import agg_kwargs, fold_lww, partial_lww
 from ..stages.merge import Merger, SpoolMerger, _empty_group
 from ..stages.normalize import Normalize
 from ..state.manifest import (
@@ -364,7 +364,7 @@ def replay(
             if t.num_rows == 0:
                 return t
             return fold_lww(t, "n_events", refold_keys, spec.order_col,
-                            spec.sum_cols)
+                            **agg_kwargs(spec))
 
         ds = ds.map_batches(
             second_fold,

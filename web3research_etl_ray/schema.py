@@ -152,6 +152,11 @@ class TableSpec:
     #: events never enter the fold and late rollbacks rebuild the
     #: partition from surviving history (repair path).
     sum_cols: tuple[str, ...] = ()
+    #: running-min / running-max accumulators (AggregatingMergeTree
+    #: family): same associativity/exactly-once contract as sum_cols;
+    #: null rows are ignored, an all-null key yields null.
+    min_cols: tuple[str, ...] = ()
+    max_cols: tuple[str, ...] = ()
     extra: dict = field(default_factory=dict)
 
     @property

@@ -44,12 +44,25 @@ def _first_of_key_mask(*key_arrays: pa.Array) -> np.ndarray:
     return mask
 
 
+def agg_kwargs(spec) -> dict:
+    """The fold's accumulator kwargs for a TableSpec — pass as
+    ``**agg_kwargs(spec)`` so every fold site stays in sync with the
+    spec's aggregate-mode fields."""
+    return {
+        "sum_cols": getattr(spec, "sum_cols", ()),
+        "min_cols": getattr(spec, "min_cols", ()),
+        "max_cols": getattr(spec, "max_cols", ()),
+    }
+
+
 def fold_lww(
     t: pa.Table,
     count_col: str | None = "n_events",
     key_cols: tuple[str, ...] = ("repo", "path"),
     order_col: str = "commit_seq",
     sum_cols: tuple[str, ...] = (),
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
 ) -> pa.Table:
     """Keep the max-``order_col`` row per key tuple; sum ``count_col``
     over the folded rows (skipped if None/absent).  Ties on order
@@ -62,10 +75,13 @@ def fold_lww(
     ``sum_cols`` generalizes the fold from Replacing- to
     SummingMergeTree (the reference's ClickHouse sibling engine): those
     columns ACCUMULATE per key (null = 0) while every other payload
-    column still comes from the max-order row.  The fold stays
-    associative — partial sums from any split of the rows add to the
-    same total — which is what lets additive tables ride the exact
-    combiner → spool → merge-on-write path the LWW lake uses.
+    column still comes from the max-order row.  ``min_cols`` /
+    ``max_cols`` extend that to the Aggregating family (running
+    min/max per key; null rows are ignored via ±inf sentinels).  All
+    three stay associative — partials from any split of the rows
+    combine to the same result — which is what lets aggregate tables
+    ride the exact combiner → spool → merge-on-write path the LWW
+    lake uses.
 
     The sort and the fold run over ONLY the key/order columns (plus an
     optional subset of row positions); the wide payload (content etc.)
@@ -73,7 +89,8 @@ def fold_lww(
     filtering the whole table costs seconds per 600 MB block just to
     keep ~10k winners (measured at 50M events) — this path touches
     O(rows) narrow columns + O(winners) wide ones."""
-    return _fold_lww_sel(t, None, count_col, key_cols, order_col, sum_cols)
+    return _fold_lww_sel(t, None, count_col, key_cols, order_col, sum_cols,
+                         min_cols, max_cols)
 
 
 def _fold_lww_sel(
@@ -83,6 +100,8 @@ def _fold_lww_sel(
     key_cols: tuple[str, ...] = ("repo", "path"),
     order_col: str = "commit_seq",
     sum_cols: tuple[str, ...] = (),
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
 ) -> pa.Table:
     """fold_lww restricted to ``row_sel`` positions (None = all rows)
     WITHOUT materializing the subset of wide columns first."""
@@ -109,17 +128,41 @@ def _fold_lww_sel(
     win_local = idx_np[starts]
     win_global = win_local if row_sel is None else row_sel[win_local]
     out = t.take(pa.array(win_global, pa.int64()))
-    to_sum = [c for c in ((count_col,) if count_col else ()) + tuple(sum_cols)
-              if c and c in t.column_names]
-    for c in to_sum:
-        vals = pc.fill_null(t.column(c), 0).to_numpy(zero_copy_only=False)
+    reducers = [
+        (c, np.add, 0)
+        for c in ((count_col,) if count_col else ()) + tuple(sum_cols)
+        if c and c in t.column_names
+    ]
+    reducers += [(c, np.minimum, np.inf) for c in min_cols
+                 if c in t.column_names]
+    reducers += [(c, np.maximum, -np.inf) for c in max_cols
+                 if c in t.column_names]
+    for c, ufunc, null_fill in reducers:
+        col = t.column(c)
+        field_type = t.schema.field(c).type
+        if ufunc is np.add:
+            # exact: null→0 in Arrow keeps integer dtype end to end
+            vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        else:
+            vals = col.to_numpy(zero_copy_only=False)
+            if col.null_count > 0 or vals.dtype.kind == "f":
+                # nulls (and NaNs) must not win a min/max: ±inf sentinel
+                vals = vals.astype(np.float64)
+                vals = np.where(np.isnan(vals), null_fill, vals)
         vals = vals if row_sel is None else vals[row_sel]
         vals = vals[idx_np]
-        summed = np.add.reduceat(vals, starts) if len(starts) else vals[:0]
+        reduced = ufunc.reduceat(vals, starts) if len(starts) else vals[:0]
+        if ufunc is not np.add and reduced.dtype.kind == "f":
+            # group of only nulls reduced to the sentinel → null out
+            bad = ~np.isfinite(reduced)
+            arr = pa.array(np.where(bad, 0, reduced)).cast(field_type)
+            if bad.any():
+                arr = pc.if_else(pa.array(bad), pa.nulls(len(arr), field_type),
+                                 arr)
+        else:
+            arr = pa.array(reduced).cast(field_type)
         ci = out.schema.get_field_index(c)
-        out = out.set_column(
-            ci, c, pa.array(summed).cast(t.schema.field(c).type)
-        )
+        out = out.set_column(ci, c, arr)
     return out
 
 
@@ -146,7 +189,7 @@ def partial_lww(batch: pa.Table, spec=None) -> pa.Table:
     winners = _fold_lww_sel(
         batch, None if len(live_sel) == batch.num_rows else live_sel,
         "n_events", spec.key, spec.order_col,
-        getattr(spec, "sum_cols", ()),
+        **agg_kwargs(spec),
     )
     nullable = pa.schema([f.with_nullable(True) for f in winners.schema])
     winners = winners.cast(nullable)

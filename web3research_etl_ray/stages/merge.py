@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 from ..functions.hashing import sha256_binary
 from ..schema import REPO_FILES, TableSpec
 from ..state.manifest import PartitionEntry, partition_relpath
-from .lww import ORPHAN_OP, fold_lww
+from .lww import ORPHAN_OP, agg_kwargs, fold_lww
 
 #: columns the in-flight rows carry beyond the lake payload
 _FLIGHT_ONLY = ["op", "part_id", "salt", "orphaned", "schema_version", "n_events"]
@@ -116,7 +116,7 @@ class Merger:
         watermark = max(max_seq_vals) if max_seq_vals else -1
 
         folded = fold_lww(real, "n_events", spec.key, spec.order_col,
-                          spec.sum_cols)
+                          **agg_kwargs(spec))
         repair = pid in self.repair_pids
         prior_path = None if repair else self.prior_files.get(pid)
         if prior_path:
@@ -126,7 +126,7 @@ class Merger:
                 [folded, _prior_as_events(prior, spec)], promote_options="default"
             )
             folded = fold_lww(folded, "n_events", spec.key, spec.order_col,
-                              spec.sum_cols)
+                              **agg_kwargs(spec))
 
         n_events_col = folded.column("n_events").to_numpy(zero_copy_only=False)
         applied = int((n_events_col > 0).sum())
@@ -241,5 +241,5 @@ class SpoolMerger:
                 else pa.concat_tables([winners, shard], promote_options="default")
             )
             winners = fold_lww(merged, "n_events", spec.key, spec.order_col,
-                               spec.sum_cols)
+                               **agg_kwargs(spec))
         return winners if winners is not None else _empty_group(spec)
