@@ -530,3 +530,23 @@ def test_additive_table_check_detects_and_repairs_corruption(
     assert not reports["repo_activity"].ok
     check_and_repair_fanout(tiny_stream, lake_dir, tables)
     assert _activity_rows(lake_dir) == _activity_oracle(tiny_stream)
+
+
+def test_additive_table_sync_growing_stream(tmp_path):
+    """Tail loop over a GROWING stream: additive sums converge to the
+    full-history oracle after each tick lands new segments, with the
+    periodic check finding nothing to repair."""
+    from web3research_etl_ray.gen import generate_events
+    from web3research_etl_ray.pipelines.tail import sync_fanout
+
+    stream = str(tmp_path / "stream")
+    lake = str(tmp_path / "lake")
+    tables = _additive_tables()
+    generate_events(stream, n_events=800, seed=5)
+    sync_fanout(stream, lake, tables, max_ticks=1, num_partitions=8)
+    assert _activity_rows(lake) == _activity_oracle(stream)
+    # stream grows (two more segments, later seqs), tick again
+    generate_events(stream, n_events=1_600, seed=5)
+    sync_fanout(stream, lake, tables, max_ticks=2, check_every=2,
+                num_partitions=8)
+    assert _activity_rows(lake) == _activity_oracle(stream)
