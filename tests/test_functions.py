@@ -924,3 +924,24 @@ def test_heavy_hitters_k_guard():
     ds = ray.data.from_arrow(pa.table({"v": pa.array([1, 2], pa.int64())}))
     with pytest.raises(ValueError):
         heavy_hitters(ds, "v", k=10, min_share=0.01)
+
+
+def test_cube_counts_all_subsets():
+    from web3research_etl_ray.functions.reshape import cube_counts
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"]),
+            "b": pa.array([1, 2, 1], pa.int64()),
+        }
+    )
+    out = pa.Table.from_pylist(
+        cube_counts(ray.data.from_arrow(t).repartition(2), ["a", "b"],
+                    "n").take_all()
+    )
+    rows = {(r["a"], r["b"]): r["n"] for r in out.to_pylist()}
+    assert rows[("x", 1)] == 1 and rows[("x", 2)] == 1 and rows[("y", 1)] == 1
+    assert rows[("x", None)] == 2 and rows[("y", None)] == 1
+    assert rows[(None, 1)] == 2 and rows[(None, 2)] == 1
+    assert rows[(None, None)] == 3
+    assert len(rows) == 3 + 2 + 2 + 1

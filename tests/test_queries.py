@@ -53,6 +53,7 @@ def test_entry_smoke():
         "window_lag_value", "window_running_totals", "window_dense_rank",
         "window_lead_moving",
         "pivot_event_counts", "unpivot_event_counts", "rollup_event_counts",
+        "cube_event_counts",
         "heavy_hitter_users", "fanout_repo_activity",
     ],
 )

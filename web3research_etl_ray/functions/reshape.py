@@ -64,22 +64,13 @@ def pivot_counts(
     return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def rollup_counts(
-    ds: ray.data.Dataset,
-    cols: list[str],
-    count_name: str = "n",
+def _finest_counts(
+    ds: ray.data.Dataset, cols: list[str], count_name: str
 ) -> ray.data.Dataset:
-    """GROUP BY ROLLUP(cols): row counts at every prefix grouping of
-    ``cols`` (finest → … → grand total), rolled-up columns NULL —
-    matching SQL ROLLUP output shape.
-
-    Scale shape: ONE distributed aggregation computes the finest level
-    (per-batch partial counts → groupby-sum, the usual partial-agg
-    bound); every coarser level is derived from the previous (already
-    aggregated, far smaller) level by another groupby-sum — no second
-    pass over the input, and the grand total reduces rows that already
-    fit anywhere.
-    """
+    """ONE distributed aggregation: per-batch partial counts →
+    groupby-sum — the usual partial-agg exchange bound.  Shared by
+    rollup_counts / cube_counts; every coarser grouping level is then
+    derived from this (already small) result, never from the input."""
 
     def partial(t: pa.Table) -> pa.Table:
         sub = t.select(cols)
@@ -91,14 +82,32 @@ def rollup_counts(
         .groupby(cols)
         .sum(count_name)
     )
+
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(
             [count_name if c == f"sum({count_name})" else c
              for c in t.column_names]
         )
 
-    finest = finest.map_batches(rename, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    return finest.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def rollup_counts(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    count_name: str = "n",
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(cols): row counts at every prefix grouping of
+    ``cols`` (finest → … → grand total), rolled-up columns NULL —
+    matching SQL ROLLUP output shape.
+
+    Scale shape: one distributed pass for the finest level
+    (`_finest_counts`); every coarser level is derived from the
+    previous (already aggregated, far smaller) level by another
+    groupby-sum — no second pass over the input.
+    """
+    finest = _finest_counts(ds, cols, count_name)
 
     levels = [finest]
     prev = finest
@@ -136,6 +145,53 @@ def rollup_counts(
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
+    return out
+
+
+def cube_counts(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    count_name: str = "n",
+) -> ray.data.Dataset:
+    """GROUP BY CUBE(cols): row counts at EVERY subset grouping of
+    ``cols`` (2^k grouping sets), dropped columns NULL — matching SQL
+    CUBE output shape.  Same scale shape as rollup: one distributed
+    pass builds the finest level, every other subset folds that small
+    result (2^k - 1 tiny groupby-sums, never the input)."""
+    from itertools import combinations
+
+    finest = _finest_counts(ds, cols, count_name)
+
+    def fold_subset(t: pa.Table, keep: list[str]) -> pa.Table:
+        dropped = [c for c in cols if c not in keep]
+        if keep:
+            g = t.select(keep + [count_name]).group_by(keep).aggregate(
+                [(count_name, "sum")]
+            ).rename_columns(keep + [count_name])
+        else:
+            g = pa.table(
+                {count_name: pa.array(
+                    [pc.sum(t.column(count_name)).as_py() or 0], pa.int64()
+                )}
+            )
+        for c in dropped:
+            g = g.append_column(c, pa.nulls(g.num_rows, t.column(c).type))
+        return g.select(cols + [count_name])
+
+    out = finest
+    for r in range(len(cols) - 1, -1, -1):
+        for keep in combinations(cols, r):
+            keep = list(keep)
+
+            def fold(t: pa.Table, keep=keep) -> pa.Table:
+                return fold_subset(t, keep)
+
+            level = finest.map_batches(
+                fold, batch_format="pyarrow", batch_size=None
+            ).repartition(1).map_batches(
+                fold, batch_format="pyarrow", batch_size=None
+            )
+            out = out.union(level)
     return out
 
 

@@ -2361,6 +2361,21 @@ FROM events GROUP BY ROLLUP(event_type, user_id)
 """
 
 
+def q_cube_event_counts(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(event_type, user_id): all 4 grouping sets, each
+    derived from the single distributed finest-level aggregation."""
+    from ..functions.reshape import cube_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return cube_counts(ds, ["event_type", "user_id"], "n")
+
+
+ORACLE_CUBE = """
+SELECT event_type, user_id, count(*) AS n
+FROM events GROUP BY CUBE(event_type, user_id)
+"""
+
+
 def q_heavy_hitter_users(sf_dir: str) -> pa.Table:
     """Users with ≥0.5% of all events, with EXACT counts, found via a
     Misra–Gries candidate sketch (shuffle moves ≤k rows per batch, not
@@ -2445,6 +2460,7 @@ QUERIES = {
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
     "rollup_event_counts": q_rollup_event_counts,
+    "cube_event_counts": q_cube_event_counts,
     "heavy_hitter_users": q_heavy_hitter_users,
 }
 
@@ -2497,6 +2513,7 @@ ORACLE_SQL = {
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
     "rollup_event_counts": ORACLE_ROLLUP,
+    "cube_event_counts": ORACLE_CUBE,
     "heavy_hitter_users": ORACLE_HEAVY,
     # simhash/simhash_neardup/fingerprint/minhash_lsh/knn_lsh/
     # multimodal: model-scoring / probabilistic / media ops → rows-only
