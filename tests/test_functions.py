@@ -945,3 +945,49 @@ def test_cube_counts_all_subsets():
     assert rows[(None, 1)] == 2 and rows[(None, 2)] == 1
     assert rows[(None, None)] == 3
     assert len(rows) == 3 + 2 + 2 + 1
+
+
+def test_window_ntile_rank_firstlast_match_pandas():
+    import pandas as pd
+
+    from web3research_etl_ray.functions.window import (
+        first_last, min_ranks, ntiles, segment_sizes, segment_starts)
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    keys = np.sort(rng.integers(0, 31, n))
+    vals = rng.integers(0, 40, n).astype(np.int64)
+    order = np.lexsort((vals, keys))
+    keys, vals = keys[order], vals[order]
+    starts = segment_starts(keys)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    g = df.groupby("k", sort=False)["v"]
+
+    assert np.array_equal(
+        min_ranks(np.r_[False, vals[1:] != vals[:-1]], starts),
+        g.rank(method="min").to_numpy().astype(np.int64),
+    )
+    sizes = segment_sizes(starts)
+    assert np.array_equal(sizes, g.transform("size").to_numpy())
+    first, last = first_last(vals, starts)
+    assert np.array_equal(first, g.transform("first").to_numpy())
+    assert np.array_equal(last, g.transform("last").to_numpy())
+    # ntile: same bucket sizes as a direct per-group computation
+    for k in (1, 3, 4, 7):
+        got = ntiles(k, starts)
+
+        def ref(s):
+            sz = len(s)
+            ceil, floor, rem = -(-sz // k), sz // k, sz % k
+            out, b = [], 1
+            c = 0
+            for i in range(sz):
+                out.append(b)
+                c += 1
+                lim = ceil if b <= rem else floor
+                if c >= lim:
+                    b, c = b + 1, 0
+            return pd.Series(out, index=s.index)
+
+        exp = df.groupby("k", sort=False)["v"].transform(ref).to_numpy()
+        assert np.array_equal(got, exp), k

@@ -138,3 +138,50 @@ def dense_ranks(change: np.ndarray, starts: np.ndarray) -> np.ndarray:
     start_idx = np.flatnonzero(starts)
     seg_id = np.cumsum(starts) - 1
     return c - c[start_idx][seg_id] + 1
+
+
+def segment_sizes(starts: np.ndarray) -> np.ndarray:
+    """Per-row segment length (input sorted key-major)."""
+    n = len(starts)
+    start_idx = np.flatnonzero(starts)
+    counts = np.diff(np.append(start_idx, n))
+    return np.repeat(counts, counts)
+
+
+def first_last(values: np.ndarray, starts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(first, last) value of each row's segment, broadcast per row."""
+    n = len(starts)
+    start_idx = np.flatnonzero(starts)
+    counts = np.diff(np.append(start_idx, n))
+    first = np.repeat(values[start_idx], counts)
+    last = np.repeat(values[start_idx + counts - 1], counts)
+    return first, last
+
+
+def min_ranks(change: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """1-based SQL rank() (ties share the tie-group's FIRST row number,
+    gaps after): ``change`` marks rows whose order-value differs from
+    the previous row within the segment."""
+    rn = row_numbers(starts)
+    bump = change | starts
+    idx = np.arange(len(rn), dtype=np.int64)
+    last_bump = np.maximum.accumulate(np.where(bump, idx, -1))
+    return rn[last_bump]
+
+
+def ntiles(k: int, starts: np.ndarray) -> np.ndarray:
+    """SQL ntile(k): rows of each segment split into k buckets, the
+    first ``size % k`` buckets one row larger."""
+    rn = row_numbers(starts)
+    size = segment_sizes(starts)
+    r = rn - 1
+    ceil = (size + k - 1) // k
+    floor = size // k
+    rem = size % k
+    cut = rem * ceil
+    big = r < cut
+    return np.where(
+        big,
+        r // np.maximum(ceil, 1),
+        rem + (r - cut) // np.maximum(floor, 1),
+    ) + 1

@@ -2290,6 +2290,67 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_window_rank_tiles(sf_dir: str) -> pa.Table:
+    """ntile(4) + first/last event per user (ordered by ts, event_id)
+    plus SQL rank() and percent_rank() over cents — the full ranking
+    family from the same bucket exchange and segment machinery."""
+    from ..functions.window import (
+        first_last, keyed_window, min_ranks, ntiles, segment_sizes,
+        segment_starts)
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid, ts, eid, cents, starts = _window_sorted(g)
+        tile4 = ntiles(4, starts)
+        first_eid, last_eid = first_last(eid, starts)
+        # rank family is ordered by cents (ties real), not arrival
+        order2 = np.lexsort((eid, cents, uid))
+        uid2, eid2, cents2 = uid[order2], eid[order2], cents[order2]
+        starts2 = segment_starts(uid2)
+        change2 = np.zeros(len(cents2), dtype=bool)
+        change2[1:] = cents2[1:] != cents2[:-1]
+        rank2 = min_ranks(change2, starts2)
+        size2 = segment_sizes(starts2)
+        prank2 = np.where(size2 > 1, (rank2 - 1) / np.maximum(size2 - 1, 1), 0.0)
+        # scatter the cents-ordered outputs back to the ts-ordered
+        # layout (ranks are tie-shared, so any tie order agrees)
+        rank_ts = np.empty_like(rank2)
+        prank_ts = np.empty(len(prank2))
+        rank_ts[order2] = rank2
+        prank_ts[order2] = prank2
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "tile4": pa.array(tile4, pa.int64()),
+                "first_eid": pa.array(first_eid, pa.int64()),
+                "last_eid": pa.array(last_eid, pa.int64()),
+                "cents_rank": pa.array(rank_ts, pa.int64()),
+                "cents_prank": pa.array(prank_ts, pa.float64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_WINDOW_TILES = """
+SELECT event_id, user_id,
+       ntile(4) OVER w AS tile4,
+       first_value(event_id) OVER w AS first_eid,
+       last_value(event_id) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_eid,
+       rank() OVER r AS cents_rank,
+       percent_rank() OVER r AS cents_prank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       r AS (PARTITION BY user_id
+             ORDER BY CAST(ROUND(value * 100) AS BIGINT))
+"""
+
+
 # ---------------------------------------------------------------------------
 # 9. Reshape: pivot / unpivot
 # ---------------------------------------------------------------------------
@@ -2457,6 +2518,7 @@ QUERIES = {
     "window_running_totals": q_window_running_totals,
     "window_dense_rank": q_window_dense_rank,
     "window_lead_moving": q_window_lead_moving,
+    "window_rank_tiles": q_window_rank_tiles,
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
     "rollup_event_counts": q_rollup_event_counts,
@@ -2510,6 +2572,7 @@ ORACLE_SQL = {
     "window_running_totals": ORACLE_WINDOW_RUN,
     "window_dense_rank": ORACLE_WINDOW_RANK,
     "window_lead_moving": ORACLE_WINDOW_LEAD,
+    "window_rank_tiles": ORACLE_WINDOW_TILES,
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
     "rollup_event_counts": ORACLE_ROLLUP,
