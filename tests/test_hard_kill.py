@@ -145,3 +145,61 @@ def test_sigkill_mid_fanout_then_resume(tmp_path):
     got = {r: c for r, c in zip(heads["repo"].to_pylist(),
                                 heads["commit"].to_pylist())}
     assert got == want
+
+
+_CHILD_ADDITIVE = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from web3research_etl_ray.pipelines.fanout import replay_fanout
+from tests.test_fanout import _additive_tables
+print("START", flush=True)
+replay_fanout({stream!r}, {lake!r}, _additive_tables(), num_partitions=8)
+print("DONE", flush=True)
+"""
+
+
+def test_sigkill_mid_additive_fanout_then_resume(tmp_path):
+    """Exactly-once ACCUMULATION under a hard crash: SIGKILL mid-replay
+    of the additive fan-out, resume in a fresh process — sums must
+    equal the full-history oracle with nothing double-counted (the
+    killed generation's partial spool/merge work must not leak into
+    the totals)."""
+    from web3research_etl_ray.gen import ensure_stream
+    from web3research_etl_ray.pipelines.fanout import replay_fanout
+    from tests.test_fanout import (
+        _activity_oracle,
+        _activity_rows,
+        _additive_tables,
+    )
+
+    stream = ensure_stream(60_000)
+    lake = str(tmp_path / "alake")
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         _CHILD_ADDITIVE.format(repo=REPO, stream=stream, lake=lake)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,
+    )
+    line = child.stdout.readline()
+    assert "START" in line
+    time.sleep(1.2)
+    if child.poll() is None:
+        try:
+            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        child.wait()
+
+    tables = _additive_tables()
+    replay_fanout(stream, lake, tables, num_partitions=8)
+    assert _activity_rows(lake) == _activity_oracle(stream)
+    # post-crash re-tick: still no double counting
+    replay_fanout(stream, lake, tables, num_partitions=8)
+    assert _activity_rows(lake) == _activity_oracle(stream)
