@@ -130,3 +130,35 @@ def test_check_windowed(tiny_stream, lake_dir):
     windowed = check(tiny_stream, lake_dir, from_seq=1500)
     assert windowed.ok
     assert 0 < windowed.rows_expected < full.rows_expected
+
+
+def test_cli_fanout_verbs(tmp_path):
+    """init-fanout / sync-fanout / check-fanout drive the multi-table
+    lake end-to-end with the table set resolved from 'module:callable'
+    (the CLI analogue of the reference's per-chain registry)."""
+    from web3research_etl_ray.__main__ import main
+
+    stream = str(tmp_path / "stream")
+    lake = str(tmp_path / "mlake")
+    assert main(["gen", "--out", stream, "--n-events", "600", "--seed", "3"]) == 0
+    assert main([
+        "init-fanout", "--stream", stream, "--lake", lake,
+        "--tables", "tests.test_fanout:_tables", "--partitions", "4",
+    ]) == 0
+    assert main([
+        "sync-fanout", "--stream", stream, "--lake", lake,
+        "--tables", "tests.test_fanout:_tables", "--partitions", "4",
+        "--ticks", "2", "--check-every", "2",
+    ]) == 0
+    assert main([
+        "check-fanout", "--stream", stream, "--lake", lake,
+        "--tables", "tests.test_fanout:_tables",
+    ]) == 0
+
+    from tests.test_fanout import _heads_oracle
+    from web3research_etl_ray.pipelines.fanout import fanout_table
+
+    heads = fanout_table(lake, "repo_heads")
+    got = {r: c for r, c in zip(heads["repo"].to_pylist(),
+                                heads["commit"].to_pylist())}
+    assert got == _heads_oracle(stream)

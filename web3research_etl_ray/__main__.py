@@ -124,6 +124,29 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--partitions", action="store_true",
                     help="include per-partition entries")
 
+    # multi-table fan-out verbs: the table set comes from a user module
+    # ("pkg.mod:fn" returning list[FanoutTable]) — the CLI analogue of
+    # the reference's per-chain module registry (src/main.rs:104-112)
+    for name in ("init-fanout", "sync-fanout", "check-fanout"):
+        f = sub.add_parser(
+            name,
+            help=f"{name.split('-')[0]} a multi-table fan-out lake "
+                 "(one stream → N tables, one atomic generation)",
+        )
+        f.add_argument("--stream", required=True)
+        f.add_argument("--lake", required=True)
+        f.add_argument("--tables", required=True,
+                       help="'module.path:callable' returning the "
+                            "list[FanoutTable]")
+        f.add_argument("--partitions", type=int, default=16)
+        if name == "init-fanout":
+            f.add_argument("--to-seq", type=int, default=None)
+        if name == "sync-fanout":
+            f.add_argument("--ticks", type=int, default=1)
+            f.add_argument("--check-every", type=int, default=0)
+        if name == "check-fanout":
+            f.add_argument("--repair", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -267,6 +290,60 @@ def main(argv: list[str] | None = None) -> int:
                         json.dump(info["offsets"], fh)
                 print(json.dumps({k: v for k, v in info.items()
                                   if k != "offsets"}))
+        elif args.cmd in ("init-fanout", "sync-fanout", "check-fanout"):
+            import importlib
+
+            mod_name, _, attr = args.tables.partition(":")
+            if not attr:
+                p.error("--tables must be 'module.path:callable'")
+            tables = getattr(importlib.import_module(mod_name), attr)()
+
+            if args.cmd == "init-fanout":
+                from .pipelines.fanout import replay_fanout
+
+                m = replay_fanout(
+                    args.stream, args.lake, tables,
+                    num_partitions=args.partitions, upto_seq=args.to_seq,
+                )
+                print(json.dumps({
+                    "generation": m.generation,
+                    "tables": {n: ts.num_partitions
+                               for n, ts in m.tables.items()},
+                }))
+            elif args.cmd == "sync-fanout":
+                from .pipelines.tail import sync_fanout
+
+                out = sync_fanout(
+                    args.stream, args.lake, tables,
+                    max_ticks=args.ticks, check_every=args.check_every,
+                    num_partitions=args.partitions,
+                )
+                # with check_every the loop returns (manifest, reports)
+                m, reports = out if isinstance(out, tuple) else (out, [])
+                print(json.dumps({
+                    "ticks": args.ticks,
+                    "generation": m.generation,
+                    "checks": [
+                        {n: r.__dict__ for n, r in rep.items()}
+                        for rep in reports
+                    ],
+                }))
+            else:
+                from .pipelines.check import (
+                    check_and_repair_fanout,
+                    check_fanout,
+                )
+
+                fn = check_and_repair_fanout if args.repair else check_fanout
+                reports = fn(args.stream, args.lake, tables)
+                print(json.dumps({n: r.__dict__ for n, r in reports.items()}))
+                if args.repair and not all(r.ok for r in reports.values()):
+                    # fn returns PRE-repair reports; verify the heal
+                    reports = check_fanout(args.stream, args.lake, tables)
+                    print(json.dumps(
+                        {n: r.__dict__ for n, r in reports.items()}
+                    ))
+                return 0 if all(r.ok for r in reports.values()) else 1
         elif args.cmd == "check":
             from .pipelines.check import check, repair
 
