@@ -550,3 +550,24 @@ def test_additive_table_sync_growing_stream(tmp_path):
     sync_fanout(stream, lake, tables, max_ticks=2, check_every=2,
                 num_partitions=8)
     assert _activity_rows(lake) == _activity_oracle(stream)
+
+
+def test_randomized_additive_tick_splits_match_oracle(tmp_path):
+    """Adversarial exactly-once fuzz for sums: random streams replayed
+    through RANDOM tick split points (skewed per-partition watermarks
+    at every boundary) must always equal the full-history oracle."""
+    import numpy as np
+
+    from web3research_etl_ray.gen import generate_events
+
+    rng = np.random.default_rng(99)
+    for seed in (13, 77):
+        stream = str(tmp_path / f"as{seed}")
+        generate_events(stream, n_events=2_500, seed=seed)
+        lake = str(tmp_path / f"al{seed}")
+        splits = sorted(rng.integers(100, 2_400, size=3).tolist())
+        tables = _additive_tables()
+        for s in splits:
+            replay_fanout(stream, lake, tables, num_partitions=7, upto_seq=s)
+        replay_fanout(stream, lake, tables, num_partitions=7)
+        assert _activity_rows(lake) == _activity_oracle(stream), (seed, splits)
