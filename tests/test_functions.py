@@ -991,3 +991,17 @@ def test_window_ntile_rank_firstlast_match_pandas():
 
         exp = df.groupby("k", sort=False)["v"].transform(ref).to_numpy()
         assert np.array_equal(got, exp), k
+
+
+def test_set_ops_match_python_sets():
+    from web3research_etl_ray.functions.setops import set_except, set_intersect
+
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 60, 500)
+    b = rng.integers(30, 90, 500)
+    da = ray.data.from_arrow(pa.table({"k": pa.array(a, pa.int64())})).repartition(3)
+    db = ray.data.from_arrow(pa.table({"k": pa.array(b, pa.int64())})).repartition(3)
+    inter = sorted(r["k"] for r in set_intersect(da, db, ["k"]).take_all())
+    exc = sorted(r["k"] for r in set_except(da, db, ["k"]).take_all())
+    assert inter == sorted(set(a) & set(b))
+    assert exc == sorted(set(a) - set(b))

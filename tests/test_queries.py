@@ -55,6 +55,7 @@ def test_entry_smoke():
         "pivot_event_counts", "unpivot_event_counts", "rollup_event_counts",
         "cube_event_counts",
         "heavy_hitter_users", "fanout_repo_activity",
+        "intersect_click_purchase", "except_click_no_purchase",
     ],
 )
 def test_query(results, name):

@@ -2437,6 +2437,66 @@ FROM events GROUP BY CUBE(event_type, user_id)
 """
 
 
+#: "big purchase" threshold (cents) for the set-op queries — selective
+#: enough that INTERSECT and EXCEPT are both non-trivial at every sf
+_BIG_PURCHASE_CENTS = 20_000
+
+
+def _clickers(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click")).select(
+            ["user_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _big_purchasers(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t.column("event_type"), "purchase"),
+            pc.greater(_cents(t.column("value")),
+                       pa.scalar(_BIG_PURCHASE_CENTS, pa.int64())),
+        )
+        return t.filter(keep).select(["user_id"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_intersect_click_purchase(sf_dir: str) -> pa.Table:
+    """INTERSECT: users who clicked AND made a big purchase (distinct)
+    — per-batch distinct + presence flags, one groupby-max combine."""
+    from ..functions.setops import set_intersect
+
+    return set_intersect(_clickers(sf_dir), _big_purchasers(sf_dir),
+                         ["user_id"])
+
+
+_SETOP_SIDES = f"""
+SELECT user_id FROM events WHERE event_type = 'click'
+{{op}}
+SELECT user_id FROM events WHERE event_type = 'purchase'
+  AND CAST(ROUND(value * 100) AS BIGINT) > {_BIG_PURCHASE_CENTS}
+"""
+
+ORACLE_INTERSECT = _SETOP_SIDES.format(op="INTERSECT")
+
+
+def q_except_click_no_purchase(sf_dir: str) -> pa.Table:
+    """EXCEPT: users who clicked but never made a big purchase."""
+    from ..functions.setops import set_except
+
+    return set_except(_clickers(sf_dir), _big_purchasers(sf_dir),
+                      ["user_id"])
+
+
+ORACLE_EXCEPT = _SETOP_SIDES.format(op="EXCEPT")
+
+
 def q_heavy_hitter_users(sf_dir: str) -> pa.Table:
     """Users with ≥0.5% of all events, with EXACT counts, found via a
     Misra–Gries candidate sketch (shuffle moves ≤k rows per batch, not
@@ -2524,6 +2584,8 @@ QUERIES = {
     "rollup_event_counts": q_rollup_event_counts,
     "cube_event_counts": q_cube_event_counts,
     "heavy_hitter_users": q_heavy_hitter_users,
+    "intersect_click_purchase": q_intersect_click_purchase,
+    "except_click_no_purchase": q_except_click_no_purchase,
 }
 
 ORACLE_SQL = {
@@ -2578,6 +2640,8 @@ ORACLE_SQL = {
     "rollup_event_counts": ORACLE_ROLLUP,
     "cube_event_counts": ORACLE_CUBE,
     "heavy_hitter_users": ORACLE_HEAVY,
+    "intersect_click_purchase": ORACLE_INTERSECT,
+    "except_click_no_purchase": ORACLE_EXCEPT,
     # simhash/simhash_neardup/fingerprint/minhash_lsh/knn_lsh/
     # multimodal: model-scoring / probabilistic / media ops → rows-only
     # check
