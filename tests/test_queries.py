@@ -51,7 +51,7 @@ def test_entry_smoke():
         "simhash_documents", "fingerprint_documents", "minhash_lsh_pairs",
         "knn_lsh", "multimodal_features",
         "window_lag_value", "window_running_totals", "window_dense_rank",
-        "window_lead_moving", "window_rank_tiles",
+        "window_lead_moving", "window_rank_tiles", "median_value_per_user",
         "pivot_event_counts", "unpivot_event_counts", "rollup_event_counts",
         "cube_event_counts",
         "heavy_hitter_users", "fanout_repo_activity",

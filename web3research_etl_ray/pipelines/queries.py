@@ -2334,6 +2334,44 @@ def q_window_rank_tiles(sf_dir: str) -> pa.Table:
     return keyed_window(ds, "user_id", fn)
 
 
+def q_median_value_per_user(sf_dir: str) -> pa.Table:
+    """EXACT per-user median (interpolated): the keyed bucket exchange
+    co-locates each user's rows, then one vectorized gather per bucket
+    takes the middle elements of every sorted segment at once — exact
+    order statistics without a per-key sort loop, the complement of the
+    approximate bottom-k quantile sketch."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, uid))
+        uid, cents = uid[order], cents[order]
+        starts = segment_starts(uid)
+        start_idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(start_idx, len(uid)))
+        lo = start_idx + (counts - 1) // 2
+        hi = start_idx + counts // 2
+        med = (cents[lo] + cents[hi]) / 2.0
+        return pa.table(
+            {
+                "user_id": pa.array(uid[start_idx], pa.int64()),
+                "med_cents": pa.array(med, pa.float64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_MEDIAN = """
+SELECT user_id,
+       median(CAST(ROUND(value * 100) AS BIGINT)) AS med_cents
+FROM events GROUP BY user_id
+"""
+
+
 ORACLE_WINDOW_TILES = """
 SELECT event_id, user_id,
        ntile(4) OVER w AS tile4,
@@ -2579,6 +2617,7 @@ QUERIES = {
     "window_dense_rank": q_window_dense_rank,
     "window_lead_moving": q_window_lead_moving,
     "window_rank_tiles": q_window_rank_tiles,
+    "median_value_per_user": q_median_value_per_user,
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
     "rollup_event_counts": q_rollup_event_counts,
@@ -2635,6 +2674,7 @@ ORACLE_SQL = {
     "window_dense_rank": ORACLE_WINDOW_RANK,
     "window_lead_moving": ORACLE_WINDOW_LEAD,
     "window_rank_tiles": ORACLE_WINDOW_TILES,
+    "median_value_per_user": ORACLE_MEDIAN,
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
     "rollup_event_counts": ORACLE_ROLLUP,
