@@ -2372,6 +2372,135 @@ FROM events GROUP BY user_id
 """
 
 
+def q_quantiles_value_per_user(sf_dir: str) -> pa.Table:
+    """EXACT per-user discrete quantiles (p25/p50/p75): same keyed
+    bucket exchange as the median, one lexsort per bucket, then a
+    single gather per quantile at index ceil(q*n)-1 of each sorted
+    segment — DuckDB ``quantile_disc`` semantics (verified on n=4..7).
+    Integer order statistics, so oracle parity is exact (no float
+    interpolation)."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, uid))
+        uid, cents = uid[order], cents[order]
+        start_idx = np.flatnonzero(segment_starts(uid))
+        counts = np.diff(np.append(start_idx, len(uid)))
+        cols = {"user_id": pa.array(uid[start_idx], pa.int64())}
+        for q, nm in ((0.25, "p25_cents"), (0.5, "p50_cents"),
+                      (0.75, "p75_cents")):
+            # q is an exact binary fraction -> ceil(q*n) is exact
+            idx = np.ceil(q * counts).astype(np.int64) - 1
+            cols[nm] = pa.array(cents[start_idx + idx], pa.int64())
+        return pa.table(cols)
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_QUANTILES = """
+SELECT user_id,
+       quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.25) AS p25_cents,
+       quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.50) AS p50_cents,
+       quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.75) AS p75_cents
+FROM events GROUP BY user_id
+"""
+
+
+def q_string_agg_per_user(sf_dir: str) -> pa.Table:
+    """Grouped ordered string aggregation (ClickHouse groupArray /
+    SQL string_agg ... ORDER BY): bucket exchange co-locates each
+    user's rows, one lexsort by (user, event_id) per bucket, then ONE
+    vectorized ``pc.binary_join`` over a ListArray built straight from
+    the segment offsets — no per-key Python loop, no pandas.  The
+    deterministic ORDER BY (unique event_id) makes the concatenation
+    reproducible and oracle-exact."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, uid))
+        uid = uid[order]
+        types = g.column("event_type").combine_chunks().take(
+            pa.array(order, pa.int64())
+        )
+        start_idx = np.flatnonzero(segment_starts(uid))
+        offsets = np.append(start_idx, len(uid)).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets), types)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[start_idx], pa.int64()),
+                "types_csv": pc.binary_join(lst, ","),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_STRING_AGG = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY event_id) AS types_csv
+FROM events GROUP BY user_id
+"""
+
+
+def q_moments_value_per_user(sf_dir: str) -> pa.Table:
+    """Distributed second-moment statistics with EXACT integer
+    arithmetic: per-batch partial (n, sum, sum-of-squares) over cents
+    — fully associative, so the shuffle moves one row per (user,
+    batch), not the events — then a tiny groupby-sum.  Variance /
+    stddev derive from these moments identically on both sides; the
+    engine ships the exact BIGINT moments so parity is bit-exact (no
+    float summation-order drift)."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, cents = uid[order], cents[order]
+        keys, starts = np.unique(uid, return_index=True)
+        n = np.diff(np.append(starts, len(uid)))
+        csum = np.add.reduceat(cents, starts)
+        sqsum = np.add.reduceat(cents * cents, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(keys, pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(csum, pa.int64()),
+                "sumsq_cents": pa.array(sqsum, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sumsq_cents", alias_name="sumsq_cents"),
+        )
+    )
+
+
+ORACLE_MOMENTS = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)
+                * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS sumsq_cents
+FROM events GROUP BY user_id
+"""
+
+
 ORACLE_WINDOW_TILES = """
 SELECT event_id, user_id,
        ntile(4) OVER w AS tile4,
@@ -2618,6 +2747,9 @@ QUERIES = {
     "window_lead_moving": q_window_lead_moving,
     "window_rank_tiles": q_window_rank_tiles,
     "median_value_per_user": q_median_value_per_user,
+    "quantiles_value_per_user": q_quantiles_value_per_user,
+    "string_agg_per_user": q_string_agg_per_user,
+    "moments_value_per_user": q_moments_value_per_user,
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
     "rollup_event_counts": q_rollup_event_counts,
@@ -2675,6 +2807,9 @@ ORACLE_SQL = {
     "window_lead_moving": ORACLE_WINDOW_LEAD,
     "window_rank_tiles": ORACLE_WINDOW_TILES,
     "median_value_per_user": ORACLE_MEDIAN,
+    "quantiles_value_per_user": ORACLE_QUANTILES,
+    "string_agg_per_user": ORACLE_STRING_AGG,
+    "moments_value_per_user": ORACLE_MOMENTS,
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
     "rollup_event_counts": ORACLE_ROLLUP,
