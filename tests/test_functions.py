@@ -1005,3 +1005,46 @@ def test_set_ops_match_python_sets():
     exc = sorted(r["k"] for r in set_except(da, db, ["k"]).take_all())
     assert inter == sorted(set(a) & set(b))
     assert exc == sorted(set(a) - set(b))
+
+
+def test_knn_pq_recall_and_compression():
+    """PQ ADC + exact refine must recover (nearly) all brute-force
+    neighbors on the sf0.01 fixture, and the stored code table must be
+    n_sub bytes/vector (the 32x-vs-float32 compression claim)."""
+    import pyarrow.parquet as pq_mod
+
+    from web3research_etl_ray.functions.similarity import (
+        knn_brute, knn_pq, pq_encode_ds, pq_train, _normalize,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    t = pq_mod.read_table(f"{sf}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[:20]
+    mat = np.stack(
+        [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()[:20]]
+    )
+    ds = ray.data.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = knn_brute(ds, ids, mat, k=10)
+    approx = knn_pq(ds, ids, mat, k=10, n_sub=8, n_cent=32, refine=4)
+    ex, ap = {}, {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx.to_pylist():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+    print(f"knn_pq recall@10 = {recall:.3f} (8 sub x 32 cents, refine 4)")
+    assert recall >= 0.8
+
+    # the persisted compressed index: n_sub uint8 codes per vector
+    full = np.stack(
+        [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    cb = pq_train(_normalize(full[:256]), n_sub=8, n_cent=32)
+    codes_tbl = pq_encode_ds(ds, cb).take_batch(10_000, batch_format="pyarrow")
+    assert codes_tbl.column("pq_code").type == pa.list_(pa.uint8(), 8)
+    assert codes_tbl.num_rows == t.num_rows
+    # deterministic encode: same input -> same codes
+    codes2 = pq_encode_ds(ds, cb).take_batch(10_000, batch_format="pyarrow")
+    assert codes_tbl.column("pq_code").to_pylist() == codes2.column("pq_code").to_pylist()

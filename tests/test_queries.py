@@ -49,7 +49,7 @@ def test_entry_smoke():
         "sliding_window_activity", "repo_stats_lake",
         "tpch_q1", "lang_id_documents",
         "simhash_documents", "fingerprint_documents", "minhash_lsh_pairs",
-        "knn_lsh", "multimodal_features",
+        "knn_lsh", "knn_pq", "multimodal_features",
         "window_lag_value", "window_running_totals", "window_dense_rank",
         "window_lead_moving", "window_rank_tiles", "median_value_per_user",
         "quantiles_value_per_user", "string_agg_per_user",

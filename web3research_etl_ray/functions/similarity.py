@@ -394,6 +394,170 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.n
     return cent
 
 
+def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Plain Euclidean k-means for PQ sub-codebooks (no centroid
+    normalization — subvectors are not unit vectors)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(k, n), replace=False)].copy()
+    for _ in range(iters):
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin drops ||x||^2
+        d = -2.0 * (sample @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+            else:
+                cent[c] = sample[np.argmax(d.min(axis=1))]
+    return cent
+
+
+def pq_train(
+    sample: np.ndarray, *, n_sub: int = 8, n_cent: int = 32,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks: split the (L2-normalized)
+    dim into ``n_sub`` subspaces and run an independent k-means in
+    each.  Returns codebooks [n_sub, n_cent, dim/n_sub] (float64).
+    Jegou et al. 2011 (Product Quantization for Nearest Neighbor
+    Search) — the standard compressed-domain ANN representation."""
+    dim = sample.shape[1]
+    assert dim % n_sub == 0, "dim must divide evenly into subspaces"
+    dsub = dim // n_sub
+    return np.stack(
+        [
+            _kmeans_l2(
+                np.ascontiguousarray(sample[:, m * dsub:(m + 1) * dsub]),
+                n_cent, seed=seed + m,
+            )
+            for m in range(n_sub)
+        ]
+    )
+
+
+def pq_encode(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Encode normalized vectors as [n, n_sub] uint8 centroid ids —
+    dim×4 bytes → n_sub bytes per vector (32x at 64-dim/8-sub)."""
+    n_sub, n_cent, dsub = codebooks.shape
+    codes = np.empty((len(mat), n_sub), dtype=np.uint8)
+    for m in range(n_sub):
+        sub = mat[:, m * dsub:(m + 1) * dsub]
+        cb = codebooks[m]
+        d = -2.0 * (sub @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+        codes[:, m] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_encode_ds(
+    ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """The stored compressed index: one streaming map_batches pass
+    emitting (id, fixed-width uint8 code list).  Codebooks broadcast
+    once via ray.put."""
+    ref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cb = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_mat(batch, vec_col))
+        codes = pq_encode(mat, cb)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "pq_code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), pa.uint8()), codes.shape[1]
+                ),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_pq(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    *,
+    k: int = 10,
+    n_sub: int = 8,
+    n_cent: int = 32,
+    refine: int = 4,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> pa.Table:
+    """Compressed-domain ANN (PQ + ADC + exact refine): codebooks are
+    trained on a bounded corpus sample, every batch is encoded to
+    n_sub-byte codes, queries score codes via asymmetric-distance
+    lookup tables (one [n_cent]-entry LUT per query per subspace — the
+    batch matmul is replaced by M table gathers), the top k×refine ADC
+    candidates per (query, batch) are exact-rescored against the raw
+    vectors still at hand, and only exact top-k survivors leave the
+    task.  At corpus scale the code table is what persists (32x
+    smaller than raw float32 — the 100 TB-of-embeddings path: codes
+    fit in RAM, raw vectors stay in Parquet for the bounded refine
+    fetch).  Recall vs knn_brute measured in tests."""
+    qmat = _normalize(query_mat)
+    sample_rows = ds.limit(train_sample).take_all()
+    smat = _normalize(
+        np.stack([np.asarray(r[vec_col], np.float64) for r in sample_rows])
+    )
+    codebooks = pq_train(smat, n_sub=n_sub, n_cent=n_cent, seed=seed)
+    n_sub_, n_cent_, dsub = codebooks.shape
+    # ADC lookup tables for inner product: LUT[q, m, c] = <q_m, cb[m,c]>
+    lut = np.einsum(
+        "qmd,mcd->qmc", qmat.reshape(len(qmat), n_sub_, dsub), codebooks
+    )
+    ref = ray.put(
+        {"ids": np.asarray(query_ids), "mat": qmat, "cb": codebooks,
+         "lut": lut}
+    )
+    shortlist = k * refine
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_mat(batch, vec_col))
+        codes = pq_encode(mat, q["cb"])  # [n, M]
+        nq = len(q["ids"])
+        approx = np.zeros((nq, len(ids)))
+        for m in range(codes.shape[1]):
+            approx += q["lut"][:, m, codes[:, m]]
+        rows_q, rows_n, rows_s = [], [], []
+        top = min(shortlist, len(ids))
+        cand = np.argpartition(-approx, top - 1, axis=1)[:, :top]
+        for qi in range(nq):
+            sel = cand[qi]
+            sims = mat[sel] @ q["mat"][qi]  # exact refine
+            order = np.argsort(-sims)[:k]
+            for j in order:
+                nid = int(ids[sel[j]])
+                if nid == int(q["ids"][qi]):
+                    continue
+                rows_q.append(int(q["ids"][qi]))
+                rows_n.append(nid)
+                rows_s.append(float(sims[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "neighbor_id": pa.array(rows_n, pa.int64()),
+                "cos_sim": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    return _merge_topk(cands, k)
+
+
 def knn_ivf(
     ds: ray.data.Dataset,
     query_ids: np.ndarray,

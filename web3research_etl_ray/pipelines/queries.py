@@ -1946,6 +1946,20 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     return knn_lsh(ds, ids, mat, k=10).select(["query_id", "neighbor_id", "rank"])
 
 
+def q_knn_pq(sf_dir: str) -> pa.Table:
+    """Compressed-domain ANN: PQ codes (8 bytes/vector at 64-dim, 32x
+    vs float32) + per-query ADC lookup tables + exact refine of the
+    ADC shortlist.  The 100TB-of-embeddings path — the code table is
+    what scans, raw vectors serve only the bounded refine fetch.
+    Recall vs knn_brute measured in tests."""
+    from ..functions.similarity import knn_pq
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids, mat = _load_queries(sf_dir)
+    out = knn_pq(ds, ids, mat, k=10, n_sub=8, n_cent=32, refine=4)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
 def q_multimodal_features(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = media_feature_pipeline(ds)
@@ -2737,6 +2751,7 @@ QUERIES = {
     "incremental_dedup_pairs": q_incremental_dedup_pairs,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_pq": q_knn_pq,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
