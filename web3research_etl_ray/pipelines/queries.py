@@ -1353,6 +1353,182 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q6(sf_dir: str) -> pa.Table:
+    """TPC-H Q6-style forecasting revenue change: pure filter +
+    global sum — the read-pruning showcase (3 columns of lineitem
+    leave storage, one int per batch leaves each task)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), lo),
+                pc.less(t.column("l_shipdate"), hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t.column("l_discount"), pa.scalar(0.05)),
+                    pc.less_equal(t.column("l_discount"), pa.scalar(0.07)),
+                ),
+                pc.less(t.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(mask)
+        rev = _cents(pc.multiply(t.column("l_extendedprice"),
+                                 t.column("l_discount")))
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"revenue_cents": pa.array([s], pa.int64())})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    total = parts.aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    return pa.table(
+        {"revenue_cents": pa.array([total["revenue_cents"]], pa.int64())}
+    )
+
+
+ORACLE_Q6 = """
+SELECT CAST(sum(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q3(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-style shipping-priority: broadcast semi-filter
+    (qualifying custkeys via ray.put — the dimension side is tiny
+    next to lineitem at any scale) → bucketed hash join lineitem x
+    filtered orders → per-batch partial revenue pre-agg → one
+    groupby over (orderkey, date, priority) → per-batch partial
+    top-10 → tiny final merge.  The composition showcase: every
+    stage is an operator this engine already ships."""
+    from ..functions.joins import hash_join
+
+    cutoff = pa.scalar(np.datetime64("1998-06-01", "us"))
+    cust = pq.read_table(
+        _tbl(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(
+        pc.equal(cust.column("c_mktsegment"), pa.scalar("BUILDING"))
+    ).column("c_custkey").to_numpy(zero_copy_only=False)
+    keys_ref = ray.put(np.sort(keys))
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        ck = ray.get(keys_ref)
+        sel = np.isin(
+            t.column("o_custkey").to_numpy(zero_copy_only=False), ck
+        ) & pc.less(t.column("o_orderdate"), cutoff).to_numpy(
+            zero_copy_only=False
+        )
+        return t.filter(pa.array(sel)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"])
+
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_shipdate"), cutoff)).drop_columns(["l_shipdate"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    forders = orders.map_batches(
+        filter_orders, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join(
+        lineitem, forders, "l_orderkey",
+        left_cols=["l_orderkey", "l_extendedprice", "l_discount"],
+        right_cols=["o_orderdate", "o_orderpriority"],
+    )
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        )
+        return (
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "o_orderdate": t.column("o_orderdate"),
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "revenue_cents": rev,
+                }
+            )
+            .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
+            .aggregate([("revenue_cents", "sum")])
+            .rename_columns(
+                ["l_orderkey", "o_orderdate", "o_orderpriority",
+                 "revenue_cents"]
+            )
+        )
+
+    K = 10
+    summed = (
+        joined.map_batches(
+            partial_rev, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [("revenue_cents", "descending"), ("l_orderkey", "ascending")]
+        ).slice(0, K)
+
+    top = (
+        summed.map_batches(
+            partial_top, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .sort([("revenue_cents"), ("l_orderkey")], descending=[True, False])
+        .limit(K)
+        .take_all()
+    )
+    t = pa.Table.from_pylist(top)
+    return pa.table(
+        {
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "revenue_cents": t.column("revenue_cents").cast(pa.int64()),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_orderpriority": t.column("o_orderpriority"),
+        }
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def q_hash_join_orders_customer(sf_dir: str) -> pa.Table:
     """Partitioned hash join, both sides treated as large (bucket
     exchange + per-bucket vectorized merge) — the general-join
@@ -2742,6 +2918,8 @@ QUERIES = {
     "fanout_repo_langs": q_fanout_repo_langs,
     "fanout_repo_activity": q_fanout_repo_activity,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
     "lang_id_documents": q_lang_id_documents,
     "simhash_documents": q_simhash_documents,
     "fingerprint_documents": q_fingerprint_documents,
@@ -2815,6 +2993,8 @@ ORACLE_SQL = {
     "fanout_repo_langs": ORACLE_FANOUT_LANGS,
     "fanout_repo_activity": ORACLE_FANOUT_ACTIVITY,
     "tpch_q1": ORACLE_Q1,
+    "tpch_q3": ORACLE_Q3,
+    "tpch_q6": ORACLE_Q6,
     "lang_id_documents": ORACLE_LANG_ID,
     "window_lag_value": ORACLE_WINDOW_LAG,
     "window_running_totals": ORACLE_WINDOW_RUN,
