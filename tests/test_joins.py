@@ -223,3 +223,43 @@ def test_hash_join_outer_rejects_salt():
             _run_how(how, salt=2)
     with pytest.raises(ValueError):
         _run_how("cross")
+
+
+def test_hash_join_bloom_prune_identical_and_prunes():
+    """Bloom pruning must (a) leave the join result bit-identical (no
+    false negatives) and (b) actually drop non-matching probe rows
+    before the exchange on a selective join."""
+    import pytest
+
+    from web3research_etl_ray.functions.joins import (
+        _bloom_test, build_bloom, key_hash64,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 30_000
+    # probe keys span 0..9999; build side holds only 0..99 -> ~1% match
+    keys = rng.integers(0, 10_000, n).astype(np.int64)
+    left = pa.table({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pa.table({"k": np.arange(0, 100, dtype=np.int64),
+                      "rv": np.arange(0, 100, dtype=np.int64) * 3})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+    plain = hash_join(lds, rds, "k", left_cols=["lv"], right_cols=["rv"],
+                      num_buckets=8)
+    pruned = hash_join(lds, rds, "k", left_cols=["lv"], right_cols=["rv"],
+                       num_buckets=8, bloom_prune=True)
+    assert _sorted_rows(plain, ["k", "lv", "rv"]) == \
+        _sorted_rows(pruned, ["k", "lv", "rv"])
+
+    # the filter itself: all build keys pass, ~99% of non-keys drop
+    bloom = build_bloom(rds, ["k"], n_bits=1 << 16)
+    h_build = key_hash64(right.column("k"))
+    assert _bloom_test(bloom, h_build, 4).all()  # no false negatives
+    h_probe = key_hash64(left.column("k"))
+    survive = _bloom_test(bloom, h_probe, 4).mean()
+    assert survive < 0.05  # ~1% true matches + small fp rate
+
+    # semantics guard: pruning under left/anti/full would drop rows
+    # that belong in the output
+    for how in ("left", "anti", "full"):
+        with pytest.raises(ValueError):
+            hash_join(lds, rds, "k", how=how, bloom_prune=True)

@@ -121,6 +121,65 @@ def _bucketed_union(
     return ds, target
 
 
+def _bloom_positions(h: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """k bit positions per key via double hashing (Kirsch–Mitzenmacher):
+    pos_i = h1 + i*h2 mod n_bits, both mixed from the engine's
+    value-pure key hash."""
+    from .hashing import _mix64
+
+    h1 = _mix64(h.astype(np.uint64))
+    h2 = _mix64(h1 ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    pos = np.empty((k, len(h)), dtype=np.uint64)
+    for i in range(k):
+        pos[i] = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+    return pos
+
+
+def build_bloom(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+) -> np.ndarray:
+    """Distributed Bloom filter over the key tuples of ``ds``: each
+    block folds its keys into a local packed uint64 bit array, arrays
+    OR-merge up Ray's aggregate combine tree — the driver sees one
+    ``n_bits/8``-byte filter, never the keys.  No false negatives, so
+    pruning with it cannot change a join result."""
+    from ray.data.aggregate import AggregateFn
+
+    words = n_bits // 64
+
+    def acc(a: np.ndarray, block: pa.Table) -> np.ndarray:
+        h = key_hash64(*[block.column(c) for c in keys])
+        pos = _bloom_positions(h, n_bits, k).reshape(-1)
+        a = a.copy()
+        np.bitwise_or.at(
+            a, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+        return a
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(words, dtype=np.uint64),
+        merge=lambda a, b: a | b,
+        accumulate_block=acc,
+        name="bloom",
+    )
+    return ds.aggregate(agg)["bloom"]
+
+
+def _bloom_test(bloom: np.ndarray, h: np.ndarray, k: int) -> np.ndarray:
+    n_bits = len(bloom) * 64
+    pos = _bloom_positions(h, n_bits, k)
+    hit = np.ones(len(h), dtype=bool)
+    for i in range(k):
+        word = bloom[(pos[i] >> np.uint64(6)).astype(np.int64)]
+        hit &= ((word >> (pos[i] & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return hit
+
+
 #: public ``how`` names → Acero join types.  Every variant stays a
 #: per-bucket local join: a key lives in exactly one bucket, so
 #: null-extension (outer) and existence tests (semi/anti) decided
@@ -145,6 +204,7 @@ def hash_join(
     right_cols: list[str] | None = None,
     salt: int = 1,
     how: str = "inner",
+    bloom_prune: bool | int = False,
 ) -> ray.data.Dataset:
     """Equi-join of two large datasets on ``key``.
 
@@ -159,6 +219,15 @@ def hash_join(
     (probe rows are still unique), wrong for right/full outer
     (unmatched right rows would be emitted S times) and for semi/anti
     only the probe side matters, so those remain allowed.
+
+    ``bloom_prune`` (True, or an int bit count) builds a Bloom filter
+    over the BUILD (right) side keys and drops probe rows that cannot
+    match BEFORE the bucket exchange — at a selective join this is the
+    difference between shuffling the whole probe table and shuffling
+    the matching fraction.  No false negatives ⇒ identical results.
+    Only legal when unmatched LEFT rows don't reach the output
+    (inner / semi / right); left, full and anti must see every probe
+    row, so it raises there.
     """
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
@@ -166,6 +235,26 @@ def hash_join(
         raise ValueError("salt > 1 duplicates unmatched right rows under "
                          "right/full outer joins; use salt=1")
     keys = [key] if isinstance(key, str) else list(key)
+    if bloom_prune:
+        if how not in ("inner", "semi", "right"):
+            raise ValueError(
+                "bloom_prune drops unmatched probe rows — only valid for "
+                "inner/semi/right joins"
+            )
+        import ray as _ray
+
+        n_bits = bloom_prune if isinstance(bloom_prune, int) and \
+            bloom_prune is not True else (1 << 20)
+        bloom_ref = _ray.put(build_bloom(right, keys, n_bits=n_bits))
+
+        def prune(t: pa.Table) -> pa.Table:
+            bloom = _ray.get(bloom_ref)
+            h = key_hash64(*[t.column(c) for c in keys])
+            return t.filter(pa.array(_bloom_test(bloom, h, 4)))
+
+        left = left.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
     ds, _ = _bucketed_union(left, right, keys, num_buckets, salt)
     lcols = left_cols or [f for f in left.schema().names]
     rcols = right_cols or [f for f in right.schema().names]
