@@ -2600,6 +2600,65 @@ FROM events GROUP BY user_id
 """
 
 
+def q_mode_type_per_user(sf_dir: str) -> pa.Table:
+    """EXACT grouped mode with a deterministic tie-break (highest
+    count, then lexicographically smallest value): per-batch partial
+    (key, val, count) — the shuffle moves one row per distinct pair
+    per batch, never events — then groupby-sum, then a keyed bucket
+    exchange over the |distinct pairs| rows picks each key's argmax
+    with one lexsort + segment-first gather."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["user_id", "event_type"])
+            .aggregate([("event_type", "count")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+
+    counted = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").combine_chunks()
+        # lexsort keys are last-key-major: uid asc, then count desc,
+        # then event_type asc for the tie-break
+        vocab = pa.array(sorted(pc.unique(et).to_pylist()))
+        codes = pc.index_in(et, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((codes, -n, uid))
+        uid_s = uid[order]
+        start_idx = np.flatnonzero(segment_starts(uid_s))
+        first = order[start_idx]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[first], pa.int64()),
+                "mode_type": et.take(pa.array(first, pa.int64())),
+                "n": pa.array(n[first], pa.int64()),
+            }
+        )
+
+    return keyed_window(counted, "user_id", pick)
+
+
+ORACLE_MODE = """
+SELECT user_id, event_type AS mode_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
 def q_string_agg_per_user(sf_dir: str) -> pa.Table:
     """Grouped ordered string aggregation (ClickHouse groupArray /
     SQL string_agg ... ORDER BY): bucket exchange co-locates each
@@ -2943,6 +3002,7 @@ QUERIES = {
     "quantiles_value_per_user": q_quantiles_value_per_user,
     "string_agg_per_user": q_string_agg_per_user,
     "moments_value_per_user": q_moments_value_per_user,
+    "mode_type_per_user": q_mode_type_per_user,
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
     "rollup_event_counts": q_rollup_event_counts,
@@ -3005,6 +3065,7 @@ ORACLE_SQL = {
     "quantiles_value_per_user": ORACLE_QUANTILES,
     "string_agg_per_user": ORACLE_STRING_AGG,
     "moments_value_per_user": ORACLE_MOMENTS,
+    "mode_type_per_user": ORACLE_MODE,
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
     "rollup_event_counts": ORACLE_ROLLUP,
