@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "fanout_repo_heads",
     "window_running_totals",
     "pivot_event_counts",
+    "tpch_q6",
+    "knn_pq",
 ]
 
 

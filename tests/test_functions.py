@@ -1048,3 +1048,49 @@ def test_knn_pq_recall_and_compression():
     # deterministic encode: same input -> same codes
     codes2 = pq_encode_ds(ds, cb).take_batch(10_000, batch_format="pyarrow")
     assert codes_tbl.column("pq_code").to_pylist() == codes2.column("pq_code").to_pylist()
+
+
+def test_pii_scan_planted_patterns():
+    """pii_scan must count planted emails/URLs/IPs/digit runs exactly,
+    with RE2-vs-DuckDB pattern agreement (no Ray needed)."""
+    import duckdb
+
+    from web3research_etl_ray.functions.text import pii_scan
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "contact a@b.co or x.y+z@mail.example.org today",
+                    "see https://example.com/x and http://t.co 10.0.0.1",
+                    "card 1234567890123456 and pin 987654321",
+                    "clean text with no sensitive content at all",
+                ]
+            ),
+        }
+    )
+    out = pii_scan(docs)
+    assert out.column("n_emails").to_pylist() == [2, 0, 0, 0]
+    assert out.column("n_urls").to_pylist() == [0, 2, 0, 0]
+    assert out.column("n_ipv4").to_pylist() == [0, 1, 0, 0]
+    assert out.column("n_long_digits").to_pylist() == [0, 0, 2, 0]
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = r"""
+    SELECT len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\d{9,}')) AS n_long_digits
+    FROM documents ORDER BY doc_id
+    """
+    ddb = con.sql(sql).fetchall()
+    ours = list(zip(
+        out.column("n_emails").to_pylist(), out.column("n_urls").to_pylist(),
+        out.column("n_ipv4").to_pylist(),
+        out.column("n_long_digits").to_pylist(),
+    ))
+    assert [tuple(r) for r in ddb] == ours

@@ -40,7 +40,8 @@ def test_entry_smoke():
         "hourly_user_activity", "systematic_sample_events", "distinct_langs",
         "distinct_users_per_type", "normalized_text_sha", "top2_per_user",
         "top_events", "sha256_documents",
-        "exact_dedup_documents", "token_stats_documents", "doc_quality",
+        "exact_dedup_documents", "token_stats_documents",
+        "pii_scan_documents", "doc_quality",
         "ngram_jaccard_pairs", "knn_cosine", "embedding_neardup",
         "broadcast_join_segment", "hash_join_orders_customer",
         "left_join_customer_orders", "semi_join_customers",
@@ -54,6 +55,7 @@ def test_entry_smoke():
         "window_lead_moving", "window_rank_tiles", "median_value_per_user",
         "quantiles_value_per_user", "string_agg_per_user",
         "moments_value_per_user", "mode_type_per_user",
+        "topk_types_per_user",
         "pivot_event_counts", "unpivot_event_counts", "rollup_event_counts",
         "cube_event_counts",
         "heavy_hitter_users", "fanout_repo_activity",

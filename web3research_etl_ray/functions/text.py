@@ -45,6 +45,28 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+#: PII / sensitive-pattern scan patterns — RE2 syntax shared verbatim
+#: by pyarrow's count_substring_regex and DuckDB's regexp functions,
+#: so the SQL oracle runs the identical patterns.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^\s]+",
+    "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "n_long_digits": r"\d{9,}",
+}
+
+
+def pii_scan(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document counts of common PII-bearing patterns (emails,
+    URLs, IPv4 literals, long digit runs) — the redaction/filter
+    pre-pass of a training-data pipeline.  One compiled-RE2 kernel
+    scan per pattern, fully vectorized."""
+    t = batch.column(text_col)
+    for name, pattern in PII_PATTERNS.items():
+        batch = batch.append_column(name, _count(t, pattern).cast(pa.int64()))
+    return batch
+
+
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality score in [0,1]: long enough, word-dense, not
     punctuation/digit heavy.  Pure double arithmetic on the counted

@@ -942,6 +942,34 @@ FROM documents
 """
 
 
+def q_pii_scan_documents(sf_dir: str) -> pa.Table:
+    """PII pre-pass: per-document email/URL/IPv4/long-digit-run counts
+    (see functions/text.py::pii_scan) — identical RE2 patterns run on
+    both sides."""
+    from ..functions.text import pii_scan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pii_scan(t).select(
+            ["doc_id", "n_emails", "n_urls", "n_ipv4", "n_long_digits"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ORACLE_PII = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+       len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '\d{9,}')) AS n_long_digits
+FROM documents
+"""
+
+
 def q_doc_quality(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
@@ -2659,6 +2687,68 @@ SELECT user_id, event_type AS mode_type, n FROM (
 """
 
 
+def q_topk_types_per_user(sf_dir: str) -> pa.Table:
+    """Per-key top-k most-frequent values (k=2) — the grouped
+    heavy-hitters companion of the mode: same partial-count →
+    groupby-sum → keyed exchange shape, emitting each segment's first
+    k rows of the (count desc, value asc) order with their rank."""
+    from ..functions.window import keyed_window, segment_starts
+
+    K = 2
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["user_id", "event_type"])
+            .aggregate([("event_type", "count")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+
+    counted = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").combine_chunks()
+        vocab = pa.array(sorted(pc.unique(et).to_pylist()))
+        codes = pc.index_in(et, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((codes, -n, uid))
+        uid_s = uid[order]
+        start_idx = np.flatnonzero(segment_starts(uid_s))
+        # rank within each segment, keep rank <= K
+        rank = np.arange(len(uid_s)) - np.repeat(
+            start_idx, np.diff(np.append(start_idx, len(uid_s)))
+        ) + 1
+        keep = rank <= K
+        sel = order[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sel], pa.int64()),
+                "event_type": et.take(pa.array(sel, pa.int64())),
+                "n": pa.array(n[sel], pa.int64()),
+                "rnk": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return keyed_window(counted, "user_id", pick)
+
+
+ORACLE_TOPK_TYPES = """
+SELECT user_id, event_type, n, rnk FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rnk
+  FROM events GROUP BY user_id, event_type
+) WHERE rnk <= 2
+"""
+
+
 def q_string_agg_per_user(sf_dir: str) -> pa.Table:
     """Grouped ordered string aggregation (ClickHouse groupArray /
     SQL string_agg ... ORDER BY): bucket exchange co-locates each
@@ -2960,6 +3050,7 @@ QUERIES = {
     "exact_dedup_documents": q_exact_dedup_documents,
     "exact_dedup_keep": q_exact_dedup_keep,
     "token_stats_documents": q_token_stats_documents,
+    "pii_scan_documents": q_pii_scan_documents,
     "doc_quality": q_doc_quality,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
@@ -3003,6 +3094,7 @@ QUERIES = {
     "string_agg_per_user": q_string_agg_per_user,
     "moments_value_per_user": q_moments_value_per_user,
     "mode_type_per_user": q_mode_type_per_user,
+    "topk_types_per_user": q_topk_types_per_user,
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
     "rollup_event_counts": q_rollup_event_counts,
@@ -3036,6 +3128,7 @@ ORACLE_SQL = {
     "exact_dedup_documents": ORACLE_DEDUP,
     "exact_dedup_keep": ORACLE_DEDUP_KEEP,
     "token_stats_documents": ORACLE_TOKENS,
+    "pii_scan_documents": ORACLE_PII,
     "doc_quality": ORACLE_QUALITY,
     "ngram_jaccard_pairs": ORACLE_NGRAM,
     "knn_cosine": ORACLE_KNN,
@@ -3066,6 +3159,7 @@ ORACLE_SQL = {
     "string_agg_per_user": ORACLE_STRING_AGG,
     "moments_value_per_user": ORACLE_MOMENTS,
     "mode_type_per_user": ORACLE_MODE,
+    "topk_types_per_user": ORACLE_TOPK_TYPES,
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
     "rollup_event_counts": ORACLE_ROLLUP,
