@@ -38,17 +38,35 @@ def _bucketize(key_col: str, num_buckets: int):
     return add_bucket
 
 
+def default_num_buckets() -> int:
+    """Bucket count sized to the cluster: ~2 buckets per CPU so every
+    core has work and a straggler bucket can't serialize the stage,
+    floored at 16 for single-digit-core test sessions.  Results are
+    bucket-count-independent (hash partitioning only)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, 2 * cpus)
+
+
 def keyed_window(
     ds: ray.data.Dataset,
     key_col: str,
     fn: Callable[[pa.Table], pa.Table],
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Hash-co-locate ``key_col`` then apply ``fn`` once per bucket.
 
     ``fn`` sees every row of every key assigned to the bucket (the
     windowing contract) and must itself be vectorized.
+    ``num_buckets=None`` sizes the exchange to the cluster
+    (``default_num_buckets``).
     """
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
 
     def per_bucket(g: pa.Table) -> pa.Table:
         return fn(g.drop_columns(["__b"]))
