@@ -2059,6 +2059,120 @@ FROM s
 ORACLE_LANG_ID = _lang_id_oracle()
 
 
+def q_curate_documents(sf_dir: str) -> pa.Table:
+    """FLAGSHIP curation composition — the shape of a 100 TB
+    training-data pre-processing run as ONE streaming pipeline:
+
+        read → [pii_scan ∘ quality_score ∘ lang_id]  (one fused
+        vectorized batch stage — each text is scanned while already
+        in cache, no extra passes)
+        → filter (PII-free, quality ≥ 0.75, language identified)
+        → exact dedup over the SURVIVORS (per-batch sha partials →
+          tiny groupby → broadcast keep-set)
+        → curated (doc_id, lang_pred, n_tokens, quality)
+
+    Every stage streams; the only materialized object is the rep-id
+    keep-set (one int per distinct surviving text)."""
+    from ..functions.dedup import exact_dedup_groups
+    from ..functions.text import lang_id, pii_scan, quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        t = quality_score(pii_scan(lang_id(t)))
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t.column("quality"), pa.scalar(0.75)),
+                pc.not_equal(t.column("lang_pred"), pa.scalar("und")),
+            ),
+            pc.equal(
+                pc.add(
+                    pc.add(t.column("n_emails"), t.column("n_ipv4")),
+                    t.column("n_long_digits"),
+                ),
+                pa.scalar(0, pa.int64()),
+            ),
+        )
+        return t.filter(mask).select(
+            ["doc_id", "text", "lang_pred", "n_tokens", "quality"]
+        )
+
+    survivors = ds.map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+    reps = exact_dedup_groups(survivors)
+    rep_ids = np.sort(
+        np.concatenate(
+            [
+                b["rep_id"]
+                for b in reps.select_columns(["rep_id"]).iter_batches(
+                    batch_format="numpy", batch_size=None
+                )
+            ]
+            or [np.zeros(0, np.int64)]
+        )
+    )
+    ref = ray.put(rep_ids)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, ray.get(ref)))).drop_columns(
+            ["text"]
+        )
+
+    out = survivors.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+
+
+def _curate_oracle() -> str:
+    """The full curation pipeline as one SQL statement, built from the
+    same component oracles (lang CASE cascade generated from the same
+    STOPWORDS dict) so the two sides cannot drift."""
+    lang_sql = _lang_id_oracle().replace("FROM documents", "FROM base")
+    return rf"""
+WITH base AS (SELECT doc_id, text FROM documents),
+lang AS ({lang_sql.replace("SELECT doc_id, lang,", "SELECT doc_id,")}),
+feat AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) AS n_tokens_d,
+         len(regexp_extract_all(text, '\w+')) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digits,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_emails,
+         len(regexp_extract_all(text,
+             '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS n_ipv4,
+         len(regexp_extract_all(text, '\d{{9,}}')) AS n_long_digits
+  FROM base
+),
+scored AS (
+  SELECT f.doc_id, f.text, l.lang_pred, f.n_tokens,
+         least(f.n_chars / 200.0, 1.0) * 0.4
+       + least(f.n_tokens_d / 40.0, 1.0) * 0.4
+       + (1.0 - least(f.n_punct / greatest(f.n_chars, 1.0) * 5.0, 1.0)) * 0.1
+       + (1.0 - least(f.n_digits / greatest(f.n_chars, 1.0) * 5.0, 1.0)) * 0.1
+         AS quality
+  FROM feat f JOIN lang l USING (doc_id)
+  WHERE f.n_emails + f.n_ipv4 + f.n_long_digits = 0
+),
+surv AS (
+  SELECT * FROM scored WHERE quality >= 0.75 AND lang_pred <> 'und'
+),
+dedup AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS rep_id
+  FROM surv
+)
+SELECT doc_id, lang_pred, n_tokens, quality
+FROM dedup WHERE doc_id = rep_id ORDER BY doc_id
+"""
+
+
+ORACLE_CURATE = _curate_oracle()
+
+
 def q_simhash_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
@@ -3067,6 +3181,7 @@ QUERIES = {
     "fanout_repo_heads": q_fanout_repo_heads,
     "fanout_repo_langs": q_fanout_repo_langs,
     "fanout_repo_activity": q_fanout_repo_activity,
+    "curate_documents": q_curate_documents,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
@@ -3145,6 +3260,7 @@ ORACLE_SQL = {
     "fanout_repo_heads": ORACLE_FANOUT_HEADS,
     "fanout_repo_langs": ORACLE_FANOUT_LANGS,
     "fanout_repo_activity": ORACLE_FANOUT_ACTIVITY,
+    "curate_documents": ORACLE_CURATE,
     "tpch_q1": ORACLE_Q1,
     "tpch_q3": ORACLE_Q3,
     "tpch_q6": ORACLE_Q6,
