@@ -88,3 +88,57 @@ def test_exact_dedup_keep_drops_planted_duplicates(tmp_path):
     )
     out = q_exact_dedup_keep(str(tmp_path))
     assert out["doc_id"].to_pylist() == [1, 3, 5]
+
+
+def test_grouped_order_stats_fuzz_vs_duckdb(tmp_path):
+    """Randomized exactness fuzz for the keyed-exchange order
+    statistics (quantiles / median / mode / topk): heavy ties, single-
+    element keys, one hot key — engine vs DuckDB on the same parquet."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(17)
+    n = 20_000
+    # adversarial: few users (forced multi-batch segments), heavily
+    # tied values, one hot user with 50% of rows, a singleton user
+    users = np.where(rng.random(n) < 0.5, 3,
+                     rng.integers(0, 12, n)).astype(np.int64)
+    users[0] = 99  # singleton key
+    values = (rng.integers(0, 7, n) * 0.25).astype(np.float64)  # ties
+    types = rng.choice(["a", "b", "c"], n)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(users),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "event_type": pa.array(types),
+                "value": pa.array(values),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    qs, oracles = e.queries(), e.oracle_sql()
+    for name in ("quantiles_value_per_user", "median_value_per_user",
+                 "mode_type_per_user", "topk_types_per_user",
+                 "moments_value_per_user"):
+        out = qs[name](str(tmp_path))
+        if hasattr(out, "take_all"):
+            out = pa.Table.from_pylist(out.take_all())
+        cols = sorted(out.column_names)
+        got = sorted(
+            tuple(r[c] for c in cols) for r in out.to_pylist()
+        )
+        ddb = con.sql(oracles[name]).arrow()
+        want = sorted(
+            tuple(r[c] for c in sorted(out.column_names))
+            for r in ddb.to_pylist()
+        )
+        assert got == want, name
