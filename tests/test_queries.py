@@ -142,3 +142,28 @@ def test_grouped_order_stats_fuzz_vs_duckdb(tmp_path):
             for r in ddb.to_pylist()
         )
         assert got == want, name
+
+
+def test_filter_to_reps_semi_join_path_matches_broadcast(tmp_path):
+    """The distributed semi-join keep-filter (large-rep-set path) must
+    equal the broadcast membership path exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from web3research_etl_ray.functions.dedup import exact_dedup_groups
+    from web3research_etl_ray.pipelines.queries import _filter_to_reps
+
+    rng = np.random.default_rng(5)
+    texts = [f"doc body {i % 70}" for i in range(400)]  # heavy dup
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+         "text": pa.array(texts)}
+    )
+    ds = ray.data.from_arrow(tbl)
+    reps = exact_dedup_groups(ds)
+    bc = sorted(r["doc_id"] for r in
+                _filter_to_reps(ds, reps, broadcast_max=10**9).take_all())
+    sj = sorted(r["doc_id"] for r in
+                _filter_to_reps(ds, reps, broadcast_max=0).take_all())
+    assert bc == sj == sorted(range(70))

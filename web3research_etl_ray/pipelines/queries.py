@@ -884,32 +884,60 @@ FROM documents GROUP BY text
 """
 
 
+#: above this many representatives the keep-filter switches from a
+#: broadcast membership test (driver/worker memory O(reps)) to the
+#: fully distributed semi hash-join (memory O(reps / buckets)) — at
+#: 10^10 distinct texts an 80 GB keep-set cannot ride the object store
+#: as one blob, but it shards fine through the bucket exchange.
+_KEEP_BROADCAST_MAX = 5_000_000
+
+
+def _filter_to_reps(
+    ds: ray.data.Dataset,
+    reps: ray.data.Dataset,
+    *,
+    broadcast_max: int = _KEEP_BROADCAST_MAX,
+) -> ray.data.Dataset:
+    """Keep only rows of ``ds`` whose doc_id is a dedup representative.
+    Small rep sets broadcast once (``ray.put`` + vectorized ``isin``);
+    large ones go through the distributed semi join."""
+    n_reps = reps.count()
+    if n_reps <= broadcast_max:
+        rep_ids = np.sort(
+            np.concatenate(
+                [
+                    b["rep_id"]
+                    for b in reps.select_columns(["rep_id"]).iter_batches(
+                        batch_format="numpy", batch_size=None
+                    )
+                ]
+                or [np.zeros(0, np.int64)]
+            )
+        )
+        ref = ray.put(rep_ids)
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ids, ray.get(ref))))
+
+        return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    from ..functions.joins import hash_join
+
+    rep_keys = reps.map_batches(
+        lambda t: pa.table({"doc_id": t.column("rep_id").cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return hash_join(ds, rep_keys, "doc_id", how="semi")
+
+
 def q_exact_dedup_keep(sf_dir: str) -> pa.Table:
     """Exact-dedup KEEP-LIST: the corpus with every non-representative
     exact duplicate dropped (representative = min doc_id per text).
-    Distributed: the rep-id set from the groups fold is the small side
-    — broadcast once, vectorized membership filter over the corpus."""
+    Distributed: rep-id set broadcast when small, distributed semi
+    join past ``_KEEP_BROADCAST_MAX`` (see ``_filter_to_reps``)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     reps = exact_dedup_groups(ds)
-    rep_ids = np.sort(
-        np.concatenate(
-            [
-                b["rep_id"]
-                for b in reps.select_columns(["rep_id"]).iter_batches(
-                    batch_format="numpy", batch_size=None
-                )
-            ]
-            or [np.zeros(0, np.int64)]
-        )
-    )
-    ref = ray.put(rep_ids)
-
-    def keep(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        keep_mask = np.isin(ids, ray.get(ref))
-        return pa.table({"doc_id": pa.array(ids[keep_mask], pa.int64())})
-
-    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    out = _filter_to_reps(ds, reps).select_columns(["doc_id"])
     return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
 
 
@@ -2101,27 +2129,9 @@ def q_curate_documents(sf_dir: str) -> pa.Table:
         stage, batch_format="pyarrow", zero_copy_batch=True
     )
     reps = exact_dedup_groups(survivors)
-    rep_ids = np.sort(
-        np.concatenate(
-            [
-                b["rep_id"]
-                for b in reps.select_columns(["rep_id"]).iter_batches(
-                    batch_format="numpy", batch_size=None
-                )
-            ]
-            or [np.zeros(0, np.int64)]
-        )
-    )
-    ref = ray.put(rep_ids)
-
-    def keep(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(ids, ray.get(ref)))).drop_columns(
-            ["text"]
-        )
-
-    out = survivors.map_batches(
-        keep, batch_format="pyarrow", zero_copy_batch=True
+    out = _filter_to_reps(survivors, reps).map_batches(
+        lambda t: t.drop_columns(["text"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
 
