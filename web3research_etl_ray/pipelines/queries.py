@@ -936,7 +936,8 @@ def q_exact_dedup_keep(sf_dir: str) -> pa.Table:
     Distributed: rep-id set broadcast when small, distributed semi
     join past ``_KEEP_BROADCAST_MAX`` (see ``_filter_to_reps``)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    reps = exact_dedup_groups(ds)
+    # reps is the SMALL fold output, consumed twice (count + filter)
+    reps = exact_dedup_groups(ds).materialize()
     out = _filter_to_reps(ds, reps).select_columns(["doc_id"])
     return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
 
@@ -2125,10 +2126,16 @@ def q_curate_documents(sf_dir: str) -> pa.Table:
             ["doc_id", "text", "lang_pred", "n_tokens", "quality"]
         )
 
+    # materialize the survivor set once: both the rep fold and the
+    # keep filter consume it, and without pinning it the fused regex
+    # scan (the expensive stage) would re-execute per consumer.  The
+    # blocks live in the object store and spill under pressure — this
+    # is a cache, not a driver materialization (measured: 33 s → 19 s
+    # at 1M docs).
     survivors = ds.map_batches(
         stage, batch_format="pyarrow", zero_copy_batch=True
-    )
-    reps = exact_dedup_groups(survivors)
+    ).materialize()
+    reps = exact_dedup_groups(survivors).materialize()
     out = _filter_to_reps(survivors, reps).map_batches(
         lambda t: t.drop_columns(["text"]),
         batch_format="pyarrow", zero_copy_batch=True,
