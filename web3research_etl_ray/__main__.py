@@ -119,6 +119,17 @@ def main(argv: list[str] | None = None) -> int:
                          "read before landing, rewritten after — makes "
                          "repeated `land` calls a binlog tail")
 
+    cu = sub.add_parser(
+        "curate",
+        help="training-data curation: fused PII/quality/lang scan + "
+             "filter + exact dedup, hive-partitioned Parquet output",
+    )
+    cu.add_argument("--docs", required=True,
+                    help="parquet file/dir with (doc_id, text)")
+    cu.add_argument("--out", required=True, help="output dir (partitioned "
+                    "by predicted language)")
+    cu.add_argument("--quality-min", type=float, default=0.75)
+
     st = sub.add_parser("stats", help="lake lineage/watermark summary")
     st.add_argument("--lake", required=True)
     st.add_argument("--partitions", action="store_true",
@@ -173,6 +184,14 @@ def main(argv: list[str] | None = None) -> int:
         from .state.manifest import restore_lake
 
         print(json.dumps(restore_lake(args.backup, args.lake)))
+        return 0
+
+    if args.cmd == "curate":
+        from .pipelines.curate import curate_to_dir
+
+        print(json.dumps(
+            curate_to_dir(args.docs, args.out, quality_min=args.quality_min)
+        ))
         return 0
 
     if args.cmd == "stats":

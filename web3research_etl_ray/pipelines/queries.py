@@ -36,6 +36,7 @@ from ..functions.multimodal import media_feature_pipeline
 from ..functions.similarity import cosine_neardup_pairs, knn_brute, knn_lsh
 from ..functions.text import lang_id, quality_score, simhash64, token_stats
 from ..stages.lww import fold_lww
+from .curate import filter_to_reps as _filter_to_reps
 
 _ROUND = pc.RoundOptions(ndigits=0, round_mode="half_towards_infinity")
 
@@ -882,52 +883,6 @@ ORACLE_DEDUP = """
 SELECT sha256(text) AS text_sha256, min(doc_id) AS rep_id, count(*) AS n_copies
 FROM documents GROUP BY text
 """
-
-
-#: above this many representatives the keep-filter switches from a
-#: broadcast membership test (driver/worker memory O(reps)) to the
-#: fully distributed semi hash-join (memory O(reps / buckets)) — at
-#: 10^10 distinct texts an 80 GB keep-set cannot ride the object store
-#: as one blob, but it shards fine through the bucket exchange.
-_KEEP_BROADCAST_MAX = 5_000_000
-
-
-def _filter_to_reps(
-    ds: ray.data.Dataset,
-    reps: ray.data.Dataset,
-    *,
-    broadcast_max: int = _KEEP_BROADCAST_MAX,
-) -> ray.data.Dataset:
-    """Keep only rows of ``ds`` whose doc_id is a dedup representative.
-    Small rep sets broadcast once (``ray.put`` + vectorized ``isin``);
-    large ones go through the distributed semi join."""
-    n_reps = reps.count()
-    if n_reps <= broadcast_max:
-        rep_ids = np.sort(
-            np.concatenate(
-                [
-                    b["rep_id"]
-                    for b in reps.select_columns(["rep_id"]).iter_batches(
-                        batch_format="numpy", batch_size=None
-                    )
-                ]
-                or [np.zeros(0, np.int64)]
-            )
-        )
-        ref = ray.put(rep_ids)
-
-        def keep(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(np.isin(ids, ray.get(ref))))
-
-        return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    from ..functions.joins import hash_join
-
-    rep_keys = reps.map_batches(
-        lambda t: pa.table({"doc_id": t.column("rep_id").cast(pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    return hash_join(ds, rep_keys, "doc_id", how="semi")
 
 
 def q_exact_dedup_keep(sf_dir: str) -> pa.Table:
@@ -2100,46 +2055,12 @@ def q_curate_documents(sf_dir: str) -> pa.Table:
           tiny groupby → broadcast keep-set)
         → curated (doc_id, lang_pred, n_tokens, quality)
 
-    Every stage streams; the only materialized object is the rep-id
-    keep-set (one int per distinct surviving text)."""
-    from ..functions.dedup import exact_dedup_groups
-    from ..functions.text import lang_id, pii_scan, quality_score
+    Every stage streams; see ``pipelines/curate.py`` for the scale
+    notes (survivor pinning, broadcast→semi-join keep-filter)."""
+    from .curate import curate
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def stage(t: pa.Table) -> pa.Table:
-        t = quality_score(pii_scan(lang_id(t)))
-        mask = pc.and_(
-            pc.and_(
-                pc.greater_equal(t.column("quality"), pa.scalar(0.75)),
-                pc.not_equal(t.column("lang_pred"), pa.scalar("und")),
-            ),
-            pc.equal(
-                pc.add(
-                    pc.add(t.column("n_emails"), t.column("n_ipv4")),
-                    t.column("n_long_digits"),
-                ),
-                pa.scalar(0, pa.int64()),
-            ),
-        )
-        return t.filter(mask).select(
-            ["doc_id", "text", "lang_pred", "n_tokens", "quality"]
-        )
-
-    # materialize the survivor set once: both the rep fold and the
-    # keep filter consume it, and without pinning it the fused regex
-    # scan (the expensive stage) would re-execute per consumer.  The
-    # blocks live in the object store and spill under pressure — this
-    # is a cache, not a driver materialization (measured: 33 s → 19 s
-    # at 1M docs).
-    survivors = ds.map_batches(
-        stage, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    reps = exact_dedup_groups(survivors).materialize()
-    out = _filter_to_reps(survivors, reps).map_batches(
-        lambda t: t.drop_columns(["text"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+    out = curate(ds, quality_min=0.75)
     return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
 
 
