@@ -1094,3 +1094,43 @@ def test_pii_scan_planted_patterns():
         out.column("n_long_digits").to_pylist(),
     ))
     assert [tuple(r) for r in ddb] == ours
+
+
+def test_hash_embed_semantics_and_determinism():
+    """Feature-hashing embeddings must (a) rank a near-duplicate text
+    closer than an unrelated one, (b) be identical regardless of batch
+    split, (c) be unit-norm."""
+    from web3research_etl_ray.functions.similarity import hash_embed
+
+    texts = [BASE, BASE + " extra tail words here",
+             "entirely different content about execution engines and "
+             "columnar formats streaming through object stores"]
+    tbl = _docs_table(texts)
+    out = hash_embed(tbl)
+    mat = np.array(out.column("embedding").to_pylist(), dtype=np.float64)
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-6)
+    sim_near = mat[0] @ mat[1]
+    sim_far = mat[0] @ mat[2]
+    assert sim_near > 0.9 > sim_far
+
+    # split-invariance: embedding each row alone gives the same vectors
+    singles = [
+        np.array(
+            hash_embed(_docs_table([t])).column("embedding").to_pylist()[0],
+            dtype=np.float64,
+        )
+        for t in texts
+    ]
+    assert np.allclose(np.stack(singles), mat)
+
+    # composes with the ANN family: brute kNN over hashed embeddings
+    import ray.data
+    from web3research_etl_ray.functions.similarity import knn_brute
+
+    ds = ray.data.from_arrow(
+        hash_embed(tbl).drop_columns(["text"]).rename_columns(
+            ["vec_id", "embedding"]
+        )
+    )
+    out = knn_brute(ds, np.array([0]), mat[:1], k=1)
+    assert out["neighbor_id"].to_pylist() == [1]

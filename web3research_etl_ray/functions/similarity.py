@@ -394,6 +394,37 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.n
     return cent
 
 
+def hash_embed(batch: pa.Table, *, text_col: str = "text",
+               dim: int = 64) -> pa.Table:
+    """Deterministic feature-hashing document embedding (the hashing
+    trick, Weinberger et al. 2009): every token hashes to one of
+    ``dim`` buckets with a ±1 sign bit, per-doc term frequencies
+    scatter-add into the bucket vector, then L2-normalize.  Pure
+    numpy over the engine's vectorized token-hash stream — no model,
+    no vocabulary, stable across batch splits and processes.  Makes
+    the similarity family self-contained: documents → hash_embed →
+    knn/near-dup without an external embedding model."""
+    from .text import token_hash_stream
+
+    n = batch.num_rows
+    h, p = token_hash_stream(batch.column(text_col))
+    vec = np.zeros(n * dim, dtype=np.float64)
+    if len(h):
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
+        np.add.at(vec, p * dim + bucket, sign)
+    mat = vec.reshape(n, dim)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = (mat / norms).astype(np.float32)
+    return batch.append_column(
+        "embedding",
+        pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), pa.float32()), dim
+        ),
+    )
+
+
 def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 10,
                seed: int = 42) -> np.ndarray:
     """Plain Euclidean k-means for PQ sub-codebooks (no centroid

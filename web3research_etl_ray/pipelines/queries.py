@@ -2111,6 +2111,20 @@ FROM dedup WHERE doc_id = rep_id ORDER BY doc_id
 ORACLE_CURATE = _curate_oracle()
 
 
+def q_embed_documents(sf_dir: str) -> pa.Table:
+    """Feature-hashing document embeddings (64-dim, L2-normalized, no
+    model/vocab — deterministic across batch splits): the bridge from
+    the text table to the whole similarity family."""
+    from ..functions.similarity import hash_embed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: hash_embed(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_simhash_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
@@ -3124,6 +3138,7 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
     "lang_id_documents": q_lang_id_documents,
+    "embed_documents": q_embed_documents,
     "simhash_documents": q_simhash_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
