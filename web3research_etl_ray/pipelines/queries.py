@@ -2111,6 +2111,51 @@ FROM dedup WHERE doc_id = rep_id ORDER BY doc_id
 ORACLE_CURATE = _curate_oracle()
 
 
+def q_split_documents(sf_dir: str) -> pa.Table:
+    """Deterministic content-hash train/val/test split (80/10/10):
+    the first sha256 byte of the text decides the split, so the
+    assignment is reproducible across runs/machines, independent of
+    row order and partitioning, and stable under corpus growth (a doc
+    never migrates).  Embarrassingly parallel, zero shuffle.  The SQL
+    mirror compares the first two hex chars lexicographically
+    ('cc' = 204, 'e6' = 230) — identical semantics."""
+    from ..functions.hashing import sha256_binary
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        sha = sha256_binary(t.column("text"))
+        if isinstance(sha, pa.ChunkedArray):
+            sha = sha.combine_chunks()
+        # fixed_size_binary[32]: value i's first byte sits at stride
+        # i*32 in the data buffer (vectorized, no per-row slice)
+        if t.num_rows:
+            data = np.frombuffer(sha.buffers()[1], np.uint8)
+            first = data[sha.offset * 32 :: 32][: len(sha)]
+        else:
+            first = np.zeros(0, np.uint8)
+        split = np.where(
+            first < 204, "train", np.where(first < 230, "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SPLIT = """
+SELECT doc_id,
+       CASE WHEN substr(sha256(text), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(sha256(text), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_embed_documents(sf_dir: str) -> pa.Table:
     """Feature-hashing document embeddings (64-dim, L2-normalized, no
     model/vocab — deterministic across batch splits): the bridge from
@@ -3138,6 +3183,7 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
     "lang_id_documents": q_lang_id_documents,
+    "split_documents": q_split_documents,
     "embed_documents": q_embed_documents,
     "simhash_documents": q_simhash_documents,
     "fingerprint_documents": q_fingerprint_documents,
@@ -3218,6 +3264,7 @@ ORACLE_SQL = {
     "tpch_q3": ORACLE_Q3,
     "tpch_q6": ORACLE_Q6,
     "lang_id_documents": ORACLE_LANG_ID,
+    "split_documents": ORACLE_SPLIT,
     "window_lag_value": ORACLE_WINDOW_LAG,
     "window_running_totals": ORACLE_WINDOW_RUN,
     "window_dense_rank": ORACLE_WINDOW_RANK,
