@@ -1134,3 +1134,27 @@ def test_hash_embed_semantics_and_determinism():
     )
     out = knn_brute(ds, np.array([0]), mat[:1], k=1)
     assert out["neighbor_id"].to_pylist() == [1]
+
+
+def test_ordered_prefix_sum_sparse_ids_matches_numpy():
+    """Range-partitioned prefix scan: exact against a local cumsum on
+    sparse, clustered (skewed-range), shuffled-order ids — including
+    empty ranges and negative-free span math."""
+    from web3research_etl_ray.functions.window import ordered_prefix_sum
+
+    rng = np.random.default_rng(9)
+    ids = np.unique(
+        np.concatenate([
+            rng.integers(0, 100, 50),          # dense head
+            rng.integers(90_000, 100_000, 200),  # far cluster
+            [0, 99_999],
+        ])
+    ).astype(np.int64)
+    vals = rng.integers(1, 500, len(ids)).astype(np.int64)
+    perm = rng.permutation(len(ids))  # arrive unordered
+    t = pa.table({"k": pa.array(ids[perm]), "v": pa.array(vals[perm])})
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = ordered_prefix_sum(ds, "k", "v", num_ranges=16)
+    got = {r["k"]: r["running"] for r in out.take_all()}
+    want = dict(zip(ids.tolist(), np.cumsum(vals).tolist()))
+    assert got == want

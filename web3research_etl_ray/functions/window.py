@@ -203,3 +203,84 @@ def ntiles(k: int, starts: np.ndarray) -> np.ndarray:
         r // np.maximum(ceil, 1),
         rem + (r - cut) // np.maximum(floor, 1),
     ) + 1
+
+
+def ordered_prefix_sum(
+    ds: ray.data.Dataset,
+    order_col: str,
+    value_col: str,
+    *,
+    num_ranges: int | None = None,
+    out_col: str = "running",
+) -> ray.data.Dataset:
+    """Global running sum of ``value_col`` in ``order_col`` order — the
+    distributed ordered-scan primitive (SQL ``sum(v) OVER (ORDER BY
+    o)``; unique order values assumed).
+
+    Two passes, no global sort:
+    1. one streaming pass computes per-RANGE totals (ranges are
+       equal-width slices of the order key's [min, max]); the driver
+       prefix-sums the tiny R-row table into exclusive offsets;
+    2. rows exchange once by range; each range sorts locally and adds
+       its offset to the local cumsum.
+
+    Exchange volume = one row trip; driver state = R integers.  Skew
+    assumption: the order key is roughly uniform over its span (true
+    for dense ids); a skewed key concentrates ranges — raise
+    ``num_ranges`` or pre-map the key."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    if num_ranges is None:
+        num_ranges = default_num_buckets()
+    bounds = ds.aggregate(
+        Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi")
+    )
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = max(1, int(hi) - int(lo) + 1)
+
+    def add_range(t: pa.Table) -> pa.Table:
+        o = t.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        r = (o - int(lo)) * num_ranges // span
+        return t.append_column("__r", pa.array(r, pa.int64()))
+
+    ranged = ds.map_batches(
+        add_range, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    totals = {
+        int(row["__r"]): int(row["total"])
+        for row in ranged.map_batches(
+            lambda t: t.select(["__r", value_col])
+            .group_by("__r")
+            .aggregate([(value_col, "sum")])
+            .rename_columns(["__r", "total"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("__r")
+        .aggregate(Sum("total", alias_name="total"))
+        .take_all()
+    }
+    offsets = np.zeros(num_ranges, dtype=np.int64)
+    acc = 0
+    for r in range(num_ranges):
+        offsets[r] = acc
+        acc += totals.get(r, 0)
+    import ray as _ray
+
+    off_ref = _ray.put(offsets)
+
+    def local_scan(g: pa.Table) -> pa.Table:
+        r = int(g.column("__r")[0].as_py())
+        o = g.column(order_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(o, kind="stable")
+        v = g.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[order]
+        run = np.cumsum(v) + _ray.get(off_ref)[r]
+        g = g.drop_columns(["__r"])
+        out = g.take(pa.array(order, pa.int64()))
+        return out.append_column(out_col, pa.array(run, pa.int64()))
+
+    return ranged.groupby("__r").map_groups(local_scan, batch_format="pyarrow")

@@ -2156,6 +2156,65 @@ FROM documents
 """
 
 
+_PACK_BUDGET = 512  # tokens per packed sequence bin
+
+
+def q_seq_pack_documents(sf_dir: str) -> pa.Table:
+    """Sequence packing for pre-training (contiguous greedy by
+    doc_id): each doc lands in bin floor(tokens_before / budget),
+    where tokens_before is the GLOBAL ordered prefix sum of token
+    counts — computed by the distributed range-partitioned two-pass
+    scan (``functions/window.py::ordered_prefix_sum``), not a driver
+    loop.  Exact SQL-window parity."""
+    from ..functions.window import ordered_prefix_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_tokens": token_stats(t).column("n_tokens"),
+            }
+        )
+
+    counted = ds.map_batches(
+        count_tokens, batch_format="pyarrow", zero_copy_batch=True
+    )
+    scanned = ordered_prefix_sum(counted, "doc_id", "n_tokens")
+
+    def binify(t: pa.Table) -> pa.Table:
+        run = t.column("running").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "bin_id": pa.array((run - n) // _PACK_BUDGET, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(
+        binify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+ORACLE_SEQ_PACK = rf"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id) AS running
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST((running - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id
+FROM r
+"""
+
+
 def q_embed_documents(sf_dir: str) -> pa.Table:
     """Feature-hashing document embeddings (64-dim, L2-normalized, no
     model/vocab — deterministic across batch splits): the bridge from
@@ -3184,6 +3243,7 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "lang_id_documents": q_lang_id_documents,
     "split_documents": q_split_documents,
+    "seq_pack_documents": q_seq_pack_documents,
     "embed_documents": q_embed_documents,
     "simhash_documents": q_simhash_documents,
     "fingerprint_documents": q_fingerprint_documents,
@@ -3265,6 +3325,7 @@ ORACLE_SQL = {
     "tpch_q6": ORACLE_Q6,
     "lang_id_documents": ORACLE_LANG_ID,
     "split_documents": ORACLE_SPLIT,
+    "seq_pack_documents": ORACLE_SEQ_PACK,
     "window_lag_value": ORACLE_WINDOW_LAG,
     "window_running_totals": ORACLE_WINDOW_RUN,
     "window_dense_rank": ORACLE_WINDOW_RANK,
