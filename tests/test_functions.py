@@ -1158,3 +1158,35 @@ def test_ordered_prefix_sum_sparse_ids_matches_numpy():
     got = {r["k"]: r["running"] for r in out.take_all()}
     want = dict(zip(ids.tolist(), np.cumsum(vals).tolist()))
     assert got == want
+
+
+def test_pagerank_matches_dense_reference():
+    """Distributed power iteration == dense numpy PageRank (same
+    dangling-uniform formulation) on a graph with a hub, a dangling
+    node, and a cycle; ranks sum to 1."""
+    from web3research_etl_ray.functions.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 3), (2, 5)]
+    # node 5 is dangling (no out-edges)
+    t = pa.table(
+        {"src": pa.array([a for a, _ in edges], pa.int64()),
+         "dst": pa.array([b for _, b in edges], pa.int64())}
+    )
+    out = pagerank(ray.data.from_arrow(t), iterations=12)
+    got = {r["node"]: r["rank"] for r in out.take_all()}
+
+    n = 6
+    d = 0.85
+    M = np.zeros((n, n))
+    deg = np.zeros(n)
+    for a, b in edges:
+        deg[a] += 1
+    for a, b in edges:
+        M[b, a] = 1.0 / deg[a]
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        dangling = r[deg == 0].sum()
+        r = (1 - d) / n + d * (M @ r) + d * dangling / n
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])

@@ -2215,6 +2215,40 @@ FROM r
 """
 
 
+def q_pagerank_parts(sf_dir: str) -> pa.Table:
+    """PageRank over the bipartite supplier→part shipment graph from
+    lineitem (iterative workload: per-iteration hash join + groupby —
+    see functions/graph.py).  Rows-only check (iterative float
+    fixpoint has no SQL oracle); exactness vs a dense numpy reference
+    is asserted in tests."""
+    from ..functions.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    edges = li.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("l_suppkey").cast(pa.int64()),
+                "dst": pc.add(
+                    t.column("l_partkey").cast(pa.int64()),
+                    pa.scalar(1_000_000, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = pagerank(edges, iterations=5)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["node"])
+    return pa.table(
+        {
+            "node": pa.array([r["node"] for r in rows], pa.int64()),
+            "rank": pa.array([round(r["rank"], 10) for r in rows],
+                             pa.float64()),
+        }
+    )
+
+
 def q_embed_documents(sf_dir: str) -> pa.Table:
     """Feature-hashing document embeddings (64-dim, L2-normalized, no
     model/vocab — deterministic across batch splits): the bridge from
@@ -3245,6 +3279,7 @@ QUERIES = {
     "split_documents": q_split_documents,
     "seq_pack_documents": q_seq_pack_documents,
     "embed_documents": q_embed_documents,
+    "pagerank_parts": q_pagerank_parts,
     "simhash_documents": q_simhash_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
