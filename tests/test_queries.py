@@ -37,7 +37,8 @@ def test_entry_smoke():
         "cdc_replay_lake", "lww_upsert_events", "watermark_events",
         "per_type_counts", "orphan_filter_events", "json_extract_events",
         "explode_embeddings", "spread_embeddings", "demux_events",
-        "hourly_user_activity", "systematic_sample_events", "distinct_langs",
+        "hourly_user_activity", "systematic_sample_events",
+        "stratified_sample_events", "distinct_langs",
         "distinct_users_per_type", "normalized_text_sha", "top2_per_user",
         "top_events", "sha256_documents",
         "exact_dedup_documents", "token_stats_documents",

@@ -619,6 +619,49 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def q_stratified_sample_events(sf_dir: str) -> pa.Table:
+    """Deterministic STRATIFIED sample — exactly 3 events per user,
+    chosen by content-hash rank within each stratum (reproducible,
+    no seed side-channel, every stratum represented regardless of
+    size skew).  One keyed bucket exchange; per-bucket lexsort by
+    (user, sha) + segment row numbers."""
+    from ..functions.window import keyed_window, row_numbers, segment_starts
+
+    K = 3
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        sha = sha256_hex(g.column("event_id").cast(pa.string()))
+        sha_np = np.asarray(sha.to_pylist())
+        order = np.lexsort((sha_np, uid))
+        uid_s = uid[order]
+        starts = segment_starts(uid_s)
+        keep = row_numbers(starts) <= K
+        sel = order[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sel], pa.int64()),
+                "event_id": g.column("event_id").take(
+                    pa.array(sel, pa.int64())
+                ).cast(pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_STRATIFIED = """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY sha256(CAST(event_id AS VARCHAR))) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
 def q_hash_sample_events(sf_dir: str) -> pa.Table:
     """Deterministic uniform random sample WITHOUT a seed side-channel:
     rank rows by a value-pure hash (sha256 of the id) and keep the
@@ -3243,6 +3286,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "systematic_sample_events": q_systematic_sample_events,
     "hash_sample_events": q_hash_sample_events,
+    "stratified_sample_events": q_stratified_sample_events,
     "distinct_langs": q_distinct_langs,
     "distinct_users_per_type": q_distinct_users_per_type,
     "approx_distinct_users_per_type": q_approx_distinct_users_per_type,
@@ -3328,6 +3372,7 @@ ORACLE_SQL = {
     "session_windows": ORACLE_SESSIONS,
     "systematic_sample_events": ORACLE_SAMPLE,
     "hash_sample_events": ORACLE_HASH_SAMPLE,
+    "stratified_sample_events": ORACLE_STRATIFIED,
     "distinct_langs": ORACLE_DISTINCT,
     "distinct_users_per_type": ORACLE_DISTINCT_USERS,
     "normalized_text_sha": ORACLE_NORM_SHA,
