@@ -2893,35 +2893,55 @@ def q_mode_type_per_user(sf_dir: str) -> pa.Table:
             .rename_columns(["user_id", "event_type", "n"])
         )
 
-    counted = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
+    counted = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
 
+    # ONE hash-bucket exchange on user: combine the per-batch partial
+    # counts AND pick the argmax inside the bucket (Ray's sort-based
+    # two-key groupby on the partials measured ~10x slower at 20M rows)
     def pick(g: pa.Table) -> pa.Table:
-        uid = g.column("user_id").to_numpy(zero_copy_only=False)
-        n = g.column("n").to_numpy(zero_copy_only=False)
-        et = g.column("event_type").combine_chunks()
+        uid, codes, tot, vocab = _fold_pair_counts(g)
         # lexsort keys are last-key-major: uid asc, then count desc,
         # then event_type asc for the tie-break
-        vocab = pa.array(sorted(pc.unique(et).to_pylist()))
-        codes = pc.index_in(et, value_set=vocab).to_numpy(
-            zero_copy_only=False
-        )
-        order = np.lexsort((codes, -n, uid))
+        order = np.lexsort((codes, -tot, uid))
         uid_s = uid[order]
         start_idx = np.flatnonzero(segment_starts(uid_s))
         first = order[start_idx]
         return pa.table(
             {
                 "user_id": pa.array(uid[first], pa.int64()),
-                "mode_type": et.take(pa.array(first, pa.int64())),
-                "n": pa.array(n[first], pa.int64()),
+                "mode_type": vocab.take(pa.array(codes[first], pa.int64())),
+                "n": pa.array(tot[first], pa.int64()),
             }
         )
 
     return keyed_window(counted, "user_id", pick)
+
+
+def _fold_pair_counts(g: pa.Table):
+    """Combine per-batch (user_id, event_type, n) partials inside one
+    bucket: composite-key sort + reduceat — returns (uid, type_code,
+    total, vocab) over the DISTINCT (user, type) pairs."""
+    from ..functions.window import segment_starts
+
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    n = g.column("n").to_numpy(zero_copy_only=False)
+    et = g.column("event_type").combine_chunks()
+    vocab = pa.array(sorted(pc.unique(et).to_pylist()))
+    codes = pc.index_in(et, value_set=vocab).to_numpy(zero_copy_only=False)
+    V = np.int64(len(vocab))
+    key = uid * V + codes
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    starts = np.flatnonzero(segment_starts(key_s))
+    tot = (
+        np.add.reduceat(n[order], starts)
+        if len(key_s)
+        else np.zeros(0, np.int64)
+    )
+    dk = key_s[starts] if len(key_s) else key_s
+    return dk // V, (dk % V).astype(np.int64), tot, vocab
 
 
 ORACLE_MODE = """
@@ -2951,21 +2971,13 @@ def q_topk_types_per_user(sf_dir: str) -> pa.Table:
             .rename_columns(["user_id", "event_type", "n"])
         )
 
-    counted = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
+    counted = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def pick(g: pa.Table) -> pa.Table:
-        uid = g.column("user_id").to_numpy(zero_copy_only=False)
-        n = g.column("n").to_numpy(zero_copy_only=False)
-        et = g.column("event_type").combine_chunks()
-        vocab = pa.array(sorted(pc.unique(et).to_pylist()))
-        codes = pc.index_in(et, value_set=vocab).to_numpy(
-            zero_copy_only=False
-        )
-        order = np.lexsort((codes, -n, uid))
+        uid, codes, tot, vocab = _fold_pair_counts(g)
+        order = np.lexsort((codes, -tot, uid))
         uid_s = uid[order]
         start_idx = np.flatnonzero(segment_starts(uid_s))
         # rank within each segment, keep rank <= K
@@ -2977,8 +2989,8 @@ def q_topk_types_per_user(sf_dir: str) -> pa.Table:
         return pa.table(
             {
                 "user_id": pa.array(uid[sel], pa.int64()),
-                "event_type": et.take(pa.array(sel, pa.int64())),
-                "n": pa.array(n[sel], pa.int64()),
+                "event_type": vocab.take(pa.array(codes[sel], pa.int64())),
+                "n": pa.array(tot[sel], pa.int64()),
                 "rnk": pa.array(rank[keep], pa.int64()),
             }
         )
@@ -3064,15 +3076,26 @@ def q_moments_value_per_user(sf_dir: str) -> pa.Table:
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_cents", alias_name="sum_cents"),
-            Sum("sumsq_cents", alias_name="sumsq_cents"),
-        )
+    from ..functions.window import keyed_window, segment_starts
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
+
+    # final fold through the hash-bucket exchange: Ray's sort-based
+    # groupby on the partial rows measured 6x slower at 20M events
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        starts = np.flatnonzero(segment_starts(uid))
+        cols = {"user_id": pa.array(uid[starts], pa.int64())}
+        for c in ("n_events", "sum_cents", "sumsq_cents"):
+            v = g.column(c).to_numpy(zero_copy_only=False)[order]
+            cols[c] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(cols)
+
+    return keyed_window(partials, "user_id", fold)
 
 
 ORACLE_MOMENTS = """
