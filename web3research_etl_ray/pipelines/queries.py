@@ -601,14 +601,48 @@ def q_hourly_user_activity(sf_dir: str) -> pa.Table:
             .rename_columns(["user_id", "hour", "sum_value_cents", "n"])
         )
 
-    return (
-        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "hour"])
-        .aggregate(
-            Sum("sum_value_cents", alias_name="sum_value_cents"),
-            Sum("n", alias_name="n"),
-        )
+    from ..functions.window import keyed_window, segment_starts
+
+    partials = ds.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True
     )
+
+    # final fold via the keyed exchange (sort-based two-key groupby on
+    # the partials measured ~10x slower at 20M rows — see BASELINE.md)
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        hour = g.column("hour").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        s = g.column("sum_value_cents").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hour, uid))
+        key_change = np.ones(len(uid), dtype=bool)
+        if len(uid):
+            key_change[1:] = (uid[order][1:] != uid[order][:-1]) | (
+                hour[order][1:] != hour[order][:-1]
+            )
+        starts = np.flatnonzero(key_change)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[order][starts], pa.int64()),
+                "hour": pa.array(hour[order][starts], pa.int64()).cast(
+                    g.column("hour").type
+                ),
+                "sum_value_cents": pa.array(
+                    np.add.reduceat(s[order], starts)
+                    if len(starts) else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    np.add.reduceat(n[order], starts)
+                    if len(starts) else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return keyed_window(partials, "user_id", fold)
 
 
 ORACLE_HOURLY = """
@@ -731,12 +765,40 @@ def q_distinct_users_per_type(sf_dir: str) -> pa.Table:
     def pairs(t: pa.Table) -> pa.Table:
         return t.group_by(["event_type", "user_id"]).aggregate([])
 
+    partials = ds.map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # keyed exchange on user co-locates every copy of a (type, user)
+    # pair in one bucket: distinct inside the bucket, then only the
+    # per-(bucket, type) counts — a handful of rows — reach the final
+    # tiny groupby.  (Sort-based two-key groupby on the pair partials
+    # is the 10x-slower path, see BASELINE.md.)
+    from ..functions.window import keyed_window
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").combine_chunks()
+        vocab = pa.array(sorted(pc.unique(et).to_pylist()))
+        codes = pc.index_in(et, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        )
+        V = np.int64(len(vocab))
+        distinct = np.unique(uid * V + codes)
+        cnt = np.bincount(
+            (distinct % V).astype(np.int64), minlength=int(V)
+        )
+        return pa.table(
+            {
+                "event_type": vocab,
+                "n_users": pa.array(cnt, pa.int64()),
+            }
+        )
+
     return (
-        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_dups"))
+        keyed_window(partials, "user_id", fold)
         .groupby("event_type")
-        .aggregate(Count(alias_name="n_users"))
+        .aggregate(Sum("n_users", alias_name="n_users"))
     )
 
 
