@@ -1597,12 +1597,42 @@ def q_tpch_q3(sf_dir: str) -> pa.Table:
         )
 
     K = 10
-    summed = (
+    from ..functions.window import keyed_window, segment_starts
+
+    # (o_orderdate, o_orderpriority) are functions of l_orderkey, so
+    # the final fold keys on orderkey alone through the hash-bucket
+    # exchange (sort-based multi-key groupby is the 10x-slower path,
+    # see BASELINE.md); date/priority ride along via segment-first
+    def fold(g: pa.Table) -> pa.Table:
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rev = g.column("revenue_cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        ok_s = ok[order]
+        starts = np.flatnonzero(segment_starts(ok_s))
+        first = order[starts]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok_s[starts], pa.int64()),
+                "o_orderdate": g.column("o_orderdate").take(
+                    pa.array(first, pa.int64())
+                ),
+                "o_orderpriority": g.column("o_orderpriority").take(
+                    pa.array(first, pa.int64())
+                ),
+                "revenue_cents": pa.array(
+                    np.add.reduceat(rev[order], starts)
+                    if len(starts) else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    summed = keyed_window(
         joined.map_batches(
             partial_rev, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        ),
+        "l_orderkey",
+        fold,
     )
 
     def partial_top(t: pa.Table) -> pa.Table:
