@@ -49,20 +49,45 @@ def exact_dedup_groups(
 
     def partial(t: pa.Table) -> pa.Table:
         t = add_text_sha(t, text_col)
-        return (
+        g = (
             t.select(["text_sha256", id_col])
             .group_by("text_sha256")
             .aggregate([(id_col, "min"), (id_col, "count")])
             .rename_columns(["text_sha256", "rep_id", "n_copies"])
         )
+        # bucket by the digest's leading 8 hex bytes (uniform): the
+        # final combine rides the hash-bucket exchange — Ray's
+        # sort-based groupby on ~|distinct| 64-char keys measured 2x
+        # slower at 1M unique texts
+        sha = g.column("text_sha256").combine_chunks()
+        if g.num_rows:
+            offs = np.frombuffer(sha.buffers()[1], np.int32)[
+                sha.offset : sha.offset + len(sha)
+            ]
+            data = np.frombuffer(sha.buffers()[2], np.uint8)
+            lead = np.stack(
+                [data[offs + i].astype(np.uint64) for i in range(8)]
+            )
+            key = np.zeros(len(sha), np.uint64)
+            for row in lead:
+                key = (key << np.uint64(8)) | row
+            b = (key % np.uint64(64)).astype(np.int64)
+        else:
+            b = np.zeros(0, np.int64)
+        return g.append_column("__b", pa.array(b, pa.int64()))
+
+    def combine(g: pa.Table) -> pa.Table:
+        return (
+            g.drop_columns(["__b"])
+            .group_by("text_sha256")
+            .aggregate([("rep_id", "min"), ("n_copies", "sum")])
+            .rename_columns(["text_sha256", "rep_id", "n_copies"])
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_sha256")
-        .aggregate(
-            ray.data.aggregate.Min("rep_id", alias_name="rep_id"),
-            ray.data.aggregate.Sum("n_copies", alias_name="n_copies"),
-        )
+        .groupby("__b")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
