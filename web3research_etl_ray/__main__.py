@@ -129,6 +129,8 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--out", required=True, help="output dir (partitioned "
                     "by predicted language)")
     cu.add_argument("--quality-min", type=float, default=0.75)
+    cu.add_argument("--force", action="store_true",
+                    help="overwrite a non-empty output dir")
 
     st = sub.add_parser("stats", help="lake lineage/watermark summary")
     st.add_argument("--lake", required=True)
@@ -190,7 +192,9 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.curate import curate_to_dir
 
         print(json.dumps(
-            curate_to_dir(args.docs, args.out, quality_min=args.quality_min)
+            curate_to_dir(args.docs, args.out,
+                          quality_min=args.quality_min,
+                          overwrite=args.force)
         ))
         return 0
 

@@ -126,12 +126,23 @@ def curate_to_dir(
     out_dir: str,
     *,
     quality_min: float = 0.75,
+    overwrite: bool = False,
 ) -> dict:
     """CLI entry: curate ``docs_dir``/documents.parquet into
     hive-partitioned Parquet under ``out_dir`` (one directory per
-    predicted language — resumable, never one giant file)."""
+    predicted language — never one giant file).  Refuses a non-empty
+    target unless ``overwrite`` (a second append would duplicate
+    rows)."""
     import os
+    import shutil
 
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir} is non-empty; pass overwrite/--force (a "
+                "second write would append duplicate files)"
+            )
+        shutil.rmtree(out_dir)
     path = docs_dir if docs_dir.endswith(".parquet") else os.path.join(
         docs_dir, "documents.parquet"
     )
