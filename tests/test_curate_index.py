@@ -1,0 +1,70 @@
+"""Incremental curation index: per-tick output must equal the batch
+curate over everything ingested, restricted to the tick's new docs —
+including exact duplicates ACROSS ticks (the index's whole point)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from web3research_etl_ray.pipelines.curate import CurateIndex, curate
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and keeps running "
+    "through the quiet forest while the morning light rises slowly "
+    "over the hills and the river bends toward the old stone bridge"
+)
+
+
+def _docs(ids, texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+    )
+
+
+def _mk_texts(n, seed, dup_of=None):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        words = [GOOD.split()[j] for j in rng.integers(0, 30, 45)]
+        out.append(" ".join(words))
+    if dup_of is not None:
+        out[0] = dup_of  # exact duplicate planted across ticks
+    return out
+
+
+def test_ticks_equal_batch_and_cross_tick_dedup(tmp_path):
+    t1 = _mk_texts(30, seed=1)
+    t2 = _mk_texts(30, seed=2, dup_of=t1[3])   # dup of tick-1 text
+    t2[5] = "short"                            # fails quality filter
+    ids1 = list(range(30))
+    ids2 = list(range(100, 130))
+
+    idx = CurateIndex(str(tmp_path / "cidx"), quality_min=0.75,
+                      n_buckets=8)
+    out1 = idx.tick(_docs(ids1, t1))
+    out2 = idx.tick(_docs(ids2, t2))
+
+    batch = curate(_docs(ids1 + ids2, t1 + t2), quality_min=0.75)
+    batch_tbl = pa.Table.from_pylist(batch.take_all()).sort_by("doc_id")
+    want = {r["doc_id"]: (r["lang_pred"], r["n_tokens"], r["quality"])
+            for r in batch_tbl.to_pylist()}
+    got = {}
+    for out in (out1, out2):
+        for r in out.to_pylist():
+            got[r["doc_id"]] = (r["lang_pred"], r["n_tokens"], r["quality"])
+    assert got == want
+    # the cross-tick duplicate (first doc of tick 2) must NOT re-emit
+    assert ids2[0] not in got
+    # the low-quality doc is filtered
+    assert ids2[5] not in got
+
+
+def test_config_guard(tmp_path):
+    CurateIndex(str(tmp_path / "c"), quality_min=0.75)
+    with pytest.raises(ValueError):
+        CurateIndex(str(tmp_path / "c"), quality_min=0.5)

@@ -50,7 +50,8 @@ def test_entry_smoke():
         "asof_join_clicks_views", "range_join_value_bins",
         "sliding_window_activity", "repo_stats_lake",
         "tpch_q1", "tpch_q3", "tpch_q6", "lang_id_documents",
-        "curate_documents", "split_documents", "seq_pack_documents",
+        "curate_documents", "incremental_curate", "split_documents",
+        "seq_pack_documents",
         "embed_documents", "pagerank_parts",
         "simhash_documents", "fingerprint_documents", "minhash_lsh_pairs",
         "knn_lsh", "knn_pq", "multimodal_features",

@@ -132,6 +132,18 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--force", action="store_true",
                     help="overwrite a non-empty output dir")
 
+    ct = sub.add_parser(
+        "curate-tick",
+        help="incremental curation tick: filter + dedup the NEW docs "
+             "against the persistent sha index (O(tick), not O(corpus))",
+    )
+    ct.add_argument("--docs", required=True,
+                    help="parquet file/dir with the tick's (doc_id, text)")
+    ct.add_argument("--index", required=True, help="curation index root")
+    ct.add_argument("--quality-min", type=float, default=0.75)
+    ct.add_argument("--out", default=None,
+                    help="write the tick's curated rows here (parquet)")
+
     st = sub.add_parser("stats", help="lake lineage/watermark summary")
     st.add_argument("--lake", required=True)
     st.add_argument("--partitions", action="store_true",
@@ -196,6 +208,26 @@ def main(argv: list[str] | None = None) -> int:
                           quality_min=args.quality_min,
                           overwrite=args.force)
         ))
+        return 0
+
+    if args.cmd == "curate-tick":
+        import os
+
+        import pyarrow.parquet as _pq
+
+        import ray.data as _rd
+
+        from .pipelines.curate import CurateIndex
+
+        path = args.docs if args.docs.endswith(".parquet") else os.path.join(
+            args.docs, "documents.parquet"
+        )
+        idx = CurateIndex(args.index, quality_min=args.quality_min)
+        out = idx.tick(_rd.read_parquet(path, columns=["doc_id", "text"]))
+        if args.out:
+            _pq.write_table(out, args.out)
+        print(json.dumps({"docs_kept": out.num_rows,
+                          "out": args.out or None}))
         return 0
 
     if args.cmd == "stats":

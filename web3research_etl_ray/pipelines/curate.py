@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -119,6 +120,124 @@ def curate(
         lambda t: t.drop_columns(["text"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def _sha_bucket(sha_hex: pa.Array | pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    """Bucket id from the digest's leading 8 hex chars (uniform),
+    vectorized off the string buffers."""
+    arr = sha_hex.combine_chunks() if isinstance(
+        sha_hex, pa.ChunkedArray
+    ) else sha_hex
+    if len(arr) == 0:
+        return np.zeros(0, np.int64)
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + len(arr)
+    ]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    key = np.zeros(len(arr), np.uint64)
+    for i in range(8):
+        key = (key << np.uint64(8)) | data[offs + i].astype(np.uint64)
+    return (key % np.uint64(n_buckets)).astype(np.int64)
+
+
+class CurateIndex:
+    """Incremental curation at ingest: a persistent, bucketed
+    content-sha index makes each curation tick O(new docs), not
+    O(corpus) — the CDC-native form of the batch ``curate`` flagship
+    (same philosophy as ``pipelines/dedup_index.py::MinHashIndex``).
+
+        <root>/config.json            params (validated per tick)
+        <root>/shas/bucket=K/*.parquet   (text_sha256,) rows
+
+    Per tick: fused scan + filter over the NEW docs only →
+    within-tick exact dedup (first-seen wins) → cross-tick dedup by
+    probing ONLY the sha buckets the tick touches (dir-level pruning;
+    the 10^10-doc index never scans) → append the surviving shas, one
+    file per touched bucket per tick.
+
+    First-seen-wins note: ticks arrive in doc_id order (CDC arrival),
+    so the tick-local min-doc_id representative equals the global
+    batch representative — asserted by the ticks==batch equivalence
+    test."""
+
+    def __init__(self, root: str, *, quality_min: float = 0.75,
+                 n_buckets: int = 64):
+        import json
+        import os
+
+        self.root = root
+        self.quality_min = quality_min
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+        cfg_path = os.path.join(root, "config.json")
+        cfg = {"quality_min": quality_min, "n_buckets": n_buckets}
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                prev = json.load(f)
+            if prev != cfg:
+                raise ValueError(
+                    f"index at {root} was built with {prev}, got {cfg}"
+                )
+        else:
+            with open(cfg_path, "w") as f:
+                json.dump(cfg, f)
+
+    def tick(self, docs: ray.data.Dataset) -> pa.Table:
+        """Curate the new docs against everything seen so far; returns
+        the curated NEW rows and absorbs their shas into the index."""
+        import os
+        import uuid
+
+        from ..functions.dedup import add_text_sha, exact_dedup_groups
+
+        survivors = curate(docs, quality_min=self.quality_min,
+                           keep_text=True)
+        reps = exact_dedup_groups(survivors)  # within-tick, first wins
+        tick_rows = filter_to_reps(survivors, reps.materialize())
+        with_sha = tick_rows.map_batches(
+            add_text_sha, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            lambda t: t.drop_columns(["text"]).append_column(
+                "bucket",
+                pa.array(_sha_bucket(t.column("text_sha256"),
+                                     self.n_buckets), pa.int64()),
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+        root, n_buckets = self.root, self.n_buckets
+
+        def probe_and_append(g: pa.Table) -> pa.Table:
+            k = int(g.column("bucket")[0].as_py())
+            d = os.path.join(root, "shas", f"bucket={k}")
+            seen = set()
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    seen.update(
+                        pq.read_table(os.path.join(d, f))
+                        .column("text_sha256").to_pylist()
+                    )
+            sha = g.column("text_sha256").to_pylist()
+            fresh = np.array([s not in seen for s in sha], dtype=bool)
+            out = g.filter(pa.array(fresh))
+            if out.num_rows:
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    out.select(["text_sha256"]),
+                    os.path.join(d, f"{uuid.uuid4().hex}.parquet"),
+                )
+            return out.drop_columns(["bucket", "text_sha256"])
+
+        out = with_sha.groupby("bucket").map_groups(
+            probe_and_append, batch_format="pyarrow"
+        )
+        t = pa.Table.from_pylist(out.take_all())
+        return t.sort_by("doc_id") if t.num_rows else pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "lang_pred": pa.array([], pa.string()),
+             "n_tokens": pa.array([], pa.int64()),
+             "quality": pa.array([], pa.float64())}
+        )
 
 
 def curate_to_dir(

@@ -2467,6 +2467,42 @@ def q_incremental_dedup_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_incremental_curate(sf_dir: str) -> pa.Table:
+    """Two-tick incremental curation over a doc_id-ordered split of
+    the documents table: the union of per-tick outputs equals the
+    batch ``curate_documents`` result (first-seen == min-doc_id when
+    ticks arrive in id order — the CDC arrival property; equivalence
+    incl. cross-tick duplicates tested in tests/test_curate_index.py).
+    Each tick probes only the sha buckets it touches."""
+    import shutil
+    import tempfile
+
+    from .curate import CurateIndex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(lo: int, hi: int):
+        return ds.map_batches(
+            lambda t, _lo=lo, _hi=hi: t.filter(
+                pc.and_(
+                    pc.greater_equal(t.column("doc_id"), pa.scalar(_lo)),
+                    pc.less(t.column("doc_id"), pa.scalar(_hi)),
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    root = tempfile.mkdtemp(prefix="curate_idx_")
+    try:
+        idx = CurateIndex(root)
+        t1 = idx.tick(part(0, 250))
+        t2 = idx.tick(part(250, 10**9))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return pa.concat_tables([t1, t2]).sort_by("doc_id")
+
+
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup clusters: MinHash-LSH pairs → distributed hash-to-min
     connected components → (doc_id, cluster_id)."""
@@ -3445,6 +3481,7 @@ QUERIES = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "dedup_clusters": q_dedup_clusters,
     "incremental_dedup_pairs": q_incremental_dedup_pairs,
+    "incremental_curate": q_incremental_curate,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_pq": q_knn_pq,
@@ -3515,6 +3552,9 @@ ORACLE_SQL = {
     "fanout_repo_langs": ORACLE_FANOUT_LANGS,
     "fanout_repo_activity": ORACLE_FANOUT_ACTIVITY,
     "curate_documents": ORACLE_CURATE,
+    # the incremental index must reproduce the batch result exactly
+    # (ticks arrive in doc_id order), so it shares the batch oracle
+    "incremental_curate": ORACLE_CURATE,
     "tpch_q1": ORACLE_Q1,
     "tpch_q3": ORACLE_Q3,
     "tpch_q6": ORACLE_Q6,
