@@ -61,7 +61,8 @@ def exact_dedup_groups(
         # slower at 1M unique texts
         sha = g.column("text_sha256").combine_chunks()
         if g.num_rows:
-            offs = np.frombuffer(sha.buffers()[1], np.int32)[
+            odt = np.int64 if pa.types.is_large_string(sha.type) else np.int32
+            offs = np.frombuffer(sha.buffers()[1], odt)[
                 sha.offset : sha.offset + len(sha)
             ]
             data = np.frombuffer(sha.buffers()[2], np.uint8)

@@ -130,7 +130,8 @@ def _sha_bucket(sha_hex: pa.Array | pa.ChunkedArray, n_buckets: int) -> np.ndarr
     ) else sha_hex
     if len(arr) == 0:
         return np.zeros(0, np.int64)
-    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], odt)[
         arr.offset : arr.offset + len(arr)
     ]
     data = np.frombuffer(arr.buffers()[2], np.uint8)
