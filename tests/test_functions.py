@@ -1190,3 +1190,27 @@ def test_pagerank_matches_dense_reference():
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+
+
+def test_semantic_neardup_finds_planted_pairs():
+    """hash_embed + LSH cosine must surface a planted near-duplicate
+    pair and not pair unrelated texts."""
+    from web3research_etl_ray.functions.similarity import (
+        cosine_neardup_lsh, hash_embed,
+    )
+
+    texts = [
+        BASE,
+        BASE + " tiny extra tail",
+        "completely different content about database engines and "
+        "columnar execution with arrow batches in the object store",
+        "yet another unrelated piece on parquet row group pruning "
+        "and predicate pushdown at scan time for analytic queries",
+    ]
+    tbl = hash_embed(_docs_table(texts)).drop_columns(["text"]).rename_columns(
+        ["vec_id", "embedding"]
+    )
+    pairs = cosine_neardup_lsh(ray.data.from_arrow(tbl), tau=0.9)
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert (0, 1) in got
+    assert all(p == (0, 1) for p in got)

@@ -52,7 +52,7 @@ def test_entry_smoke():
         "tpch_q1", "tpch_q3", "tpch_q6", "lang_id_documents",
         "curate_documents", "incremental_curate", "split_documents",
         "seq_pack_documents",
-        "embed_documents", "pagerank_parts",
+        "embed_documents", "semantic_neardup_docs", "pagerank_parts",
         "simhash_documents", "fingerprint_documents", "minhash_lsh_pairs",
         "knn_lsh", "knn_pq", "multimodal_features",
         "window_lag_value", "window_running_totals", "window_dense_rank",

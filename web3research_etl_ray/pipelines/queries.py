@@ -2350,6 +2350,26 @@ FROM r
 """
 
 
+def q_semantic_neardup_docs(sf_dir: str) -> pa.Table:
+    """Model-free semantic near-dup: hash_embed the documents, then
+    LSH-bucketed cosine pairs — the end-to-end composition (text →
+    embedding → ANN) with no external model or embedding table.
+    Rows-only (float fixpoint of two approximations); planted-near-dup
+    recall is unit-tested."""
+    from ..functions.similarity import cosine_neardup_lsh, hash_embed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    embedded = ds.map_batches(
+        lambda t: hash_embed(t).drop_columns(["text"]).rename_columns(
+            ["vec_id", "embedding"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = cosine_neardup_lsh(embedded, tau=0.9)
+    return out.select(["id_a", "id_b"])
+
+
 def q_pagerank_parts(sf_dir: str) -> pa.Table:
     """PageRank over the bipartite supplier→part shipment graph from
     lineitem (iterative workload: per-iteration hash join + groupby —
@@ -3474,6 +3494,7 @@ QUERIES = {
     "split_documents": q_split_documents,
     "seq_pack_documents": q_seq_pack_documents,
     "embed_documents": q_embed_documents,
+    "semantic_neardup_docs": q_semantic_neardup_docs,
     "pagerank_parts": q_pagerank_parts,
     "simhash_documents": q_simhash_documents,
     "fingerprint_documents": q_fingerprint_documents,
