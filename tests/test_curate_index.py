@@ -68,3 +68,37 @@ def test_config_guard(tmp_path):
     CurateIndex(str(tmp_path / "c"), quality_min=0.75)
     with pytest.raises(ValueError):
         CurateIndex(str(tmp_path / "c"), quality_min=0.5)
+
+
+def test_tick_idempotent_replay_and_crash_before_commit(tmp_path):
+    """Two-phase tick commit: (a) replaying a committed tick_id
+    returns the stored output and does not change the index; (b) a
+    crash BEFORE the rename (staged dir left behind) leaves no
+    committed trace — the re-run reproduces the full output."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "cidx")
+    idx = CurateIndex(root, quality_min=0.75, n_buckets=8)
+    docs = _docs(list(range(20)), _mk_texts(20, seed=3))
+
+    out1 = idx.tick(docs, tick_id="tick-A")
+    ticks_after_1 = sorted(os.listdir(os.path.join(root, "ticks")))
+    out_replay = idx.tick(docs, tick_id="tick-A")  # idempotent replay
+    assert out_replay.equals(out1)
+    assert sorted(os.listdir(os.path.join(root, "ticks"))) == ticks_after_1
+
+    # crash simulation: stage a half-written tick that never committed
+    staged = os.path.join(root, "staged", "tick-B")
+    os.makedirs(staged, exist_ok=True)
+    with open(os.path.join(staged, "output.parquet"), "wb") as f:
+        f.write(b"torn")
+    docs2 = _docs(list(range(100, 120)), _mk_texts(20, seed=4))
+    out2 = idx.tick(docs2, tick_id="tick-B")
+    assert out2.num_rows > 0  # recomputed from scratch, staged ignored
+    # and the commit replaced the torn staging atomically
+    import pyarrow.parquet as pq
+    stored = pq.read_table(
+        os.path.join(root, "ticks", "tick-B", "output.parquet")
+    )
+    assert stored.equals(out2)

@@ -159,7 +159,16 @@ class CurateIndex:
     First-seen-wins note: ticks arrive in doc_id order (CDC arrival),
     so the tick-local min-doc_id representative equals the global
     batch representative — asserted by the ticks==batch equivalence
-    test."""
+    test.
+
+    Exactly-once: a tick stages its output table AND its per-bucket
+    sha files under ``staged/<tick_id>/`` and commits with one atomic
+    directory rename into ``ticks/<tick_id>/`` — the same two-phase
+    pattern as the lake manifest.  A crash before the rename leaves
+    no committed trace (full re-tick reproduces everything); a replay
+    of an already-committed tick_id returns the STORED output without
+    touching the index (idempotent).  Probes read committed ticks
+    only."""
 
     def __init__(self, root: str, *, quality_min: float = 0.75,
                  n_buckets: int = 64):
@@ -183,13 +192,40 @@ class CurateIndex:
             with open(cfg_path, "w") as f:
                 json.dump(cfg, f)
 
-    def tick(self, docs: ray.data.Dataset) -> pa.Table:
-        """Curate the new docs against everything seen so far; returns
-        the curated NEW rows and absorbs their shas into the index."""
+    _EMPTY = {
+        "doc_id": pa.int64(), "lang_pred": pa.string(),
+        "n_tokens": pa.int64(), "quality": pa.float64(),
+    }
+
+    def _committed_ticks(self) -> list[str]:
         import os
-        import uuid
+
+        d = os.path.join(self.root, "ticks")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    def tick(self, docs: ray.data.Dataset,
+             tick_id: str | None = None) -> pa.Table:
+        """Curate the new docs against everything seen so far; returns
+        the curated NEW rows and absorbs their shas into the index.
+        ``tick_id`` names the tick for idempotent replay (default: a
+        deterministic key from the tick's doc_id span + count)."""
+        import os
+        import shutil
+
+        from ray.data.aggregate import Count, Max, Min
 
         from ..functions.dedup import add_text_sha, exact_dedup_groups
+
+        if tick_id is None:
+            b = docs.aggregate(
+                Min("doc_id", alias_name="lo"),
+                Max("doc_id", alias_name="hi"),
+                Count(alias_name="n"),
+            )
+            tick_id = f"t{b['lo']}-{b['hi']}-{b['n']}"
+        tick_dir = os.path.join(self.root, "ticks", tick_id)
+        if os.path.isdir(tick_dir):  # committed before: replay output
+            return pq.read_table(os.path.join(tick_dir, "output.parquet"))
 
         survivors = curate(docs, quality_min=self.quality_min,
                            keep_text=True)
@@ -206,39 +242,56 @@ class CurateIndex:
             batch_format="pyarrow", zero_copy_batch=True,
         )
 
-        root, n_buckets = self.root, self.n_buckets
+        root = self.root
+        committed = self._committed_ticks()
 
-        def probe_and_append(g: pa.Table) -> pa.Table:
+        def probe(g: pa.Table) -> pa.Table:
             k = int(g.column("bucket")[0].as_py())
-            d = os.path.join(root, "shas", f"bucket={k}")
             seen = set()
-            if os.path.isdir(d):
-                for f in os.listdir(d):
-                    seen.update(
-                        pq.read_table(os.path.join(d, f))
-                        .column("text_sha256").to_pylist()
-                    )
+            for tid in committed:
+                d = os.path.join(root, "ticks", tid, f"bucket={k}")
+                if os.path.isdir(d):
+                    for f in os.listdir(d):
+                        seen.update(
+                            pq.read_table(os.path.join(d, f))
+                            .column("text_sha256").to_pylist()
+                        )
             sha = g.column("text_sha256").to_pylist()
             fresh = np.array([s not in seen for s in sha], dtype=bool)
-            out = g.filter(pa.array(fresh))
-            if out.num_rows:
-                os.makedirs(d, exist_ok=True)
-                pq.write_table(
-                    out.select(["text_sha256"]),
-                    os.path.join(d, f"{uuid.uuid4().hex}.parquet"),
-                )
-            return out.drop_columns(["bucket", "text_sha256"])
+            return g.filter(pa.array(fresh))
 
         out = with_sha.groupby("bucket").map_groups(
-            probe_and_append, batch_format="pyarrow"
+            probe, batch_format="pyarrow"
         )
         t = pa.Table.from_pylist(out.take_all())
-        return t.sort_by("doc_id") if t.num_rows else pa.table(
-            {"doc_id": pa.array([], pa.int64()),
-             "lang_pred": pa.array([], pa.string()),
-             "n_tokens": pa.array([], pa.int64()),
-             "quality": pa.array([], pa.float64())}
-        )
+        if t.num_rows:
+            t = t.sort_by("doc_id")
+            result = t.drop_columns(["bucket", "text_sha256"])
+        else:
+            result = pa.table(
+                {k: pa.array([], v) for k, v in self._EMPTY.items()}
+            )
+
+        # two-phase commit: stage output + per-bucket sha files, then
+        # one atomic rename makes the tick (and its shas) visible
+        staged = os.path.join(self.root, "staged", tick_id)
+        shutil.rmtree(staged, ignore_errors=True)
+        os.makedirs(staged, exist_ok=True)
+        pq.write_table(result, os.path.join(staged, "output.parquet"))
+        if t.num_rows:
+            buckets = t.column("bucket").to_numpy(zero_copy_only=False)
+            for k in np.unique(buckets):
+                d = os.path.join(staged, f"bucket={int(k)}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    t.filter(pa.array(buckets == k)).select(
+                        ["text_sha256"]
+                    ),
+                    os.path.join(d, "shas.parquet"),
+                )
+        os.makedirs(os.path.join(self.root, "ticks"), exist_ok=True)
+        os.replace(staged, tick_dir)
+        return result
 
 
 def curate_to_dir(
