@@ -102,3 +102,25 @@ def test_tick_idempotent_replay_and_crash_before_commit(tmp_path):
         os.path.join(root, "ticks", "tick-B", "output.parquet")
     )
     assert stored.equals(out2)
+
+
+def test_compact_preserves_dedup_and_replay(tmp_path):
+    """compact() folds tick sha files into the base: later ticks must
+    still drop duplicates of pre-compaction texts, replay of a folded
+    tick still returns its stored output, and compacting twice is a
+    no-op."""
+    root = str(tmp_path / "cidx")
+    idx = CurateIndex(root, quality_min=0.75, n_buckets=8)
+    t1 = _mk_texts(25, seed=7)
+    out1 = idx.tick(_docs(list(range(25)), t1), tick_id="A")
+    info = idx.compact()
+    assert info["folded_ticks"] == 1
+    assert idx.compact() == {"folded_ticks": 0}
+
+    # duplicate of a folded text must still be suppressed
+    t2 = _mk_texts(25, seed=8, dup_of=t1[2])
+    out2 = idx.tick(_docs(list(range(100, 125)), t2), tick_id="B")
+    assert 100 not in out2.column("doc_id").to_pylist()
+
+    # replay of the folded tick returns the stored output
+    assert idx.tick(_docs(list(range(25)), t1), tick_id="A").equals(out1)

@@ -203,6 +203,74 @@ class CurateIndex:
         d = os.path.join(self.root, "ticks")
         return sorted(os.listdir(d)) if os.path.isdir(d) else []
 
+    def compact(self) -> dict:
+        """Fold every committed tick's sha files into one base file
+        per bucket (probe reads stay O(1 file + recent ticks) instead
+        of O(all ticks)).  Outputs (ticks/<tid>/output.parquet) are
+        kept for idempotent replay; only the bucket dirs fold.  The
+        folded-tick list commits atomically with the base via a
+        staged rename."""
+        import json
+        import os
+        import shutil
+
+        folded = self._folded()
+        to_fold = [t for t in self._committed_ticks() if t not in folded]
+        if not to_fold:
+            return {"folded_ticks": 0}
+        staged = os.path.join(self.root, "staged", "__base__")
+        shutil.rmtree(staged, ignore_errors=True)
+        os.makedirs(staged, exist_ok=True)
+        n_files = 0
+        for k in range(self.n_buckets):
+            parts = []
+            base_f = os.path.join(self.root, "base", f"bucket={k}",
+                                  "shas.parquet")
+            if os.path.exists(base_f):
+                parts.append(pq.read_table(base_f))
+            for tid in to_fold:
+                d = os.path.join(self.root, "ticks", tid, f"bucket={k}")
+                if os.path.isdir(d):
+                    parts.extend(
+                        pq.read_table(os.path.join(d, f))
+                        for f in os.listdir(d)
+                    )
+            if parts:
+                d = os.path.join(staged, f"bucket={k}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    pa.concat_tables(parts), os.path.join(d, "shas.parquet")
+                )
+                n_files += 1
+        with open(os.path.join(staged, "meta.json"), "w") as f:
+            json.dump({"folded": sorted(folded | set(to_fold))}, f)
+        base = os.path.join(self.root, "base")
+        old = base + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(base):
+            os.replace(base, old)
+        os.replace(staged, base)
+        shutil.rmtree(old, ignore_errors=True)
+        # folded bucket dirs are now redundant bytes; drop them
+        for tid in to_fold:
+            for e in os.listdir(os.path.join(self.root, "ticks", tid)):
+                if e.startswith("bucket="):
+                    shutil.rmtree(
+                        os.path.join(self.root, "ticks", tid, e),
+                        ignore_errors=True,
+                    )
+        return {"folded_ticks": len(to_fold), "base_buckets": n_files}
+
+    def _folded(self) -> set[str]:
+        import json
+        import os
+
+        meta = os.path.join(self.root, "base", "meta.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                return set(json.load(f)["folded"])
+        return set()
+
     def tick(self, docs: ray.data.Dataset,
              tick_id: str | None = None) -> pa.Table:
         """Curate the new docs against everything seen so far; returns
@@ -243,11 +311,18 @@ class CurateIndex:
         )
 
         root = self.root
-        committed = self._committed_ticks()
+        folded = self._folded()
+        committed = [t for t in self._committed_ticks() if t not in folded]
 
         def probe(g: pa.Table) -> pa.Table:
             k = int(g.column("bucket")[0].as_py())
             seen = set()
+            base_f = os.path.join(root, "base", f"bucket={k}",
+                                  "shas.parquet")
+            if os.path.exists(base_f):
+                seen.update(
+                    pq.read_table(base_f).column("text_sha256").to_pylist()
+                )
             for tid in committed:
                 d = os.path.join(root, "ticks", tid, f"bucket={k}")
                 if os.path.isdir(d):
