@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "pivot_event_counts",
     "tpch_q6",
     "knn_pq",
+    "curate_documents",
+    "quantiles_value_per_user",
 ]
 
 
