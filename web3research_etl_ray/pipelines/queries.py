@@ -199,6 +199,93 @@ ORDER BY repo, path
 """
 
 
+def q_scd2_history(sf_dir: str) -> pa.Table:
+    """SCD2-style versioned history over the change-event stream: for
+    every (repo, path) version, its validity interval
+    [commit_seq, valid_to_seq) — valid_to_seq = the next version's
+    commit, NULL while current — plus an is_current flag (open AND not
+    a delete).  The row-level history companion of the LWW lake (which
+    keeps only winners) and manifest time travel (which keeps
+    generations).  One key-hash bucket exchange; inside the bucket the
+    lead is a vectorized per-segment shift over all keys at once."""
+    from ..functions.hashing import key_hash64
+    from ..functions.window import lead_one, segment_starts
+
+    import glob as _glob
+
+    stream = _derive_cdc_stream(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(os.path.join(stream, "events-*.parquet"))),
+        columns=["repo", "path", "commit_seq", "op"],
+    ).map_batches(
+        # mirror the oracle's eff CTE: drop the orphaned reorg range
+        lambda t: t.filter(
+            pc.or_(
+                pc.less(t.column("commit_seq"), pa.scalar(_ORPHAN_LO)),
+                pc.greater(t.column("commit_seq"), pa.scalar(_ORPHAN_HI)),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = key_hash64(t.column("repo"), t.column("path"))
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(32)).astype(np.int64), pa.int64())
+        )
+
+    def versions(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        key = pc.binary_join_element_wise(
+            g.column("repo"), g.column("path"), "\x00"
+        )
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        vocab = pa.array(sorted(pc.unique(key).to_pylist()))
+        codes = pc.index_in(key, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        )
+        seq = g.column("commit_seq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, codes))
+        codes_s, seq_s = codes[order], seq[order]
+        starts = segment_starts(codes_s)
+        led, valid = lead_one(seq_s, starts)
+        out = g.take(pa.array(order, pa.int64()))
+        op = out.column("op").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "repo": out.column("repo"),
+                "path": out.column("path"),
+                "commit_seq": pa.array(seq_s, pa.int64()),
+                "valid_to_seq": pa.array(
+                    led.astype(np.int64), pa.int64(), mask=~valid
+                ),
+                "is_current": pa.array(~valid & (op != "delete")),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(versions, batch_format="pyarrow")
+    )
+
+
+ORACLE_SCD2 = f"""
+WITH {_EV_CTE},
+v AS (
+  SELECT repo, path, commit_seq, op,
+         lead(commit_seq) OVER (
+           PARTITION BY repo, path ORDER BY commit_seq) AS valid_to_seq
+  FROM eff
+)
+SELECT repo, path, commit_seq, valid_to_seq,
+       (valid_to_seq IS NULL AND op <> 'delete') AS is_current
+FROM v
+"""
+
+
 _TT_SPLIT = 99_999  # gen 0 = commits with seq <= split; gen 1 = the rest
 
 
@@ -3444,6 +3531,7 @@ HAVING count(*) >= CAST(ceil(0.005 * (SELECT count(*) FROM events)) AS BIGINT)
 
 QUERIES = {
     "cdc_replay_lake": q_cdc_replay_lake,
+    "scd2_history": q_scd2_history,
     "time_travel_diff": q_time_travel_diff,
     "lww_upsert_events": q_lww_upsert_events,
     "watermark_events": q_watermark_events,
@@ -3532,6 +3620,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "cdc_replay_lake": _CDC_SQL,
+    "scd2_history": ORACLE_SCD2,
     "time_travel_diff": ORACLE_TT_DIFF,
     "lww_upsert_events": ORACLE_LWW,
     "watermark_events": "SELECT max(event_id) AS max_event_id, count(*) AS n_events FROM events",
