@@ -59,7 +59,7 @@ def test_entry_smoke():
         "window_lead_moving", "window_rank_tiles", "median_value_per_user",
         "quantiles_value_per_user", "string_agg_per_user",
         "moments_value_per_user", "mode_type_per_user",
-        "topk_types_per_user",
+        "topk_types_per_user", "outlier_events_per_user",
         "pivot_event_counts", "unpivot_event_counts", "rollup_event_counts",
         "cube_event_counts",
         "heavy_hitter_users", "fanout_repo_activity",

@@ -3110,6 +3110,65 @@ FROM events GROUP BY user_id
 """
 
 
+def q_outlier_events_per_user(sf_dir: str) -> pa.Table:
+    """Grouped anomaly filter: events whose value exceeds the user's
+    mean + 2σ (sample std).  ONE keyed exchange — each bucket holds
+    all of a user's rows, so moments and flags are a single vectorized
+    segment pass; both sides derive the float threshold from the SAME
+    exact integer moments with the SAME expression, so the comparison
+    is bit-reproducible (no summation-order drift)."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, uid))
+        uid_s, cents_s = uid[order], cents[order]
+        starts = np.flatnonzero(segment_starts(uid_s))
+        counts = np.diff(np.append(starts, len(uid_s)))
+        s = np.add.reduceat(cents_s, starts).astype(np.float64)
+        ss = np.add.reduceat(cents_s * cents_s, starts).astype(np.float64)
+        n = counts.astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            thr = s / n + 2.0 * np.sqrt((ss - s * s / n) / (n - 1.0))
+        seg = np.repeat(np.arange(len(starts)), counts)
+        keep = (counts[seg] >= 2) & (cents_s.astype(np.float64) > thr[seg])
+        sel = order[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sel], pa.int64()),
+                "event_id": g.column("event_id").take(
+                    pa.array(sel, pa.int64())
+                ).cast(pa.int64()),
+                "value_cents": pa.array(cents[sel], pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_OUTLIER = """
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(cents) AS DOUBLE) AS s,
+         CAST(sum(cents * cents) AS DOUBLE) AS ss
+  FROM c GROUP BY user_id
+)
+SELECT c.user_id, c.event_id, c.cents AS value_cents
+FROM c JOIN m USING (user_id)
+WHERE m.n >= 2
+  AND CAST(c.cents AS DOUBLE) >
+      m.s / m.n + 2.0 * sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1.0))
+"""
+
+
 def q_mode_type_per_user(sf_dir: str) -> pa.Table:
     """EXACT grouped mode with a deterministic tie-break (highest
     count, then lexicographically smallest value): per-batch partial
@@ -3609,6 +3668,7 @@ QUERIES = {
     "moments_value_per_user": q_moments_value_per_user,
     "mode_type_per_user": q_mode_type_per_user,
     "topk_types_per_user": q_topk_types_per_user,
+    "outlier_events_per_user": q_outlier_events_per_user,
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
     "rollup_event_counts": q_rollup_event_counts,
@@ -3682,6 +3742,7 @@ ORACLE_SQL = {
     "moments_value_per_user": ORACLE_MOMENTS,
     "mode_type_per_user": ORACLE_MODE,
     "topk_types_per_user": ORACLE_TOPK_TYPES,
+    "outlier_events_per_user": ORACLE_OUTLIER,
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
     "rollup_event_counts": ORACLE_ROLLUP,
