@@ -124,3 +124,86 @@ def test_compact_preserves_dedup_and_replay(tmp_path):
 
     # replay of the folded tick returns the stored output
     assert idx.tick(_docs(list(range(25)), t1), tick_id="A").equals(out1)
+
+
+_REPO = __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+)
+
+_CHILD_TICK = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import pyarrow as pa
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data
+from web3research_etl_ray.pipelines.curate import CurateIndex
+
+rng = np.random.default_rng(11)
+words = "the quick brown fox jumps over lazy dog morning light river".split()
+texts = [" ".join(rng.choice(words, size=200)) for _ in range(40000)]
+docs = ray.data.from_arrow(pa.table(
+    {{"doc_id": pa.array(range(40000), pa.int64()),
+      "text": pa.array(texts, pa.string())}}
+))
+idx = CurateIndex({root!r}, quality_min=0.75, n_buckets=8)
+print("START", flush=True)
+out = idx.tick(docs, tick_id="kill-tick")
+print("DONE", out.num_rows, flush=True)
+"""
+
+
+def test_sigkill_mid_curate_tick_then_retick(tmp_path):
+    """REAL crash during a curation tick: SIGKILL the whole process
+    group mid-tick, verify nothing committed (no ticks/ entry), then
+    re-run the SAME tick in this process — the output must equal an
+    uninterrupted tick on a fresh index (no lost or suppressed docs)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    root = str(tmp_path / "cidx")
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         _CHILD_TICK.format(repo=_REPO, root=root)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        start_new_session=True,
+    )
+    assert "START" in child.stdout.readline()
+    time.sleep(1.0)  # mid-tick (full 40k-doc tick takes several s)
+    killed = child.poll() is None
+    if killed:
+        try:
+            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        child.wait()
+    assert killed, "child finished before the kill - raise the sleep"
+    # two-phase commit: the killed tick must not be visible
+    assert not os.path.isdir(os.path.join(root, "ticks", "kill-tick"))
+
+    import numpy as np
+    import ray.data
+    from web3research_etl_ray.pipelines.curate import CurateIndex
+
+    rng = np.random.default_rng(11)
+    words = ("the quick brown fox jumps over lazy dog morning light "
+             "river").split()
+    texts = [" ".join(rng.choice(words, size=200)) for _ in range(40000)]
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(40000), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    ))
+    out = CurateIndex(root, quality_min=0.75, n_buckets=8).tick(
+        docs, tick_id="kill-tick"
+    )
+    fresh = CurateIndex(str(tmp_path / "fresh"), quality_min=0.75,
+                        n_buckets=8).tick(docs, tick_id="kill-tick")
+    assert out.equals(fresh)
+    assert out.num_rows > 0
