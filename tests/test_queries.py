@@ -39,7 +39,8 @@ def test_entry_smoke():
         "explode_embeddings", "spread_embeddings", "demux_events",
         "hourly_user_activity", "systematic_sample_events",
         "stratified_sample_events", "distinct_langs",
-        "distinct_users_per_type", "normalized_text_sha", "top2_per_user",
+        "distinct_users_per_type", "hourly_distinct_users",
+        "normalized_text_sha", "top2_per_user",
         "top_events", "sha256_documents",
         "exact_dedup_documents", "token_stats_documents",
         "pii_scan_documents", "doc_quality",

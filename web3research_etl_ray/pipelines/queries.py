@@ -889,6 +889,64 @@ def q_distinct_users_per_type(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hourly_distinct_users(sf_dir: str) -> pa.Table:
+    """Windowed distinct: per event-time hour, the exact number of
+    distinct users — tumbling window + the bucketed distinct-count
+    fold (all copies of a (hour, user) pair co-locate in the user's
+    bucket; only per-(bucket, hour) counts reach the final tiny
+    groupby)."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return (
+            pa.table(
+                {"user_id": t.column("user_id").cast(pa.int64()),
+                 "hour": hour}
+            )
+            .group_by(["user_id", "hour"])
+            .aggregate([])
+        )
+
+    partials = ds.map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        hour = g.column("hour").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hours = np.unique(hour)
+        code = np.searchsorted(hours, hour)
+        H = np.int64(len(hours))
+        distinct = np.unique(uid * H + code)
+        cnt = np.bincount((distinct % H).astype(np.int64), minlength=int(H))
+        return pa.table(
+            {
+                "hour": pa.array(hours, pa.int64()).cast(
+                    g.column("hour").type
+                ),
+                "n_users": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return (
+        keyed_window(partials, "user_id", fold)
+        .groupby("hour")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+ORACLE_HOURLY_DISTINCT = """
+SELECT date_trunc('hour', ts) AS hour,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 ORACLE_DISTINCT_USERS = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
@@ -3607,6 +3665,7 @@ QUERIES = {
     "stratified_sample_events": q_stratified_sample_events,
     "distinct_langs": q_distinct_langs,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "hourly_distinct_users": q_hourly_distinct_users,
     "approx_distinct_users_per_type": q_approx_distinct_users_per_type,
     "approx_quantiles_value": q_approx_quantiles_value,
     "normalized_text_sha": q_normalized_text_sha,
@@ -3697,6 +3756,7 @@ ORACLE_SQL = {
     "stratified_sample_events": ORACLE_STRATIFIED,
     "distinct_langs": ORACLE_DISTINCT,
     "distinct_users_per_type": ORACLE_DISTINCT_USERS,
+    "hourly_distinct_users": ORACLE_HOURLY_DISTINCT,
     "normalized_text_sha": ORACLE_NORM_SHA,
     "top2_per_user": ORACLE_TOP2,
     "top_events": ORACLE_TOP,
