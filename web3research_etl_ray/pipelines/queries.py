@@ -3168,6 +3168,63 @@ FROM events GROUP BY user_id
 """
 
 
+def q_funnel_click_purchase(sf_dir: str) -> pa.Table:
+    """Conversion funnel: purchases preceded by a click from the same
+    user within the trailing hour.  One keyed exchange; inside the
+    bucket the per-segment 'last click so far' is ONE
+    maximum-accumulate over segment-offset-encoded click times (the
+    offset trick keeps the accumulation from crossing segments), then
+    a vectorized window test — no per-user loop, no self-join."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    WINDOW_US = 3_600 * 1_000_000
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s, ts_s, et_s = (
+            uid[order], eid[order], ts[order], et[order]
+        )
+        seg = np.cumsum(segment_starts(uid_s)) - 1
+        # segment-offset encoding: accumulation cannot cross segments
+        span = np.int64(ts_s.max() - ts_s.min() + 2) if len(ts_s) else np.int64(2)
+        base = ts_s - (ts_s.min() if len(ts_s) else 0)
+        click_v = np.where(et_s == "click", base, np.int64(-1)) + seg * span
+        last_click = np.maximum.accumulate(click_v) - seg * span
+        keep = (
+            (et_s == "purchase")
+            & (last_click >= 0)
+            & (base - last_click <= WINDOW_US)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[keep], pa.int64()),
+                "event_id": pa.array(eid_s[keep], pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_FUNNEL = """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id, event_type, ts,
+         max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_click
+  FROM events
+)
+WHERE event_type = 'purchase'
+  AND last_click IS NOT NULL
+  AND ts - last_click <= INTERVAL 1 HOUR
+"""
+
+
 def q_outlier_events_per_user(sf_dir: str) -> pa.Table:
     """Grouped anomaly filter: events whose value exceeds the user's
     mean + 2σ (sample std).  ONE keyed exchange — each bucket holds
@@ -3728,6 +3785,7 @@ QUERIES = {
     "mode_type_per_user": q_mode_type_per_user,
     "topk_types_per_user": q_topk_types_per_user,
     "outlier_events_per_user": q_outlier_events_per_user,
+    "funnel_click_purchase": q_funnel_click_purchase,
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
     "rollup_event_counts": q_rollup_event_counts,
@@ -3803,6 +3861,7 @@ ORACLE_SQL = {
     "mode_type_per_user": ORACLE_MODE,
     "topk_types_per_user": ORACLE_TOPK_TYPES,
     "outlier_events_per_user": ORACLE_OUTLIER,
+    "funnel_click_purchase": ORACLE_FUNNEL,
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
     "rollup_event_counts": ORACLE_ROLLUP,
