@@ -61,7 +61,7 @@ def test_entry_smoke():
         "quantiles_value_per_user", "string_agg_per_user",
         "moments_value_per_user", "mode_type_per_user",
         "topk_types_per_user", "outlier_events_per_user",
-        "funnel_click_purchase",
+        "funnel_click_purchase", "profile_events",
         "pivot_event_counts", "unpivot_event_counts", "rollup_event_counts",
         "cube_event_counts",
         "heavy_hitter_users", "fanout_repo_activity",

@@ -3168,6 +3168,62 @@ FROM events GROUP BY user_id
 """
 
 
+def q_profile_events(sf_dir: str) -> pa.Table:
+    """One-pass table profile (the data-quality intake scan a 100 TB
+    ingest runs first): per numeric column, row count, null count,
+    min, max — one partial row per (column, batch), tiny final fold.
+    Long/narrow output shape so adding columns never changes the
+    schema."""
+    cols = ["event_id", "user_id", "value"]
+    ds = _read(sf_dir, "events", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            col = t.column(c)
+            if c == "value":
+                col = _cents(col)
+            names.append(c)
+            ns.append(t.num_rows)
+            nulls.append(col.null_count)
+            mins.append(pc.min(col).as_py())
+            maxs.append(pc.max(col).as_py())
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_v": pa.array(mins, pa.int64()),
+                "max_v": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("column")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+    )
+
+
+ORACLE_PROFILE = """
+SELECT 'event_id' AS "column", count(*) AS n,
+       count(*) - count(event_id) AS n_null,
+       min(event_id) AS min_v, max(event_id) AS max_v FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       min(user_id), max(user_id) FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       min(CAST(ROUND(value * 100) AS BIGINT)),
+       max(CAST(ROUND(value * 100) AS BIGINT)) FROM events
+"""
+
+
 def q_funnel_click_purchase(sf_dir: str) -> pa.Table:
     """Conversion funnel: purchases preceded by a click from the same
     user within the trailing hour.  One keyed exchange; inside the
@@ -3786,6 +3842,7 @@ QUERIES = {
     "topk_types_per_user": q_topk_types_per_user,
     "outlier_events_per_user": q_outlier_events_per_user,
     "funnel_click_purchase": q_funnel_click_purchase,
+    "profile_events": q_profile_events,
     "pivot_event_counts": q_pivot_event_counts,
     "unpivot_event_counts": q_unpivot_event_counts,
     "rollup_event_counts": q_rollup_event_counts,
@@ -3862,6 +3919,7 @@ ORACLE_SQL = {
     "topk_types_per_user": ORACLE_TOPK_TYPES,
     "outlier_events_per_user": ORACLE_OUTLIER,
     "funnel_click_purchase": ORACLE_FUNNEL,
+    "profile_events": ORACLE_PROFILE,
     "pivot_event_counts": ORACLE_PIVOT,
     "unpivot_event_counts": ORACLE_UNPIVOT,
     "rollup_event_counts": ORACLE_ROLLUP,
