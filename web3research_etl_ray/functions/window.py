@@ -212,6 +212,7 @@ def ordered_prefix_sum(
     *,
     num_ranges: int | None = None,
     out_col: str = "running",
+    tiebreak_col: str | None = None,
 ) -> ray.data.Dataset:
     """Global running sum of ``value_col`` in ``order_col`` order — the
     distributed ordered-scan primitive (SQL ``sum(v) OVER (ORDER BY
@@ -239,9 +240,13 @@ def ordered_prefix_sum(
     lo, hi = bounds["lo"], bounds["hi"]
     span = max(1, int(hi) - int(lo) + 1)
 
+    # equal-width ranges via division-first math: multiply-first
+    # ((o-lo)*R // span) overflows int64 for hash-sized order keys
+    width = (span + num_ranges - 1) // num_ranges
+
     def add_range(t: pa.Table) -> pa.Table:
         o = t.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        r = (o - int(lo)) * num_ranges // span
+        r = (o - int(lo)) // width
         return t.append_column("__r", pa.array(r, pa.int64()))
 
     ranged = ds.map_batches(
@@ -274,7 +279,11 @@ def ordered_prefix_sum(
     def local_scan(g: pa.Table) -> pa.Table:
         r = int(g.column("__r")[0].as_py())
         o = g.column(order_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(o, kind="stable")
+        if tiebreak_col is not None:
+            tb = g.column(tiebreak_col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, o))
+        else:
+            order = np.argsort(o, kind="stable")
         v = g.column(value_col).to_numpy(zero_copy_only=False).astype(
             np.int64
         )[order]

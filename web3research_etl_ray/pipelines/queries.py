@@ -2549,6 +2549,58 @@ def q_pagerank_parts(sf_dir: str) -> pa.Table:
     )
 
 
+def q_epoch_shuffle_documents(sf_dir: str) -> pa.Table:
+    """Deterministic epoch shuffle for training: every doc gets a
+    GLOBAL shuffle rank — row_number over (sha256('epoch1:'+doc_id)
+    60-bit prefix, doc_id).  Reproducible across runs/engines with no
+    seed side-channel, and a different epoch string reshuffles.
+    Distributed as the range-partitioned prefix scan (hash keys are
+    uniform ⇒ perfectly balanced ranges), value=1, tiebreak=doc_id —
+    never a global sort."""
+    from ..functions.hashing import sha256_hex
+    from ..functions.window import ordered_prefix_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.array(["epoch1"] * t.num_rows),
+            t.column("doc_id").cast(pa.string()),
+            ":",
+        )
+        sha = sha256_hex(s)
+        # 60-bit prefix (15 hex chars) keeps the order key in int64
+        k = np.array(
+            [int(h[:15], 16) for h in sha.to_pylist()], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "k64": pa.array(k, pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    out = ordered_prefix_sum(
+        keyed, "k64", "one", out_col="shuffle_rank", tiebreak_col="doc_id"
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "shuffle_rank"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY substr(sha256('epoch1:' || CAST(doc_id AS VARCHAR)),
+                         1, 15),
+                  doc_id) AS shuffle_rank
+FROM documents
+"""
+
+
 def q_embed_documents(sf_dir: str) -> pa.Table:
     """Feature-hashing document embeddings (64-dim, L2-normalized, no
     model/vocab — deterministic across batch splits): the bridge from
@@ -3813,6 +3865,7 @@ QUERIES = {
     "split_documents": q_split_documents,
     "seq_pack_documents": q_seq_pack_documents,
     "embed_documents": q_embed_documents,
+    "epoch_shuffle_documents": q_epoch_shuffle_documents,
     "semantic_neardup_docs": q_semantic_neardup_docs,
     "pagerank_parts": q_pagerank_parts,
     "simhash_documents": q_simhash_documents,
@@ -3906,6 +3959,7 @@ ORACLE_SQL = {
     "lang_id_documents": ORACLE_LANG_ID,
     "split_documents": ORACLE_SPLIT,
     "seq_pack_documents": ORACLE_SEQ_PACK,
+    "epoch_shuffle_documents": ORACLE_EPOCH_SHUFFLE,
     "window_lag_value": ORACLE_WINDOW_LAG,
     "window_running_totals": ORACLE_WINDOW_RUN,
     "window_dense_rank": ORACLE_WINDOW_RANK,
