@@ -2569,10 +2569,21 @@ def q_epoch_shuffle_documents(sf_dir: str) -> pa.Table:
             ":",
         )
         sha = sha256_hex(s)
-        # 60-bit prefix (15 hex chars) keeps the order key in int64
-        k = np.array(
-            [int(h[:15], 16) for h in sha.to_pylist()], dtype=np.int64
-        )
+        if isinstance(sha, pa.ChunkedArray):
+            sha = sha.combine_chunks()
+        # 60-bit prefix (15 hex chars) keeps the order key in int64;
+        # vectorized hex parse straight off the string buffer
+        if t.num_rows:
+            offs = np.frombuffer(sha.buffers()[1], np.int32)[
+                sha.offset : sha.offset + len(sha)
+            ]
+            data = np.frombuffer(sha.buffers()[2], np.uint8)
+            k = np.zeros(len(sha), np.int64)
+            for i in range(15):
+                b = data[offs + i].astype(np.int64)
+                k = (k << 4) | (b - 48 - 39 * (b >= 97))
+        else:
+            k = np.zeros(0, np.int64)
         return pa.table(
             {
                 "doc_id": t.column("doc_id").cast(pa.int64()),
