@@ -54,7 +54,7 @@ def test_entry_smoke():
         "curate_documents", "incremental_curate", "split_documents",
         "seq_pack_documents",
         "embed_documents", "semantic_neardup_docs", "pagerank_parts",
-        "epoch_shuffle_documents",
+        "epoch_shuffle_documents", "prepare_training_set",
         "simhash_documents", "fingerprint_documents", "minhash_lsh_pairs",
         "knn_lsh", "knn_pq", "multimodal_features",
         "window_lag_value", "window_running_totals", "window_dense_rank",

@@ -2549,6 +2549,75 @@ def q_pagerank_parts(sf_dir: str) -> pa.Table:
     )
 
 
+def q_prepare_training_set(sf_dir: str) -> pa.Table:
+    """THE end-to-end pre-training data prep, one streaming pipeline,
+    oracle-exact at every stage: curate (fused PII/quality/lang scan →
+    filter → exact dedup) → content-hash train split → contiguous
+    sequence packing of the train docs via the distributed ordered
+    prefix scan.  A user points this at a documents table and gets
+    back the packed train manifest."""
+    from ..functions.hashing import sha256_binary
+    from ..functions.window import ordered_prefix_sum
+    from .curate import curate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    curated = curate(ds, quality_min=0.75, keep_text=True)
+
+    def train_only(t: pa.Table) -> pa.Table:
+        sha = sha256_binary(t.column("text"))
+        if isinstance(sha, pa.ChunkedArray):
+            sha = sha.combine_chunks()
+        if t.num_rows:
+            data = np.frombuffer(sha.buffers()[1], np.uint8)
+            first = data[sha.offset * 32 :: 32][: len(sha)]
+        else:
+            first = np.zeros(0, np.uint8)
+        t = t.filter(pa.array(first < 204)).drop_columns(["text"])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "lang_pred": t.column("lang_pred"),
+                "n_tokens": t.column("n_tokens").cast(pa.int64()),
+                "quality": t.column("quality"),
+            }
+        )
+
+    train = curated.map_batches(
+        train_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    scanned = ordered_prefix_sum(train, "doc_id", "n_tokens")
+
+    def binify(t: pa.Table) -> pa.Table:
+        run = t.column("running").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        return t.drop_columns(["running"]).append_column(
+            "bin_id", pa.array((run - n) // _PACK_BUDGET, pa.int64())
+        )
+
+    return scanned.map_batches(
+        binify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _prepare_training_oracle() -> str:
+    curated = ORACLE_CURATE.strip().rstrip()
+    return rf"""
+WITH curated AS ({curated}),
+withsplit AS (
+  SELECT c.*, substr(sha256(d.text), 1, 2) AS shp
+  FROM curated c JOIN documents d USING (doc_id)
+),
+train AS (SELECT * FROM withsplit WHERE shp < 'cc')
+SELECT doc_id, lang_pred, n_tokens, quality,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+            // {_PACK_BUDGET} AS BIGINT) AS bin_id
+FROM train
+"""
+
+
+ORACLE_PREPARE = _prepare_training_oracle()
+
+
 def q_epoch_shuffle_documents(sf_dir: str) -> pa.Table:
     """Deterministic epoch shuffle for training: every doc gets a
     GLOBAL shuffle rank — row_number over (sha256('epoch1:'+doc_id)
@@ -3877,6 +3946,7 @@ QUERIES = {
     "seq_pack_documents": q_seq_pack_documents,
     "embed_documents": q_embed_documents,
     "epoch_shuffle_documents": q_epoch_shuffle_documents,
+    "prepare_training_set": q_prepare_training_set,
     "semantic_neardup_docs": q_semantic_neardup_docs,
     "pagerank_parts": q_pagerank_parts,
     "simhash_documents": q_simhash_documents,
@@ -3971,6 +4041,7 @@ ORACLE_SQL = {
     "split_documents": ORACLE_SPLIT,
     "seq_pack_documents": ORACLE_SEQ_PACK,
     "epoch_shuffle_documents": ORACLE_EPOCH_SHUFFLE,
+    "prepare_training_set": ORACLE_PREPARE,
     "window_lag_value": ORACLE_WINDOW_LAG,
     "window_running_totals": ORACLE_WINDOW_RUN,
     "window_dense_rank": ORACLE_WINDOW_RANK,
