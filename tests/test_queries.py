@@ -38,12 +38,13 @@ def test_entry_smoke():
         "per_type_counts", "orphan_filter_events", "json_extract_events",
         "explode_embeddings", "spread_embeddings", "demux_events",
         "hourly_user_activity", "systematic_sample_events",
-        "stratified_sample_events", "distinct_langs",
+        "stratified_sample_events", "priority_sample_events",
+        "distinct_langs",
         "distinct_users_per_type", "hourly_distinct_users",
         "normalized_text_sha", "top2_per_user",
         "top_events", "sha256_documents",
         "exact_dedup_documents", "token_stats_documents",
-        "pii_scan_documents", "doc_quality",
+        "pii_scan_documents", "top_tokens_documents", "doc_quality",
         "ngram_jaccard_pairs", "knn_cosine", "embedding_neardup",
         "broadcast_join_segment", "hash_join_orders_customer",
         "left_join_customer_orders", "semi_join_customers",

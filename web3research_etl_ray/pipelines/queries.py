@@ -31,7 +31,7 @@ from ..functions.dedup import (
     minhash_lsh_pairs,
     simhash_neardup_pairs,
 )
-from ..functions.hashing import rolling_fingerprint, sha256_hex
+from ..functions.hashing import key_hash64, rolling_fingerprint, sha256_hex
 from ..functions.multimodal import media_feature_pipeline
 from ..functions.similarity import cosine_neardup_pairs, knn_brute, knn_lsh
 from ..functions.text import lang_id, quality_score, simhash64, token_stats
@@ -740,6 +740,71 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def q_priority_sample_events(sf_dir: str) -> pa.Table:
+    """Weighted sampling without a random side-channel (priority
+    sampling, Duffield et al.: priority = weight / uniform; top-k by
+    priority ≈ probability-proportional-to-size) — the data-mixing
+    primitive for weighted corpus blending.  The 'uniform' is the
+    event's sha256 prefix scaled to (0,1], so the draw is reproducible
+    and SQL-mirrorable; distributed as per-batch partial top-k →
+    tiny ordered merge.  Deterministic tie-break by event_id."""
+    K = 100
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sha = sha256_hex(t.column("event_id").cast(pa.string()))
+        if isinstance(sha, pa.ChunkedArray):
+            sha = sha.combine_chunks()
+        if t.num_rows:
+            offs = np.frombuffer(sha.buffers()[1], np.int32)[
+                sha.offset : sha.offset + len(sha)
+            ]
+            data = np.frombuffer(sha.buffers()[2], np.uint8)
+            u = np.zeros(len(sha), np.int64)
+            for i in range(15):
+                b = data[offs + i].astype(np.int64)
+                u = (u << 4) | (b - 48 - 39 * (b >= 97))
+        else:
+            u = np.zeros(0, np.int64)
+        # uniform in (0, 1]: (prefix + 1) / 2^60
+        uni = (u.astype(np.float64) + 1.0) / float(1 << 60)
+        w = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        prio = w.astype(np.float64) / uni
+        t = t.append_column("priority", pa.array(prio, pa.float64()))
+        return t.sort_by(
+            [("priority", "descending"), ("event_id", "ascending")]
+        ).slice(0, K)
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sort([("priority"), ("event_id")], descending=[True, False])
+        .limit(K)
+        .take_all()
+    )
+    t = pa.Table.from_pylist(top)
+    return pa.table(
+        {
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "value_cents": _cents(t.column("value")),
+        }
+    ).sort_by("event_id")
+
+
+ORACLE_PRIORITY_SAMPLE = """
+WITH p AS (
+  SELECT event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+         CAST(ROUND(value * 100) AS BIGINT) /
+           ((CAST('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) + 1.0) / 1152921504606846976.0)
+           AS priority
+  FROM events
+)
+SELECT event_id, value_cents FROM p
+ORDER BY priority DESC, event_id LIMIT 100
+"""
+
+
 def q_stratified_sample_events(sf_dir: str) -> pa.Table:
     """Deterministic STRATIFIED sample — exactly 3 events per user,
     chosen by content-hash rank within each stratum (reproducible,
@@ -1173,6 +1238,74 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
        len(regexp_extract_all(text, '[0-9]')) AS n_digits
 FROM documents
+"""
+
+
+def q_top_tokens_documents(sf_dir: str) -> pa.Table:
+    """Corpus wordcount, top-50 tokens: per-batch Arrow tokenize +
+    hash group-by (the shuffle moves one row per distinct token per
+    batch, never token instances), keyed-exchange fold over the token
+    string, per-bucket top-k partial, tiny final merge.  Deterministic
+    tie-break (count desc, token asc)."""
+    from ..functions.window import keyed_window, segment_starts
+
+    K = 50
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")), pattern=r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        return (
+            pa.table({"token": flat})
+            .group_by("token")
+            .aggregate([("token", "count")])
+            .rename_columns(["token", "n"])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        # numeric bucket key for the keyed exchange
+        lambda t: t.append_column(
+            "tok_h",
+            pa.array(
+                (key_hash64(t.column("token")) % np.uint64(1 << 62)).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def fold_topk(g: pa.Table) -> pa.Table:
+        combined = (
+            g.select(["token", "n"])
+            .group_by("token")
+            .aggregate([("n", "sum")])
+            .rename_columns(["token", "n"])
+        )
+        return combined.sort_by(
+            [("n", "descending"), ("token", "ascending")]
+        ).slice(0, K)
+
+    top = keyed_window(partials, "tok_h", fold_topk)
+    t = pa.Table.from_pylist(top.take_all())
+    return t.sort_by(
+        [("n", "descending"), ("token", "ascending")]
+    ).slice(0, K)
+
+
+ORACLE_TOP_TOKENS = r"""
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS token
+  FROM documents
+) WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
 
@@ -3908,6 +4041,7 @@ QUERIES = {
     "systematic_sample_events": q_systematic_sample_events,
     "hash_sample_events": q_hash_sample_events,
     "stratified_sample_events": q_stratified_sample_events,
+    "priority_sample_events": q_priority_sample_events,
     "distinct_langs": q_distinct_langs,
     "distinct_users_per_type": q_distinct_users_per_type,
     "hourly_distinct_users": q_hourly_distinct_users,
@@ -3921,6 +4055,7 @@ QUERIES = {
     "exact_dedup_keep": q_exact_dedup_keep,
     "token_stats_documents": q_token_stats_documents,
     "pii_scan_documents": q_pii_scan_documents,
+    "top_tokens_documents": q_top_tokens_documents,
     "doc_quality": q_doc_quality,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
@@ -4003,6 +4138,7 @@ ORACLE_SQL = {
     "systematic_sample_events": ORACLE_SAMPLE,
     "hash_sample_events": ORACLE_HASH_SAMPLE,
     "stratified_sample_events": ORACLE_STRATIFIED,
+    "priority_sample_events": ORACLE_PRIORITY_SAMPLE,
     "distinct_langs": ORACLE_DISTINCT,
     "distinct_users_per_type": ORACLE_DISTINCT_USERS,
     "hourly_distinct_users": ORACLE_HOURLY_DISTINCT,
@@ -4014,6 +4150,7 @@ ORACLE_SQL = {
     "exact_dedup_keep": ORACLE_DEDUP_KEEP,
     "token_stats_documents": ORACLE_TOKENS,
     "pii_scan_documents": ORACLE_PII,
+    "top_tokens_documents": ORACLE_TOP_TOKENS,
     "doc_quality": ORACLE_QUALITY,
     "ngram_jaccard_pairs": ORACLE_NGRAM,
     "knn_cosine": ORACLE_KNN,
