@@ -1214,3 +1214,28 @@ def test_semantic_neardup_finds_planted_pairs():
     got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
     assert (0, 1) in got
     assert all(p == (0, 1) for p in got)
+
+
+def test_count_min_overestimates_within_bound():
+    """CM sketch: estimates never undercount, and on a skewed stream
+    the heavy keys' estimates are exact or within the 2N/width bound."""
+    from web3research_etl_ray.functions.sketch import (
+        count_min, count_min_query,
+    )
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate([
+        np.full(5000, 7), np.full(3000, 42),
+        rng.integers(1000, 9000, 4000),
+    ]).astype(np.int64)
+    t = pa.table({"k": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(8)
+    sk = count_min(ds, "k", width=2048, depth=4)
+    assert sk.sum() == 4 * len(vals)  # every row counted in every band
+    import collections
+    true = collections.Counter(vals.tolist())
+    probe = pa.array([7, 42, 1000], pa.int64())
+    est = count_min_query(sk, probe)
+    for v, e in zip([7, 42, 1000], est):
+        assert e >= true[v]
+        assert e - true[v] <= 2 * len(vals) / 2048 * 4  # slack x4

@@ -318,3 +318,47 @@ def heavy_hitters(
 
     return exact.map_batches(finish, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def count_min(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    width: int = 2048,
+    depth: int = 4,
+) -> np.ndarray:
+    """Count-Min sketch of a column's value frequencies (Cormode &
+    Muthukrishnan 2005): each block folds its values into a local
+    [depth, width] counter matrix, matrices ADD up the aggregate
+    combine tree — the driver sees one depth*width*8-byte array, never
+    values.  Point estimates overestimate by at most 2N/width with
+    probability 1 - 2^-depth."""
+    import ray.data
+    from ray.data.aggregate import AggregateFn
+
+    def acc(a: np.ndarray, block: pa.Table) -> np.ndarray:
+        h = _value_hash(block.column(col))
+        a = a.copy()
+        for d in range(depth):
+            hd = (h * np.uint64(2 * d + 1)) ^ (h >> np.uint64(17 + d))
+            np.add.at(a[d], (hd % np.uint64(width)).astype(np.int64), 1)
+        return a
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros((depth, width), dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=acc,
+        name="cm",
+    )
+    return ds.aggregate(agg)["cm"]
+
+
+def count_min_query(sketch: np.ndarray, values: pa.Array) -> np.ndarray:
+    """Point-frequency estimates (min over rows) for ``values``."""
+    depth, width = sketch.shape
+    h = _value_hash(values)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        hd = (h * np.uint64(2 * d + 1)) ^ (h >> np.uint64(17 + d))
+        est = np.minimum(est, sketch[d][(hd % np.uint64(width)).astype(np.int64)])
+    return est
