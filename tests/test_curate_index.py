@@ -207,3 +207,29 @@ def test_sigkill_mid_curate_tick_then_retick(tmp_path):
                         n_buckets=8).tick(docs, tick_id="kill-tick")
     assert out.equals(fresh)
     assert out.num_rows > 0
+
+
+def test_curate_invariant_to_input_partitioning_and_order():
+    """The batch curate must produce identical output no matter how
+    the input is partitioned or ordered (batch boundaries change the
+    per-batch partials, never the result)."""
+    import numpy as np
+
+    texts = _mk_texts(120, seed=21)
+    texts[10] = texts[4]  # planted duplicate
+    ids = list(range(120))
+    base = curate(_docs(ids, texts), quality_min=0.75)
+    base_t = pa.Table.from_pylist(base.take_all()).sort_by("doc_id")
+
+    rng = np.random.default_rng(2)
+    perm = rng.permutation(120)
+    shuffled = _docs([ids[i] for i in perm], [texts[i] for i in perm])
+    for ds in (
+        shuffled,
+        _docs(ids, texts).repartition(17),
+        shuffled.repartition(3),
+    ):
+        out = pa.Table.from_pylist(
+            curate(ds, quality_min=0.75).take_all()
+        ).sort_by("doc_id")
+        assert out.equals(base_t)
