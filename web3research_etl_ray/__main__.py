@@ -163,7 +163,13 @@ def main(argv: list[str] | None = None) -> int:
         f.add_argument("--tables", required=True,
                        help="'module.path:callable' returning the "
                             "list[FanoutTable]")
-        f.add_argument("--partitions", type=int, default=16)
+        f.add_argument(
+            "--partitions",
+            type=lambda v: v if v == "auto" else int(v),
+            default=16,
+            help="partition count, or 'auto' (input-sized on gen 0, "
+                 "committed count on resume)",
+        )
         if name == "init-fanout":
             f.add_argument("--to-seq", type=int, default=None)
         if name == "sync-fanout":

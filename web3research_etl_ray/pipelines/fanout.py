@@ -252,7 +252,7 @@ def replay_fanout(
     lake_dir: str,
     tables: list[FanoutTable],
     *,
-    num_partitions: int = 16,
+    num_partitions: int | str = 16,
     upto_seq: int | None = None,
     force_repair_pids: dict[str, frozenset[int]] | None = None,
     _crash_before_commit: bool = False,
@@ -264,6 +264,18 @@ def replay_fanout(
     files = event_files(stream_dir)
     if not files:
         raise FileNotFoundError(f"no events-*.parquet under {stream_dir}")
+    if num_partitions in ("auto", None):
+        from .replay import auto_partitions
+
+        # resuming a lake keeps its committed partition count (a
+        # change would force a full repartition repair of every table)
+        prior0 = load_latest_multi(lake_dir)
+        if prior0 is not None and prior0.tables:
+            num_partitions = next(
+                iter(prior0.tables.values())
+            ).num_partitions
+        else:
+            num_partitions = auto_partitions(files)
     base_spec = tables[0].spec if tables[0].derive is None else REPO_FILES
     ranges = [
         (lo, hi)
