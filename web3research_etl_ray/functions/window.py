@@ -238,6 +238,8 @@ def ordered_prefix_sum(
         Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi")
     )
     lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # empty input: nothing to scan
+        return ds
     span = max(1, int(hi) - int(lo) + 1)
 
     # equal-width ranges via division-first math: multiply-first

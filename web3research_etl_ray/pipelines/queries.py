@@ -45,6 +45,17 @@ def _tbl(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _from_rows(rows: list[dict], schema: dict[str, pa.DataType]) -> pa.Table:
+    """Typed table from driver-side final rows; empty row lists keep
+    the declared schema (``pa.Table.from_pylist([])`` would drop it —
+    an empty-partition crash at scale)."""
+    if rows:
+        return pa.Table.from_pylist(rows).select(list(schema)).cast(
+            pa.schema(schema)
+        )
+    return pa.table({k: pa.array([], v) for k, v in schema.items()})
+
+
 def _read(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
     """Column-pruned read with size-aware block count: Ray's default
     splits small files into ~64 near-empty blocks and every downstream
@@ -781,10 +792,10 @@ def q_priority_sample_events(sf_dir: str) -> pa.Table:
         .limit(K)
         .take_all()
     )
-    t = pa.Table.from_pylist(top)
+    t = _from_rows(top, {"event_id": pa.int64(), "value": pa.float64()})
     return pa.table(
         {
-            "event_id": t.column("event_id").cast(pa.int64()),
+            "event_id": t.column("event_id"),
             "value_cents": _cents(t.column("value")),
         }
     ).sort_by("event_id")
@@ -1209,7 +1220,9 @@ def q_exact_dedup_keep(sf_dir: str) -> pa.Table:
     # reps is the SMALL fold output, consumed twice (count + filter)
     reps = exact_dedup_groups(ds).materialize()
     out = _filter_to_reps(ds, reps).select_columns(["doc_id"])
-    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+    return _from_rows(out.take_all(), {"doc_id": pa.int64()}).sort_by(
+        "doc_id"
+    )
 
 
 ORACLE_DEDUP_KEEP = """
@@ -1294,7 +1307,7 @@ def q_top_tokens_documents(sf_dir: str) -> pa.Table:
         ).slice(0, K)
 
     top = keyed_window(partials, "tok_h", fold_topk)
-    t = pa.Table.from_pylist(top.take_all())
+    t = _from_rows(top.take_all(), {"token": pa.string(), "n": pa.int64()})
     return t.sort_by(
         [("n", "descending"), ("token", "ascending")]
     ).slice(0, K)
@@ -1926,14 +1939,14 @@ def q_tpch_q3(sf_dir: str) -> pa.Table:
         .limit(K)
         .take_all()
     )
-    t = pa.Table.from_pylist(top)
-    return pa.table(
+    return _from_rows(
+        top,
         {
-            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
-            "revenue_cents": t.column("revenue_cents").cast(pa.int64()),
-            "o_orderdate": t.column("o_orderdate"),
-            "o_orderpriority": t.column("o_orderpriority"),
-        }
+            "l_orderkey": pa.int64(),
+            "revenue_cents": pa.int64(),
+            "o_orderdate": pa.timestamp("us"),
+            "o_orderpriority": pa.string(),
+        },
     )
 
 
@@ -2474,7 +2487,11 @@ def q_curate_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = curate(ds, quality_min=0.75)
-    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+    return _from_rows(
+        out.take_all(),
+        {"doc_id": pa.int64(), "lang_pred": pa.string(),
+         "n_tokens": pa.int64(), "quality": pa.float64()},
+    ).sort_by("doc_id")
 
 
 def _curate_oracle() -> str:
