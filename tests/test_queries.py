@@ -41,6 +41,7 @@ def test_entry_smoke():
         "stratified_sample_events", "priority_sample_events",
         "distinct_langs",
         "distinct_users_per_type", "hourly_distinct_users",
+        "hourly_retention",
         "normalized_text_sha", "top2_per_user",
         "top_events", "sha256_documents",
         "exact_dedup_documents", "token_stats_documents",

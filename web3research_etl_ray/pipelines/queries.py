@@ -1023,6 +1023,94 @@ FROM events GROUP BY 1
 """
 
 
+def q_hourly_retention(sf_dir: str) -> pa.Table:
+    """Retention cohorts without a self-join: per hour h, how many of
+    its active users are also active in h+1.  One keyed exchange on
+    user co-locates each user's distinct hours; a sorted-segment
+    adjacent-difference finds consecutive-hour presences vectorized
+    across all users at once; only per-(bucket, hour) counts reach the
+    final tiny groupby."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    HOUR_US = 3_600 * 1_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return (
+            pa.table(
+                {"user_id": t.column("user_id").cast(pa.int64()),
+                 "hour_us": hour.cast(pa.int64())}
+            )
+            .group_by(["user_id", "hour_us"])
+            .aggregate([])
+        )
+
+    partials = ds.map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        hr = g.column("hour_us").to_numpy(zero_copy_only=False)
+        # global distinct within the bucket (partials may repeat pairs)
+        key = np.unique(
+            uid.astype(np.int64) * np.int64(1 << 22)
+            + (hr // HOUR_US) % np.int64(1 << 22)
+        )
+        # decode keeping (user, hour-slot) sorted user-major
+        u = key >> np.int64(22)
+        slot = key & np.int64((1 << 22) - 1)
+        starts = segment_starts(u)
+        nxt = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            nxt[:-1] = (~starts[1:]) & (slot[1:] == slot[:-1] + 1)
+        retained_slots = slot[nxt]
+        slots_u, cnt = (
+            np.unique(retained_slots, return_counts=True)
+            if len(retained_slots)
+            else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        )
+        return pa.table(
+            {
+                "hour_slot": pa.array(slots_u.astype(np.int64), pa.int64()),
+                "n_retained": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    folded = (
+        keyed_window(partials, "user_id", fold)
+        .groupby("hour_slot")
+        .aggregate(Sum("n_retained", alias_name="n_retained"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        slots = t.column("hour_slot").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "hour": pa.array(slots * HOUR_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_retained": t.column("n_retained"),
+            }
+        )
+
+    return folded.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+ORACLE_RETENTION = """
+WITH uh AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events
+)
+SELECT a.hour, count(*) AS n_retained
+FROM uh a JOIN uh b
+  ON a.user_id = b.user_id AND b.hour = a.hour + INTERVAL 1 HOUR
+GROUP BY a.hour
+"""
+
+
 ORACLE_DISTINCT_USERS = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
@@ -4062,6 +4150,7 @@ QUERIES = {
     "distinct_langs": q_distinct_langs,
     "distinct_users_per_type": q_distinct_users_per_type,
     "hourly_distinct_users": q_hourly_distinct_users,
+    "hourly_retention": q_hourly_retention,
     "approx_distinct_users_per_type": q_approx_distinct_users_per_type,
     "approx_quantiles_value": q_approx_quantiles_value,
     "normalized_text_sha": q_normalized_text_sha,
@@ -4159,6 +4248,7 @@ ORACLE_SQL = {
     "distinct_langs": ORACLE_DISTINCT,
     "distinct_users_per_type": ORACLE_DISTINCT_USERS,
     "hourly_distinct_users": ORACLE_HOURLY_DISTINCT,
+    "hourly_retention": ORACLE_RETENTION,
     "normalized_text_sha": ORACLE_NORM_SHA,
     "top2_per_user": ORACLE_TOP2,
     "top_events": ORACLE_TOP,
