@@ -1053,6 +1053,11 @@ def q_hourly_retention(sf_dir: str) -> pa.Table:
     def fold(g: pa.Table) -> pa.Table:
         uid = g.column("user_id").to_numpy(zero_copy_only=False)
         hr = g.column("hour_us").to_numpy(zero_copy_only=False)
+        # composite packing bounds: 41-bit user ids x 22-bit hour
+        # slots (epoch-hours < 2^22 holds through year ~2447)
+        if len(uid) and int(uid.max()) >= (1 << 41):
+            raise ValueError("user_id >= 2^41 breaks the 22-bit packing; "
+                             "use a wider composite")
         # global distinct within the bucket (partials may repeat pairs)
         key = np.unique(
             uid.astype(np.int64) * np.int64(1 << 22)
