@@ -212,3 +212,42 @@ def test_auto_partitions_matches_explicit(tmp_path, tiny_stream):
     # second tick with auto must keep the committed layout
     m2 = replay(tiny_stream, lake, num_partitions="auto")
     assert m2.num_partitions == m.num_partitions
+
+
+def test_lake_scan_prunes_files_by_footer_stats(tmp_path):
+    """Zone-map scan: a selective commit_seq predicate must read a
+    strict subset of lake files (footer min/max pruning) and return
+    exactly the rows a full-scan filter returns."""
+    import pyarrow as pa
+
+    from web3research_etl_ray.gen import ensure_stream
+    from web3research_etl_ray.pipelines.replay import (
+        lake_scan, lake_table, replay,
+    )
+
+    stream = ensure_stream(20_000)
+    lake = str(tmp_path / "lake")
+    replay(stream, lake, num_partitions=16)
+
+    full = lake_table(lake)
+    hi = max(full.column("commit_seq").to_pylist())
+    ds, read, total = lake_scan(
+        lake, predicate=("commit_seq", "==", hi),
+        columns=["repo", "path", "commit_seq"],
+    )
+    got = pa.Table.from_pylist(ds.take_all()).sort_by(
+        [("repo", "ascending"), ("path", "ascending")]
+    )
+    import pyarrow.compute as pc
+
+    want = full.filter(
+        pc.equal(full.column("commit_seq"), pa.scalar(hi))
+    ).select(["repo", "path", "commit_seq"]).sort_by(
+        [("repo", "ascending"), ("path", "ascending")]
+    )
+    assert got.to_pylist() == want.to_pylist()
+    assert 0 < read < total  # the point: strictly fewer files touched
+
+    # no-match predicate: zero files read, typed empty result
+    ds0, read0, _ = lake_scan(lake, predicate=("commit_seq", ">", hi + 1))
+    assert read0 == 0 and ds0.count() == 0

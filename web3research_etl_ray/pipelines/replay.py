@@ -735,3 +735,88 @@ def lake_table(lake_dir: str, *, generation: int | None = None):
     if not files:
         return LAKE_SCHEMA.empty_table()
     return pads.dataset(files).to_table()
+
+
+def lake_scan(
+    lake_dir: str,
+    *,
+    predicate: tuple[str, str, object] | None = None,
+    columns: list[str] | None = None,
+    generation: int | None = None,
+):
+    """Predicate-pruned streaming scan of the lake: before any task is
+    scheduled, candidate files are pruned by their Parquet FOOTER
+    row-group statistics for the predicate column (the zone-map read —
+    merge-on-write keeps partitions sorted, so selective predicates
+    touch few files), then the surviving files stream through a
+    vectorized per-batch filter.  Returns (Dataset, files_read,
+    files_total) so callers/tests can assert the pruning.
+
+    ``predicate``: (column, op, value) with op in <,<=,==,>=,>."""
+    import operator
+
+    import ray.data
+
+    from ..schema import LAKE_SCHEMA
+
+    ops = {"<": operator.lt, "<=": operator.le, "==": operator.eq,
+           ">=": operator.ge, ">": operator.gt}
+    manifest = _manifest_at(lake_dir, generation)
+    files = manifest.data_files(lake_dir)
+    total = len(files)
+    if predicate is None:
+        if not files:
+            return ray.data.from_arrow(LAKE_SCHEMA.empty_table()), 0, 0
+        return ray.data.read_parquet(files, columns=columns), total, total
+    col, op, val = predicate
+    if op not in ops:
+        raise ValueError(f"op must be one of {sorted(ops)}")
+    keep = []
+    for f in files:
+        md = pq.read_metadata(f)
+        # resolve the PARQUET LEAF index by path: nested columns (the
+        # metadata map) flatten into multiple leaves, so the arrow
+        # schema position is NOT the statistics index
+        ci = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).path == col
+        )
+        intersects = False
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(ci).statistics
+            if stats is None or not stats.has_min_max:
+                intersects = True  # no stats -> cannot prune
+                break
+            lo, hi = stats.min, stats.max
+            if op == "==" and lo <= val <= hi:
+                intersects = True
+            elif op in ("<", "<=") and ops[op](lo, val):
+                intersects = True
+            elif op in (">", ">=") and ops[op](hi, val):
+                intersects = True
+            if intersects:
+                break
+        if intersects:
+            keep.append(f)
+    if not keep:
+        empty = LAKE_SCHEMA.empty_table()
+        if columns:
+            empty = empty.select(columns)
+        return ray.data.from_arrow(empty), 0, total
+    read_cols = columns if columns is None else sorted(set(columns) | {col})
+    ds = ray.data.read_parquet(keep, columns=read_cols)
+
+    import pyarrow.compute as pc
+
+    pc_ops = {"<": pc.less, "<=": pc.less_equal, "==": pc.equal,
+              ">=": pc.greater_equal, ">": pc.greater}
+
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_ops[op](t.column(col), pa.scalar(val)))
+        return t.select(columns) if columns else t
+
+    return (
+        ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True),
+        len(keep),
+        total,
+    )
