@@ -144,6 +144,24 @@ def main(argv: list[str] | None = None) -> int:
     ct.add_argument("--out", default=None,
                     help="write the tick's curated rows here (parquet)")
 
+    lk = sub.add_parser("lookup", help="point lookup by upsert key "
+                        "(partition-pruned, O(1) files)")
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--repo", required=True)
+    lk.add_argument("--path", required=True)
+
+    sc = sub.add_parser("scan", help="predicate-pruned lake scan "
+                        "(Parquet footer zone maps)")
+    sc.add_argument("--lake", required=True)
+    sc.add_argument("--where", required=True,
+                    help="'col OP value' with OP in < <= == >= > "
+                         "(value int or string)")
+    sc.add_argument("--columns", default=None,
+                    help="comma-separated projection")
+    sc.add_argument("--out", default=None,
+                    help="write matching rows here (parquet); else "
+                         "print the row count")
+
     st = sub.add_parser("stats", help="lake lineage/watermark summary")
     st.add_argument("--lake", required=True)
     st.add_argument("--partitions", action="store_true",
@@ -204,6 +222,44 @@ def main(argv: list[str] | None = None) -> int:
         from .state.manifest import restore_lake
 
         print(json.dumps(restore_lake(args.backup, args.lake)))
+        return 0
+
+    if args.cmd == "lookup":
+        from .pipelines.replay import lookup_key
+
+        row = lookup_key(args.lake, args.repo, args.path)
+        if row is not None:
+            row = {k: (v.hex() if isinstance(v, bytes) else v)
+                   for k, v in row.items()}
+        print(json.dumps({"found": row is not None, "row": row}))
+        return 0
+
+    if args.cmd == "scan":
+        import pyarrow.parquet as _pq
+
+        from .pipelines.replay import lake_scan
+
+        parts = args.where.split(None, 2)
+        if len(parts) != 3:
+            p.error("--where must be 'col OP value'")
+        col, op, raw = parts
+        try:
+            val = int(raw)
+        except ValueError:
+            val = raw
+        cols = args.columns.split(",") if args.columns else None
+        ds, read, total = lake_scan(
+            args.lake, predicate=(col, op, val), columns=cols
+        )
+        if args.out:
+            import pyarrow as _pa
+
+            _pq.write_table(_pa.Table.from_pylist(ds.take_all()), args.out)
+            n = _pq.read_metadata(args.out).num_rows
+        else:
+            n = ds.count()
+        print(json.dumps({"rows": n, "files_read": read,
+                          "files_total": total, "out": args.out}))
         return 0
 
     if args.cmd == "curate":
