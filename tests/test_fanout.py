@@ -571,3 +571,37 @@ def test_randomized_additive_tick_splits_match_oracle(tmp_path):
             replay_fanout(stream, lake, tables, num_partitions=7, upto_seq=s)
         replay_fanout(stream, lake, tables, num_partitions=7)
         assert _activity_rows(lake) == _activity_oracle(stream), (seed, splits)
+
+
+def test_fanout_scan_prunes_by_footer_stats(tmp_path):
+    """Zone-map scan over one fan-out table: selective predicate reads
+    a strict subset of that table's files with exact rows."""
+    import pyarrow.compute as pc
+
+    from web3research_etl_ray.gen import ensure_stream
+    from web3research_etl_ray.pipelines.fanout import (
+        fanout_scan, fanout_table, replay_fanout,
+    )
+    from web3research_etl_ray.pipelines.queries import _fanout_tables
+
+    stream = ensure_stream(20_000)
+    lake = str(tmp_path / "mlake")
+    replay_fanout(stream, lake, _fanout_tables(), num_partitions=16)
+
+    full = fanout_table(lake, "repo_heads")
+    hi = max(full.column("commit_seq").to_pylist())
+    ds, read, total = fanout_scan(
+        lake, "repo_heads", predicate=("commit_seq", "==", hi),
+        columns=["repo", "commit_seq"],
+    )
+    got = sorted(
+        (r["repo"], r["commit_seq"]) for r in ds.take_all()
+    )
+    want = sorted(
+        (r["repo"], r["commit_seq"])
+        for r in full.filter(
+            pc.equal(full.column("commit_seq"), pa.scalar(hi))
+        ).select(["repo", "commit_seq"]).to_pylist()
+    )
+    assert got == want and got
+    assert 0 < read < total

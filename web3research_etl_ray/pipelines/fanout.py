@@ -502,3 +502,29 @@ def fanout_table(lake_dir: str, table: str) -> pa.Table:
     if not files:
         return pa.table({})
     return pads.dataset(files).to_table()
+
+
+def fanout_scan(
+    lake_dir: str,
+    table: str,
+    *,
+    predicate: tuple[str, str, object] | None = None,
+    columns: list[str] | None = None,
+):
+    """Zone-map scan of ONE table of the multi-table lake (see
+    replay.pruned_parquet_scan).  Returns (Dataset, files_read,
+    files_total)."""
+    from .replay import pruned_parquet_scan
+
+    manifest = load_latest_multi(lake_dir)
+    if manifest is None or table not in manifest.tables:
+        raise FileNotFoundError(f"no committed table {table} under {lake_dir}")
+    files = manifest.tables[table].data_files(lake_dir)
+    empty = (
+        pads.dataset(files[:1]).schema.empty_table()
+        if files
+        else pa.table({})
+    )
+    return pruned_parquet_scan(
+        files, empty, predicate=predicate, columns=columns
+    )

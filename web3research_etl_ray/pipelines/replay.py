@@ -737,36 +737,30 @@ def lake_table(lake_dir: str, *, generation: int | None = None):
     return pads.dataset(files).to_table()
 
 
-def lake_scan(
-    lake_dir: str,
+def pruned_parquet_scan(
+    files: list[str],
+    empty_table: pa.Table,
     *,
     predicate: tuple[str, str, object] | None = None,
     columns: list[str] | None = None,
-    generation: int | None = None,
 ):
-    """Predicate-pruned streaming scan of the lake: before any task is
-    scheduled, candidate files are pruned by their Parquet FOOTER
-    row-group statistics for the predicate column (the zone-map read —
-    merge-on-write keeps partitions sorted, so selective predicates
-    touch few files), then the surviving files stream through a
-    vectorized per-batch filter.  Returns (Dataset, files_read,
-    files_total) so callers/tests can assert the pruning.
+    """Predicate-pruned streaming scan over explicit parquet files:
+    before any task is scheduled, candidate files are pruned by their
+    Parquet FOOTER row-group statistics for the predicate column (the
+    zone-map read), then the survivors stream through a vectorized
+    per-batch filter.  Returns (Dataset, files_read, files_total).
 
     ``predicate``: (column, op, value) with op in <,<=,==,>=,>."""
     import operator
 
     import ray.data
 
-    from ..schema import LAKE_SCHEMA
-
+    total = len(files)
     ops = {"<": operator.lt, "<=": operator.le, "==": operator.eq,
            ">=": operator.ge, ">": operator.gt}
-    manifest = _manifest_at(lake_dir, generation)
-    files = manifest.data_files(lake_dir)
-    total = len(files)
     if predicate is None:
         if not files:
-            return ray.data.from_arrow(LAKE_SCHEMA.empty_table()), 0, 0
+            return ray.data.from_arrow(empty_table), 0, 0
         return ray.data.read_parquet(files, columns=columns), total, total
     col, op, val = predicate
     if op not in ops:
@@ -799,7 +793,7 @@ def lake_scan(
         if intersects:
             keep.append(f)
     if not keep:
-        empty = LAKE_SCHEMA.empty_table()
+        empty = empty_table
         if columns:
             empty = empty.select(columns)
         return ray.data.from_arrow(empty), 0, total
@@ -819,4 +813,25 @@ def lake_scan(
         ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True),
         len(keep),
         total,
+    )
+
+
+def lake_scan(
+    lake_dir: str,
+    *,
+    predicate: tuple[str, str, object] | None = None,
+    columns: list[str] | None = None,
+    generation: int | None = None,
+):
+    """Zone-map scan of the single-table lake (see
+    :func:`pruned_parquet_scan`; merge-on-write keeps partitions
+    sorted, so selective predicates touch few files)."""
+    from ..schema import LAKE_SCHEMA
+
+    manifest = _manifest_at(lake_dir, generation)
+    return pruned_parquet_scan(
+        manifest.data_files(lake_dir),
+        LAKE_SCHEMA.empty_table(),
+        predicate=predicate,
+        columns=columns,
     )
