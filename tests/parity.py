@@ -28,7 +28,18 @@ def to_pandas(obj) -> pd.DataFrame:
     import ray.data
 
     if isinstance(obj, ray.data.Dataset):
-        obj = pa.Table.from_pylist(obj.take_all())
+        rows = obj.take_all()
+        if rows:
+            obj = pa.Table.from_pylist(rows)
+        else:
+            # keep the dataset schema on empty results (from_pylist([])
+            # would drop it and fail the column compare)
+            schema = obj.schema()
+            obj = (
+                schema.base_schema.empty_table()
+                if schema is not None and hasattr(schema, "base_schema")
+                else pa.table({})
+            )
     if isinstance(obj, pa.Table):
         obj = obj.to_pandas()
     return obj
