@@ -161,6 +161,9 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--out", default=None,
                     help="write matching rows here (parquet); else "
                          "print the row count")
+    sc.add_argument("--table", default=None,
+                    help="scan this table of a multi-table fan-out lake "
+                         "instead of a single-table lake")
 
     st = sub.add_parser("stats", help="lake lineage/watermark summary")
     st.add_argument("--lake", required=True)
@@ -248,9 +251,17 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError:
             val = raw
         cols = args.columns.split(",") if args.columns else None
-        ds, read, total = lake_scan(
-            args.lake, predicate=(col, op, val), columns=cols
-        )
+        if args.table:
+            from .pipelines.fanout import fanout_scan
+
+            ds, read, total = fanout_scan(
+                args.lake, args.table, predicate=(col, op, val),
+                columns=cols,
+            )
+        else:
+            ds, read, total = lake_scan(
+                args.lake, predicate=(col, op, val), columns=cols
+            )
         if args.out:
             import pyarrow as _pa
 
