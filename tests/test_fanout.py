@@ -605,3 +605,47 @@ def test_fanout_scan_prunes_by_footer_stats(tmp_path):
     )
     assert got == want and got
     assert 0 < read < total
+
+
+def test_fanout_time_travel_reads_consistent_generation(tmp_path):
+    """Reading an older generation of a fan-out lake must return every
+    table's state AS OF that generation — the cross-table consistency
+    the single multi-manifest exists for."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from web3research_etl_ray.gen import ensure_stream
+    from web3research_etl_ray.pipelines.fanout import (
+        fanout_table, replay_fanout,
+    )
+    from web3research_etl_ray.pipelines.queries import _fanout_tables
+
+    full = ensure_stream(20_000)
+    files = sorted(glob.glob(f"{full}/events-*.parquet"))
+    grow = str(tmp_path / "stream")
+    shutil.copytree(full, grow, ignore=shutil.ignore_patterns("events-*"))
+    lake = str(tmp_path / "mlake")
+    # tick 1: first half of the stream -> generation 0
+    for f in files[: max(1, len(files) // 2)]:
+        shutil.copy(f, grow)
+    replay_fanout(grow, lake, _fanout_tables(), num_partitions=8)
+    heads_g0 = fanout_table(lake, "repo_heads").sort_by("repo")
+    files_g0 = fanout_table(lake, "repo_files").num_rows
+    # tick 2: rest of the stream -> generation 1
+    for f in files:
+        shutil.copy(f, grow)
+    replay_fanout(grow, lake, _fanout_tables(), num_partitions=8)
+
+    assert not fanout_table(lake, "repo_heads").sort_by("repo").equals(
+        heads_g0
+    )
+    # generation 0 reads reproduce BOTH tables' old state together
+    assert fanout_table(lake, "repo_heads", generation=0).sort_by(
+        "repo"
+    ).equals(heads_g0)
+    assert fanout_table(lake, "repo_files", generation=0).num_rows == files_g0
+    # an uncommitted generation id is invisible
+    with pytest.raises(FileNotFoundError):
+        fanout_table(lake, "repo_heads", generation=7)

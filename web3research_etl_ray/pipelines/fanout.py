@@ -480,11 +480,17 @@ def replay_fanout(
 
 
 def read_fanout_table(
-    lake_dir: str, table: str, columns: list[str] | None = None
+    lake_dir: str, table: str, columns: list[str] | None = None,
+    *, generation: int | None = None,
 ) -> ray.data.Dataset:
-    """Dataset over one table of the committed multi-table lake."""
-    manifest = load_latest_multi(lake_dir)
-    if manifest is None or table not in manifest.tables:
+    """Dataset over one table of the committed multi-table lake;
+    ``generation`` time-travels to any generation on the committed
+    chain (tables stay mutually consistent — one multi-manifest pins
+    every table's file set together)."""
+    from ..state.manifest import multi_manifest_at
+
+    manifest = multi_manifest_at(lake_dir, generation)
+    if table not in manifest.tables:
         raise FileNotFoundError(f"no committed table {table} under {lake_dir}")
     files = manifest.tables[table].data_files(lake_dir)
     if not files:
@@ -493,10 +499,13 @@ def read_fanout_table(
     return ray.data.read_parquet(files, **kwargs)
 
 
-def fanout_table(lake_dir: str, table: str) -> pa.Table:
+def fanout_table(lake_dir: str, table: str,
+                 *, generation: int | None = None) -> pa.Table:
     """Driver-side pyarrow.Table of one lake table (tests/small results)."""
-    manifest = load_latest_multi(lake_dir)
-    if manifest is None or table not in manifest.tables:
+    from ..state.manifest import multi_manifest_at
+
+    manifest = multi_manifest_at(lake_dir, generation)
+    if table not in manifest.tables:
         raise FileNotFoundError(f"no committed table {table} under {lake_dir}")
     files = manifest.tables[table].data_files(lake_dir)
     if not files:

@@ -415,3 +415,32 @@ def gc_multi_generations(lake_dir: str, keep: int = 2) -> list[int]:
         os.remove(_manifest_path(lake_dir, g))
         removed.append(g)
     return removed
+
+
+def committed_chain_multi(lake_dir: str) -> set[int]:
+    """Generations on the committed multi-manifest parent chain —
+    exactly the time-travel-visible set (a manifest staged by a
+    crashed writer never entered the chain)."""
+    m = load_latest_multi(lake_dir)
+    out = set()
+    while m is not None:
+        out.add(m.generation)
+        if m.parent_generation is None:
+            break
+        m = load_multi_manifest(lake_dir, m.parent_generation)
+    return out
+
+
+def multi_manifest_at(lake_dir: str, generation: int | None):
+    """LATEST, or a committed time-travel generation of the fan-out
+    lake (mirrors the single-table ``_manifest_at`` contract)."""
+    latest = load_latest_multi(lake_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed multi-manifest under {lake_dir}")
+    if generation is None or generation == latest.generation:
+        return latest
+    if generation not in committed_chain_multi(lake_dir):
+        raise FileNotFoundError(
+            f"generation {generation} is not on the committed chain"
+        )
+    return load_multi_manifest(lake_dir, generation)
