@@ -34,7 +34,8 @@ def test_entry_smoke():
 @pytest.mark.parametrize(
     "name",
     [
-        "cdc_replay_lake", "scd2_history", "lww_upsert_events", "watermark_events",
+        "cdc_replay_lake", "scd2_history", "cdc_scan_recent",
+        "lww_upsert_events", "watermark_events",
         "per_type_counts", "orphan_filter_events", "json_extract_events",
         "explode_embeddings", "spread_embeddings", "demux_events",
         "hourly_user_activity", "systematic_sample_events",

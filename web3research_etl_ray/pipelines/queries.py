@@ -297,6 +297,47 @@ FROM v
 """
 
 
+def q_cdc_scan_recent(sf_dir: str) -> pa.Table:
+    """Zone-map read of the converged lake: winners with commit_seq ≥
+    200000 via `lake_scan` — Parquet footer min/max prunes files BEFORE
+    any task runs (merge-on-write keeps partitions sorted by key, and
+    the footer carries per-row-group seq ranges).  Exercises the
+    predicate-pruned read path at the oracle gate."""
+    import shutil
+
+    from .replay import lake_scan, replay
+
+    stream = _derive_cdc_stream(sf_dir)
+    lake_dir = stream + "-scanlake"
+    if not os.path.exists(os.path.join(lake_dir, "LATEST")):
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        replay(stream, lake_dir, num_partitions=8)
+    ds, _read_n, _total = lake_scan(
+        lake_dir,
+        predicate=("commit_seq", ">=", 200_000),
+        columns=["repo", "path", "commit_seq", "lang"],
+    )
+    t = _from_rows(
+        ds.take_all(),
+        {"repo": pa.string(), "path": pa.string(),
+         "commit_seq": pa.int64(), "lang": pa.string()},
+    )
+    return t.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+ORACLE_SCAN_RECENT = f"""
+WITH {_EV_CTE},
+win AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM eff
+)
+SELECT repo, path, commit_seq, lang
+FROM win WHERE rn = 1 AND op <> 'delete' AND commit_seq >= 200000
+ORDER BY repo, path
+"""
+
+
 _TT_SPLIT = 99_999  # gen 0 = commits with seq <= split; gen 1 = the rest
 
 
@@ -4137,6 +4178,7 @@ HAVING count(*) >= CAST(ceil(0.005 * (SELECT count(*) FROM events)) AS BIGINT)
 QUERIES = {
     "cdc_replay_lake": q_cdc_replay_lake,
     "scd2_history": q_scd2_history,
+    "cdc_scan_recent": q_cdc_scan_recent,
     "time_travel_diff": q_time_travel_diff,
     "lww_upsert_events": q_lww_upsert_events,
     "watermark_events": q_watermark_events,
@@ -4235,6 +4277,7 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_replay_lake": _CDC_SQL,
     "scd2_history": ORACLE_SCD2,
+    "cdc_scan_recent": ORACLE_SCAN_RECENT,
     "time_travel_diff": ORACLE_TT_DIFF,
     "lww_upsert_events": ORACLE_LWW,
     "watermark_events": "SELECT max(event_id) AS max_event_id, count(*) AS n_events FROM events",
