@@ -4176,6 +4176,54 @@ HAVING count(*) >= CAST(ceil(0.005 * (SELECT count(*) FROM events)) AS BIGINT)
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    # Ordered so the entries without a CORRECTNESS_r02 driver row run
+    # first (capstone + composites lead), per VERDICT r02 next-round #1.
+    "prepare_training_set": q_prepare_training_set,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "incremental_dedup_pairs": q_incremental_dedup_pairs,
+    "incremental_curate": q_incremental_curate,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
+    "knn_pq": q_knn_pq,
+    "semantic_neardup_docs": q_semantic_neardup_docs,
+    "embed_documents": q_embed_documents,
+    "lang_id_documents": q_lang_id_documents,
+    "split_documents": q_split_documents,
+    "seq_pack_documents": q_seq_pack_documents,
+    "epoch_shuffle_documents": q_epoch_shuffle_documents,
+    "pagerank_parts": q_pagerank_parts,
+    "simhash_documents": q_simhash_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "window_lag_value": q_window_lag_value,
+    "window_running_totals": q_window_running_totals,
+    "window_dense_rank": q_window_dense_rank,
+    "window_lead_moving": q_window_lead_moving,
+    "window_rank_tiles": q_window_rank_tiles,
+    "median_value_per_user": q_median_value_per_user,
+    "quantiles_value_per_user": q_quantiles_value_per_user,
+    "string_agg_per_user": q_string_agg_per_user,
+    "moments_value_per_user": q_moments_value_per_user,
+    "mode_type_per_user": q_mode_type_per_user,
+    "topk_types_per_user": q_topk_types_per_user,
+    "outlier_events_per_user": q_outlier_events_per_user,
+    "funnel_click_purchase": q_funnel_click_purchase,
+    "profile_events": q_profile_events,
+    "pivot_event_counts": q_pivot_event_counts,
+    "unpivot_event_counts": q_unpivot_event_counts,
+    "rollup_event_counts": q_rollup_event_counts,
+    "cube_event_counts": q_cube_event_counts,
+    "heavy_hitter_users": q_heavy_hitter_users,
+    "intersect_click_purchase": q_intersect_click_purchase,
+    "except_click_no_purchase": q_except_click_no_purchase,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_decode_bmp": q_multimodal_decode_bmp,
+    "video_frame_sample": q_video_frame_sample,
     "cdc_replay_lake": q_cdc_replay_lake,
     "scd2_history": q_scd2_history,
     "cdc_scan_recent": q_cdc_scan_recent,
@@ -4226,52 +4274,6 @@ QUERIES = {
     "fanout_repo_langs": q_fanout_repo_langs,
     "fanout_repo_activity": q_fanout_repo_activity,
     "curate_documents": q_curate_documents,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q6": q_tpch_q6,
-    "lang_id_documents": q_lang_id_documents,
-    "split_documents": q_split_documents,
-    "seq_pack_documents": q_seq_pack_documents,
-    "embed_documents": q_embed_documents,
-    "epoch_shuffle_documents": q_epoch_shuffle_documents,
-    "prepare_training_set": q_prepare_training_set,
-    "semantic_neardup_docs": q_semantic_neardup_docs,
-    "pagerank_parts": q_pagerank_parts,
-    "simhash_documents": q_simhash_documents,
-    "fingerprint_documents": q_fingerprint_documents,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_neardup_pairs": q_simhash_neardup_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "incremental_dedup_pairs": q_incremental_dedup_pairs,
-    "incremental_curate": q_incremental_curate,
-    "knn_lsh": q_knn_lsh,
-    "knn_ivf": q_knn_ivf,
-    "knn_pq": q_knn_pq,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_decode_bmp": q_multimodal_decode_bmp,
-    "video_frame_sample": q_video_frame_sample,
-    "window_lag_value": q_window_lag_value,
-    "window_running_totals": q_window_running_totals,
-    "window_dense_rank": q_window_dense_rank,
-    "window_lead_moving": q_window_lead_moving,
-    "window_rank_tiles": q_window_rank_tiles,
-    "median_value_per_user": q_median_value_per_user,
-    "quantiles_value_per_user": q_quantiles_value_per_user,
-    "string_agg_per_user": q_string_agg_per_user,
-    "moments_value_per_user": q_moments_value_per_user,
-    "mode_type_per_user": q_mode_type_per_user,
-    "topk_types_per_user": q_topk_types_per_user,
-    "outlier_events_per_user": q_outlier_events_per_user,
-    "funnel_click_purchase": q_funnel_click_purchase,
-    "profile_events": q_profile_events,
-    "pivot_event_counts": q_pivot_event_counts,
-    "unpivot_event_counts": q_unpivot_event_counts,
-    "rollup_event_counts": q_rollup_event_counts,
-    "cube_event_counts": q_cube_event_counts,
-    "heavy_hitter_users": q_heavy_hitter_users,
-    "intersect_click_purchase": q_intersect_click_purchase,
-    "except_click_no_purchase": q_except_click_no_purchase,
 }
 
 ORACLE_SQL = {
