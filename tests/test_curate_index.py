@@ -233,3 +233,35 @@ def test_curate_invariant_to_input_partitioning_and_order():
             curate(ds, quality_min=0.75).take_all()
         ).sort_by("doc_id")
         assert out.equals(base_t)
+
+
+def test_compact_crash_between_renames_recovers(tmp_path):
+    """A compact() killed between its two directory renames leaves
+    base.old without base; reopening the index must roll the swap back
+    so folded shas stay visible and cross-tick dedup keeps working
+    (ADVICE r02)."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "cidx")
+    idx = CurateIndex(root, quality_min=0.75, n_buckets=8)
+    t1 = _mk_texts(25, seed=7)
+    idx.tick(_docs(list(range(25)), t1), tick_id="A")
+    idx.compact()  # ticks/A bucket dirs are now deleted; shas in base/
+
+    # simulate the crash window of a SECOND compact: base moved aside,
+    # staged never swapped in
+    base = os.path.join(root, "base")
+    os.replace(base, base + ".old")
+    assert not os.path.isdir(base)
+
+    idx2 = CurateIndex(root, quality_min=0.75, n_buckets=8)  # recovers
+    assert os.path.isdir(base)
+    t2 = _mk_texts(25, seed=8, dup_of=t1[2])
+    out2 = idx2.tick(_docs(list(range(100, 125)), t2), tick_id="B")
+    assert 100 not in out2.column("doc_id").to_pylist()
+
+    # leftover base.old NEXT TO base (crash after swap) is dropped
+    shutil.copytree(base, base + ".old")
+    idx3 = CurateIndex(root, quality_min=0.75, n_buckets=8)
+    assert not os.path.isdir(base + ".old")

@@ -649,3 +649,33 @@ def test_fanout_time_travel_reads_consistent_generation(tmp_path):
     # an uncommitted generation id is invisible
     with pytest.raises(FileNotFoundError):
         fanout_table(lake, "repo_heads", generation=7)
+
+
+def test_fanout_time_travel_after_gc(tiny_stream, lake_dir):
+    """GC'd parent manifests must not break time travel to KEPT
+    generations (ADVICE r02: committed_chain_multi crashed with
+    FileNotFoundError after gc_multi_generations)."""
+    import pytest
+
+    from web3research_etl_ray.pipelines.tail import sync_fanout
+    from web3research_etl_ray.state.manifest import (
+        committed_chain_multi,
+        gc_multi_generations,
+        multi_manifest_at,
+    )
+
+    m = sync_fanout(tiny_stream, lake_dir, _tables(), max_ticks=4,
+                    num_partitions=8)
+    assert m.generation == 3
+    removed = gc_multi_generations(lake_dir, keep=2)
+    assert removed  # gens 0.. dropped
+    # chain walk stops at the GC boundary instead of raising
+    assert committed_chain_multi(lake_dir) == {2, 3}
+    # time travel to a kept, committed, non-latest generation works
+    old = multi_manifest_at(lake_dir, 2)
+    assert old.generation == 2
+    t = fanout_table(lake_dir, "repo_heads", generation=2)
+    assert t.num_rows > 0
+    # a GC'd generation is a clean FileNotFoundError, not a crash
+    with pytest.raises(FileNotFoundError):
+        multi_manifest_at(lake_dir, 0)

@@ -178,3 +178,30 @@ def test_fold_lww_min_max_cols():
     assert sorted(refold.to_pylist(), key=lambda r: r["k"]) == sorted(
         out.to_pylist(), key=lambda r: r["k"]
     )
+
+
+def test_fold_lww_int_min_max_exact_above_2_53():
+    """Integer min/max columns with nulls must stay integer-exact:
+    the old ±inf-via-float64 sentinel rounded values above 2^53
+    (ADVICE r02).  Hash-like ids differing only in the low bits must
+    reduce exactly; all-null groups still null."""
+    import pyarrow as pa
+
+    from web3research_etl_ray.stages.lww import fold_lww
+
+    big = 2**60 + 1  # not representable in float64 (rounds to 2^60)
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "b", "c"]),
+            "seq": pa.array([1, 2, 1, 2, 1], pa.int64()),
+            "n_events": pa.array([1] * 5, pa.int64()),
+            "lo": pa.array([big, None, big + 2, big + 4, None], pa.int64()),
+            "hi": pa.array([None, big, big + 2, big + 4, None], pa.int64()),
+        }
+    )
+    out = fold_lww(t, "n_events", ("k",), "seq",
+                   min_cols=("lo",), max_cols=("hi",))
+    rows = {r["k"]: r for r in out.to_pylist()}
+    assert rows["a"]["lo"] == big and rows["a"]["hi"] == big  # exact, odd
+    assert rows["b"]["lo"] == big + 2 and rows["b"]["hi"] == big + 4
+    assert rows["c"]["lo"] is None and rows["c"]["hi"] is None

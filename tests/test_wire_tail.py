@@ -73,7 +73,9 @@ def test_wal_tail_sync_converges(tmp_path):
 
 def test_wal_tail_crash_before_state_persist_is_benign(tmp_path):
     """Simulate a crash AFTER landing but BEFORE the offsets persist:
-    the next tail re-lands the same frames; replay stays exact."""
+    the next tail derives coverage from the landing zone (landed names
+    carry [start,end)) and skips the already-landed bytes entirely —
+    zero duplicate frames, replay stays exact."""
     stream = ensure_stream(2_000)
     rows, rbs = _stream_rows(stream)
     wal_dir = str(tmp_path / "wal")
@@ -91,8 +93,15 @@ def test_wal_tail_crash_before_state_persist_is_benign(tmp_path):
     wire.land_new()
     os.remove(wire.state_path)  # the crash: offsets lost
     wire_retry = WalTail(wal_dir, landing)
-    info = wire_retry.land_new()  # re-lands everything (duplicate frames)
-    assert info["events"] == len(rows)
+    info = wire_retry.land_new()  # coverage derived from landing zone
+    assert info["events"] == 0  # nothing re-decoded, nothing duplicated
+    import glob as _glob
+
+    total = sum(
+        pq.read_table(f).num_rows
+        for f in _glob.glob(os.path.join(landing, "events-*.parquet"))
+    )
+    assert total == len(rows)
     sync(landing, lake, max_ticks=1, wire=wire_retry, num_partitions=4)
     assert tables_equal(lake_table(lake), oracle_fold(stream))
 
@@ -132,3 +141,75 @@ def test_debezium_tail_grown_file_and_new_file(tmp_path):
 
     # nothing new: tick is a no-op land
     assert tail.land_new() == {"files": 0, "segments": 0, "rollbacks": 0}
+
+
+def test_wal_crash_repeat_land_never_duplicates_frames(tmp_path):
+    """Idempotent landing: a crash between landing and offset persist
+    re-lands the same byte range — the deterministic (segment, offset)
+    name OVERWRITES the earlier file, so the landing zone never holds
+    two copies of a frame.  Required for additive (sum_cols) tables,
+    where duplicates would permanently double-count (ADVICE r02)."""
+    import glob
+
+    from web3research_etl_ray.sources.wal import land_wal_segments
+
+    stream = ensure_stream(2_000)
+    rows, rbs = _stream_rows(stream)
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir)
+    seg = os.path.join(wal_dir, "wal-00000.log")
+    frames = [encode_record(r) for r in rows]
+    write_wal_segment(seg, frames[:1200])
+    landing = str(tmp_path / "landing")
+
+    info1 = land_wal_segments(wal_dir, landing)
+    # offsets lost (since={}): coverage is derived from the landing
+    # zone, so only the newly appended bytes land
+    write_wal_segment(seg, frames[1200:], append=True)
+    land_wal_segments(wal_dir, landing)
+    landed = sorted(glob.glob(os.path.join(landing, "events-*.parquet")))
+    total = sum(pq.read_table(f).num_rows for f in landed)
+    assert total == len(rows)  # every frame exactly once
+    seqs = sorted(
+        s for f in landed for s in pq.read_table(f)["commit_seq"].to_pylist()
+    )
+    assert len(set(seqs)) == len(seqs) == len(rows)
+    # a land with STALE offsets (pre-growth) is a no-op, not a dup
+    land_wal_segments(wal_dir, landing, since=info1["offsets"])
+    landed = sorted(glob.glob(os.path.join(landing, "events-*.parquet")))
+    total = sum(pq.read_table(f).num_rows for f in landed)
+    assert total == len(rows)
+
+
+def test_debezium_grown_file_reland_never_duplicates_frames(tmp_path):
+    """A grown JSONL wire file re-lands WHOLE; the deterministic
+    per-file segment name must overwrite, not append a second copy."""
+    import glob
+    import json as _json
+
+    from web3research_etl_ray.sources.debezium import land_debezium_jsonl
+
+    wire = str(tmp_path / "wire")
+    os.makedirs(wire)
+    f = os.path.join(wire, "dump-0.jsonl")
+    envs = [
+        {"op": "c", "before": None,
+         "after": {"repo": "r1", "path": f"p{i}", "commit": f"c{i}",
+                   "lang": "py", "content": f"x{i}"},
+         "seq": i}
+        for i in range(50)
+    ]
+    with open(f, "w") as fh:
+        for e in envs[:30]:
+            fh.write(_json.dumps(e) + "\n")
+    landing = str(tmp_path / "landing")
+    land_debezium_jsonl(wire, landing)
+    with open(f, "a") as fh:
+        for e in envs[30:]:
+            fh.write(_json.dumps(e) + "\n")
+    land_debezium_jsonl(wire, landing)  # whole-file re-land
+    landed = sorted(glob.glob(os.path.join(landing, "events-*.parquet")))
+    assert len(landed) == 1  # one segment per wire file, overwritten
+    t = pq.read_table(landed[0])
+    assert t.num_rows == 50
+    assert sorted(t["commit_seq"].to_pylist()) == list(range(50))

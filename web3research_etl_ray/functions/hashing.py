@@ -142,7 +142,10 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 def rolling_fingerprint(arr: pa.Array | pa.ChunkedArray, window: int = 64) -> pa.Array:
     """Document fingerprint: min of rolling polynomial window hashes
-    (winnowing-style, deterministic), numpy-vectorized per value.
+    (winnowing-style, deterministic), numpy-vectorized ACROSS documents:
+    one weighted prefix sum over the chunk's concatenated byte stream
+    with per-document rebasing via segment offsets (the
+    ``poly_hash_utf8`` flat-buffer shape) — no per-document Python loop.
 
     All arithmetic is natural uint64 wraparound (mod 2^64).  The
     window hash is built WITHOUT division (integer division does not
@@ -152,41 +155,80 @@ def rolling_fingerprint(arr: pa.Array | pa.ChunkedArray, window: int = 64) -> pa
     B^-1 exists mod 2^64 (Newton iteration); multiplying by
     invB^(n-w-i) recovers H_i exactly — length-independent, so equal
     windows hash equal across documents — then a splitmix64 finalizer
-    spreads bits before min().
+    spreads bits before min().  Documents shorter than the window hash
+    as one full-length window (no rebase); null/empty → 0.
     """
     B = np.uint64(1000003)
     invB = np.uint64(_inv_mod2_64(1000003))
-    out = []
+    w = int(window)
+    n = len(arr)
+    out = np.zeros(n, dtype=np.uint64)
+    pos = 0
     for chunk in _iter_chunks(arr):
-        for v in chunk.to_pylist():
-            if not v:
-                out.append(0)
-                continue
-            b = np.frombuffer(v.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
-            n = len(b)
-            # pows[i] = B^i mod 2^64
-            pows = np.ones(n, dtype=np.uint64)
-            if n > 1:
-                np.multiply.accumulate(np.full(n - 1, B, dtype=np.uint64), out=pows[1:])
-            if n <= window:
-                h = np.uint64((b * pows[::-1]).sum())
-                out.append(int(_mix64(np.array([h], dtype=np.uint64))[0]))
-                continue
-            weighted = b * pows[::-1]  # b[j] * B^(n-1-j)
-            csum = np.cumsum(weighted, dtype=np.uint64)
-            win = csum[window - 1 :].copy()
-            win[1:] -= csum[: n - window]
-            # re-base by multiplying with invB^(n-w-i), not dividing:
-            # invpows[m] = invB^m; window i needs m = n-w-i.
-            invpows = np.ones(n - window + 1, dtype=np.uint64)
-            if n - window > 0:
-                np.multiply.accumulate(
-                    np.full(n - window, invB, dtype=np.uint64), out=invpows[1:]
-                )
-            win *= invpows[::-1]
-            out.append(int(_mix64(win).min()))
+        m = len(chunk)
+        if m == 0:
+            continue
+        if chunk.null_count:
+            chunk = chunk.fill_null("")
+        buffers = chunk.buffers()
+        odt = (
+            np.int64
+            if pa.types.is_large_string(chunk.type)
+            or pa.types.is_large_binary(chunk.type)
+            else np.int32
+        )
+        offs = np.frombuffer(buffers[1], dtype=odt)[
+            chunk.offset : chunk.offset + m + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(buffers[2], dtype=np.uint8)
+            if buffers[2] is not None
+            else np.zeros(0, np.uint8)
+        )
+        lens = offs[1:] - offs[:-1]
+        ne = np.flatnonzero(lens > 0)  # non-empty docs only
+        if len(ne) == 0:
+            pos += m
+            continue
+        lens_ne = lens[ne]
+        starts = np.zeros(len(ne), dtype=np.int64)
+        np.cumsum(lens_ne[:-1], out=starts[1:])
+        total = int(lens_ne.sum())
+        intra = np.arange(total, dtype=np.int64) - np.repeat(starts, lens_ne)
+        seg = data[np.repeat(offs[:-1][ne], lens_ne) + intra].astype(np.uint64)
+        maxlen = int(lens_ne.max())
+        pows = np.ones(maxlen, dtype=np.uint64)  # pows[i] = B^i mod 2^64
+        if maxlen > 1:
+            np.multiply.accumulate(
+                np.full(maxlen - 1, B, dtype=np.uint64), out=pows[1:]
+            )
+        # weighted[k] = b[k] * B^(n_d-1-j) for byte j of doc d
+        e = np.repeat(lens_ne - 1, lens_ne) - intra
+        weighted = seg * pows[e]
+        C = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(weighted, out=C[1:])  # wraps mod 2^64
+        # window layout: docs longer than w get n_d-w+1 windows of w
+        # bytes; shorter docs one full-doc window with rebase exponent 0
+        nw = np.where(lens_ne > w, lens_ne - w + 1, 1)
+        wseg = np.zeros(len(ne), dtype=np.int64)
+        np.cumsum(nw[:-1], out=wseg[1:])
+        total_w = int(nw.sum())
+        i_in = np.arange(total_w, dtype=np.int64) - np.repeat(wseg, nw)
+        left = np.repeat(starts, nw) + i_in
+        right = left + np.repeat(np.minimum(lens_ne, w), nw)
+        rebase = np.repeat(np.maximum(lens_ne - w, 0), nw) - i_in
+        s = C[right] - C[left]
+        maxm = int(rebase.max())
+        invpows = np.ones(maxm + 1, dtype=np.uint64)  # invpows[i] = invB^i
+        if maxm > 0:
+            np.multiply.accumulate(
+                np.full(maxm, invB, dtype=np.uint64), out=invpows[1:]
+            )
+        mixed = _mix64(s * invpows[rebase])
+        out[pos + ne] = np.minimum.reduceat(mixed, wseg)
+        pos += m
     # int64 view keeps downstream pylist/pandas round-trips overflow-free
-    return pa.array(np.array(out, dtype=np.uint64).view(np.int64), pa.int64())
+    return pa.array(out.view(np.int64), pa.int64())
 
 
 #: fast-path cutoff for poly_hash_utf8: values this short pack into

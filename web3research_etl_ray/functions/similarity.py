@@ -348,27 +348,50 @@ def cosine_neardup_lsh(
             )
         return pa.concat_tables(out)
 
+    PB = 4096  # pair-hash buckets for the cross-table dedup exchange
+
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _normalize(_batch_mat(group, vec_col))
-        return _emit_pairs(ids, mat, ids, mat, tau, True)
+        out = _emit_pairs(ids, mat, ids, mat, tau, True)
+        a = out.column("id_a").to_numpy(zero_copy_only=False)
+        b = out.column("id_b").to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "__pb", pa.array((a * np.int64(2654435761) + b) % PB, pa.int64())
+        )
+
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        # cross-table dedup over a CAPPED number of pair-hash buckets —
+        # vectorized lexsort + first-of-run per bucket, never O(distinct
+        # pairs) one-row Ray groups (mirrors dedup.verify_bucket)
+        if group.num_rows == 0:
+            return group.drop_columns(["__pb"])
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        keep = np.concatenate(
+            ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
+        )
+        sel = pa.array(order[keep], pa.int64())
+        return group.take(sel).drop_columns(["__pb"])
 
     pairs = (
         ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__tb")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
-        # distributed dedup across tables
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        # distributed dedup across tables: bounded pair-bucket exchange
+        .groupby("__pb")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
     )
-    rows = pairs.take_all()
-    rows.sort(key=lambda r: (r["id_a"], r["id_b"]))
-    return pa.table(
-        {
-            "id_a": pa.array([r["id_a"] for r in rows], pa.int64()),
-            "id_b": pa.array([r["id_b"] for r in rows], pa.int64()),
-            "cos_sim": pa.array([r["cos_sim"] for r in rows], pa.float64()),
-        }
+    blocks = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "cos_sim": pa.array([], pa.float64())}
+        )
+    return pa.concat_tables(blocks).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
     )
 
 

@@ -191,6 +191,26 @@ class CurateIndex:
         else:
             with open(cfg_path, "w") as f:
                 json.dump(cfg, f)
+        self._recover_base()
+
+    def _recover_base(self) -> None:
+        """Repair a compact() interrupted between its two directory
+        renames: ``base.old`` without ``base`` means the swap never
+        completed — roll it back so the folded ticks' shas (whose
+        per-tick bucket dirs were already deleted by the PREVIOUS
+        successful compact) stay visible to probe().  ``base.old``
+        alongside ``base`` means the swap completed — drop the
+        leftover."""
+        import os
+        import shutil
+
+        base = os.path.join(self.root, "base")
+        old = base + ".old"
+        if os.path.isdir(old):
+            if os.path.isdir(base):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.replace(old, base)
 
     _EMPTY = {
         "doc_id": pa.int64(), "lang_pred": pa.string(),
@@ -214,6 +234,7 @@ class CurateIndex:
         import os
         import shutil
 
+        self._recover_base()
         folded = self._folded()
         to_fold = [t for t in self._committed_ticks() if t not in folded]
         if not to_fold:
@@ -250,6 +271,10 @@ class CurateIndex:
         if os.path.isdir(base):
             os.replace(base, old)
         os.replace(staged, base)
+        # a crash between the two os.replace calls above leaves base.old
+        # without base — _recover_base() (run on every open and at the
+        # top of compact) rolls the swap back, so folded shas are never
+        # invisible to probe()
         shutil.rmtree(old, ignore_errors=True)
         # folded bucket dirs are now redundant bytes; drop them
         for tid in to_fold:
@@ -315,30 +340,41 @@ class CurateIndex:
         committed = [t for t in self._committed_ticks() if t not in folded]
 
         def probe(g: pa.Table) -> pa.Table:
+            # membership stays Arrow end to end: the bucket's sha files
+            # concat into ONE value set and pc.is_in does the lookup —
+            # no Python set / per-row loop (a 10^9-doc index bucket
+            # would otherwise build a ~10^7-entry set per tick bucket)
             k = int(g.column("bucket")[0].as_py())
-            seen = set()
+            parts: list[pa.Array] = []
+
+            def _extend(path: str) -> None:
+                col = pq.read_table(path).column("text_sha256")
+                parts.extend(col.chunks)
+
             base_f = os.path.join(root, "base", f"bucket={k}",
                                   "shas.parquet")
             if os.path.exists(base_f):
-                seen.update(
-                    pq.read_table(base_f).column("text_sha256").to_pylist()
-                )
+                _extend(base_f)
             for tid in committed:
                 d = os.path.join(root, "ticks", tid, f"bucket={k}")
                 if os.path.isdir(d):
                     for f in os.listdir(d):
-                        seen.update(
-                            pq.read_table(os.path.join(d, f))
-                            .column("text_sha256").to_pylist()
-                        )
-            sha = g.column("text_sha256").to_pylist()
-            fresh = np.array([s not in seen for s in sha], dtype=bool)
-            return g.filter(pa.array(fresh))
+                        _extend(os.path.join(d, f))
+            if not parts:
+                return g
+            seen = pa.concat_arrays(parts)
+            hit = pc.is_in(g.column("text_sha256"), value_set=seen)
+            return g.filter(pc.invert(hit))
 
         out = with_sha.groupby("bucket").map_groups(
             probe, batch_format="pyarrow"
         )
-        t = pa.Table.from_pylist(out.take_all())
+        blocks = [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+        t = (
+            pa.concat_tables(blocks, promote_options="default")
+            if blocks
+            else pa.table({})
+        )
         if t.num_rows:
             t = t.sort_by("doc_id")
             result = t.drop_columns(["bucket", "text_sha256"])

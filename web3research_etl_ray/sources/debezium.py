@@ -30,14 +30,14 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-import ray.data
-from ray.data.datasource.filename_provider import FilenameProvider
+import ray
 
 from ..schema import ROLLBACK_SCHEMA, UNIFIED_EVENT_SCHEMA, unify_to
 
@@ -144,12 +144,17 @@ def envelopes_to_events(t: pa.Table) -> pa.Table:
     )
 
 
-class _SegmentNames(FilenameProvider):
-    def get_filename_for_block(self, block, write_uuid, task_index,
-                               block_index) -> str:
-        return (
-            f"events-{write_uuid}-{task_index:05d}-{block_index:03d}.parquet"
-        )
+def _segment_name_for(path: str) -> str:
+    """Landed segment name as a PURE function of the wire file path —
+    re-landing the same wire file (grown or crash-repeated) REPLACES
+    its earlier landing instead of duplicating frames.  Idempotent
+    landing is what makes ``wire=`` safe for additive (``sum_cols``)
+    tables: unlike LWW rows, a double-landed frame would permanently
+    double-count in every fold and repair (ADVICE r02)."""
+    base = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(path))
+    if base.endswith(".jsonl"):
+        base = base[: -len(".jsonl")]
+    return f"events-dbz-{base}.parquet"
 
 
 class DebeziumTail:
@@ -158,9 +163,10 @@ class DebeziumTail:
     tmp+rename AFTER landing) tracks how many bytes of each wire file
     have been landed; each :meth:`land_new` re-lands only new or grown
     files.  A grown file is re-landed WHOLE (JSONL mid-file resume
-    would need line-boundary bookkeeping for no gain) — duplicate
-    frames are absorbed by replay's watermark/LWW, same at-least-once
-    contract as :class:`..wal.WalTail`."""
+    would need line-boundary bookkeeping for no gain) — the re-land
+    OVERWRITES the file's landed segment (deterministic name, see
+    :func:`_segment_name_for`), so the landing zone never holds two
+    copies of a frame and additive tables stay exact."""
 
     def __init__(self, src: str, out_stream_dir: str,
                  state_path: str | None = None):
@@ -193,15 +199,51 @@ class DebeziumTail:
         return info
 
 
+@ray.remote
+def _land_dbz_one(path: str, out_stream_dir: str) -> dict:
+    """Decode ONE wire file and (over)write its landed segment — a plain
+    Ray task, same shape as ``wal._land_one``: each wire file maps to
+    exactly one output segment, so there is no cross-file exchange for a
+    Dataset to schedule, and one decode pass serves both the event rows
+    and the rollback control set (the previous two-pass Dataset version
+    decoded every wire byte twice).  The parquet lands tmp + os.replace
+    so a killed task never leaves a torn segment visible."""
+    from pyarrow import json as pj
+
+    t = pj.read_json(path)
+    op = t.column("op").cast(pa.string())
+    ev = envelopes_to_events(t.filter(pc.not_equal(op, "rollback")))
+    seg_name = None
+    if ev.num_rows:
+        seg_name = _segment_name_for(path)
+        dst = os.path.join(out_stream_dir, seg_name)
+        tmp = dst + ".tmp"
+        pq.write_table(ev, tmp)
+        os.replace(tmp, dst)
+    rb_env = t.filter(pc.equal(op, "rollback"))
+    if rb_env.num_rows == 0 or "orphan_from" not in rb_env.column_names:
+        rb = ROLLBACK_SCHEMA.empty_table()
+    else:
+        rb = pa.table(
+            {
+                "barrier_seq": rb_env.column("seq").cast(pa.int64()),
+                "orphan_from": rb_env.column("orphan_from").cast(pa.int64()),
+                "orphan_to": rb_env.column("orphan_to").cast(pa.int64()),
+            }
+        )
+    return {"segment": seg_name, "rollbacks": rb, "events": ev.num_rows}
+
+
 def land_debezium_jsonl(src: str | list[str], out_stream_dir: str) -> dict:
     """Convert a directory (or list) of Debezium JSONL files into the
     canonical stream layout under ``out_stream_dir``.
 
-    Two streaming passes over the JSONL (events, then the tiny rollback
-    control set) — JSON has no projection pushdown, so a second read is
-    one extra decode of the wire files, in exchange for keeping each
-    pass a plain Dataset pipeline with no driver-side event rows.
-    Returns {"files": n_in, "segments": n_out, "rollbacks": n_rb}.
+    One Ray task per wire file (the unit of wire parallelism); landed
+    segment names are a pure function of the wire file, so repeating a
+    landing (crash before the ledger persisted, grown file re-landed
+    whole) overwrites rather than duplicates — idempotent, which
+    additive (sum_cols) tables require.
+    Returns {"files": n_in, "segments": n_new, "rollbacks": n_rb}.
     """
     files = (
         sorted(glob.glob(os.path.join(src, "*.jsonl")))
@@ -211,54 +253,29 @@ def land_debezium_jsonl(src: str | list[str], out_stream_dir: str) -> dict:
     if not files:
         raise FileNotFoundError(f"no *.jsonl under {src!r}")
     os.makedirs(out_stream_dir, exist_ok=True)
-
-    def convert(t: pa.Table) -> pa.Table:
-        keep = pc.not_equal(t.column("op").cast(pa.string()), "rollback")
-        return envelopes_to_events(t.filter(keep))
-
-    # one read task + one landed segment per wire file; batch_size=None
-    # keeps each file's rows in one block so mixed envelope schemas
-    # never concat before normalization (same trick as replay's reader)
-    ds = ray.data.read_json(files, override_num_blocks=len(files))
-    ds.map_batches(
-        convert, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).write_parquet(out_stream_dir, filename_provider=_SegmentNames())
-
-    def rollbacks_only(t: pa.Table) -> pa.Table:
-        keep = pc.equal(t.column("op").cast(pa.string()), "rollback")
-        t = t.filter(keep)
-        if t.num_rows == 0 or "orphan_from" not in t.column_names:
-            return ROLLBACK_SCHEMA.empty_table()
-        return pa.table(
-            {
-                "barrier_seq": t.column("seq").cast(pa.int64()),
-                "orphan_from": t.column("orphan_from").cast(pa.int64()),
-                "orphan_to": t.column("orphan_to").cast(pa.int64()),
-            }
-        )
-
-    rb_rows = (
-        ray.data.read_json(files, override_num_blocks=len(files))
-        .map_batches(rollbacks_only, batch_format="pyarrow", batch_size=None,
-                     zero_copy_batch=True)
-        .take_all()
+    results = ray.get(
+        [_land_dbz_one.remote(f, out_stream_dir) for f in files]
     )
-    rb = (
-        pa.Table.from_pylist(rb_rows, schema=ROLLBACK_SCHEMA)
-        if rb_rows
-        else ROLLBACK_SCHEMA.empty_table()
-    )
+    rollbacks = [r["rollbacks"] for r in results if r["rollbacks"].num_rows]
+    n_events = sum(r["events"] for r in results)
+    n_seg = sum(r["segment"] is not None for r in results)
     # merge with any previously landed rollbacks (incremental landings
     # pass only the new wire files) and dedup re-landed frames
     rb_path = os.path.join(out_stream_dir, "rollbacks.parquet")
-    if os.path.exists(rb_path):
-        rb = pa.concat_tables([pq.read_table(rb_path), rb])
+    prior = [pq.read_table(rb_path)] if os.path.exists(rb_path) else []
+    rb = (
+        pa.concat_tables(prior + rollbacks)
+        if (prior or rollbacks)
+        else ROLLBACK_SCHEMA.empty_table()
+    )
     rb = (
         rb.group_by(["barrier_seq", "orphan_from", "orphan_to"])
         .aggregate([])
         .sort_by([("barrier_seq", "ascending")])
         .cast(ROLLBACK_SCHEMA)
     )
-    pq.write_table(rb, rb_path)
-    n_seg = len(glob.glob(os.path.join(out_stream_dir, "events-*.parquet")))
-    return {"files": len(files), "segments": n_seg, "rollbacks": rb.num_rows}
+    tmp = rb_path + ".tmp"
+    pq.write_table(rb, tmp)
+    os.replace(tmp, rb_path)
+    return {"files": len(files), "segments": n_seg, "rollbacks": rb.num_rows,
+            "events": n_events}

@@ -204,6 +204,23 @@ def decode_segment(data: bytes, start: int = 0) -> tuple[dict, int]:
 
 # ---------------------------------------------------------------- landing
 
+def _coverage_end(out_stream_dir: str, idx: int) -> int:
+    """Highest byte offset of segment ``idx`` already covered by a
+    committed landed file (names carry ``-{start}-{end}``).  Legacy
+    single-offset names (older landings) contribute nothing — they
+    predate the coverage rule."""
+    prefix = f"events-wal-{idx:05d}-"
+    best = 0
+    for f in glob.glob(os.path.join(out_stream_dir, prefix + "*.parquet")):
+        parts = os.path.basename(f)[len(prefix):-len(".parquet")].split("-")
+        if len(parts) == 2:
+            try:
+                best = max(best, int(parts[1]))
+            except ValueError:
+                continue
+    return best
+
+
 @ray.remote
 def _land_one(path: str, start: int, out_stream_dir: str, idx: int) -> dict:
     """Decode one segment past ``start`` and write its landed parquet.
@@ -215,9 +232,17 @@ def _land_one(path: str, start: int, out_stream_dir: str, idx: int) -> dict:
     tables, end = decode_segment(data, start)
     seg_name = None
     if tables["events"].num_rows:
-        seg_name = f"events-wal-{idx:05d}-{start:012d}.parquet"
-        pq.write_table(tables["events"],
-                       os.path.join(out_stream_dir, seg_name))
+        # deterministic (segment, [start,end)) name: a crash-repeat
+        # re-land of the same byte range OVERWRITES this file instead
+        # of duplicating its frames, and the end offset in the name is
+        # what lets the next landing derive coverage from the landing
+        # zone itself (see _coverage_end) — idempotent landing,
+        # required for additive tables
+        seg_name = f"events-wal-{idx:05d}-{start:012d}-{end:012d}.parquet"
+        dst = os.path.join(out_stream_dir, seg_name)
+        tmp = dst + ".tmp"
+        pq.write_table(tables["events"], tmp)
+        os.replace(tmp, dst)
     return {
         "path": path, "offset": end, "segment": seg_name,
         "rollbacks": tables["rollbacks"], "events": tables["events"].num_rows,
@@ -229,9 +254,13 @@ class WalTail:
     bytes appended to ``src`` since the previous call, persisting the
     per-segment offsets crash-safe (tmp + rename, written AFTER the
     landing itself).  A crash between landing and offset persist means
-    the next call re-lands those frames — benign, because replay's
-    watermark/LWW absorbs double-landed frames (at-least-once producer
-    + idempotent sink, the engine contract per SURVEY §1.3).
+    the next call re-lands those frames — and because landed segment
+    names are keyed by (segment, start offset), the re-land OVERWRITES
+    the earlier landing (with a superset if the log grew) rather than
+    duplicating frames.  The landing zone therefore never holds two
+    copies of a frame, which keeps additive (``sum_cols``) tables exact
+    — LWW tables would also absorb duplicates, but additive folds and
+    repairs would double-count them (ADVICE r02).
 
     This is the ``wire=`` adapter for ``pipelines.tail.sync`` — the
     north rule's "binlog/WAL tail -> lake upsert" as one loop.
@@ -272,8 +301,9 @@ def land_wal_segments(
     ``since`` maps segment path → byte offset already landed (a prior
     call's ``offsets``); segments are re-read only past it, so tailing
     a growing log costs O(new bytes).  Landed parquet names embed the
-    start offset, so a re-tick never collides with earlier landings and
-    replay's own watermark dedups any frame double-land.
+    start offset, so disjoint byte ranges land as distinct files while
+    a crash-repeated land of the SAME range overwrites its earlier file
+    — the landing zone never duplicates a frame (additive-table safe).
 
     Returns {"files", "segments", "rollbacks", "events", "offsets"}.
     """
@@ -287,14 +317,22 @@ def land_wal_segments(
     os.makedirs(out_stream_dir, exist_ok=True)
     since = since or {}
     todo = []
+    offsets = dict(since)
     for i, f in enumerate(files):
-        start = since.get(f, 0)
+        # the landing zone is the source of truth for what already
+        # landed: resume past max(caller's offset, landed coverage).
+        # This makes landing idempotent even across a lost/stale
+        # offsets file — bytes a committed landed segment covers are
+        # never decoded into a second file, so additive (sum_cols)
+        # tables can never double-count (ADVICE r02).
+        start = max(since.get(f, 0), _coverage_end(out_stream_dir, i))
         if start < os.path.getsize(f):
             todo.append((f, start, i))
+        elif start > since.get(f, 0):
+            offsets[f] = start  # caller's state was stale — repair it
     results = ray.get([
         _land_one.remote(f, start, out_stream_dir, i) for f, start, i in todo
     ])
-    offsets = dict(since)
     rollbacks = [r["rollbacks"] for r in results if r["rollbacks"].num_rows]
     n_events = 0
     n_segs = 0
@@ -312,7 +350,9 @@ def land_wal_segments(
     # idempotent re-land: a rollback frame may be seen once per land call
     rb = rb.group_by(["barrier_seq", "orphan_from", "orphan_to"]).aggregate([])
     rb = rb.sort_by([("barrier_seq", "ascending")]).cast(ROLLBACK_SCHEMA)
-    pq.write_table(rb, rb_path)
+    rb_tmp = rb_path + ".tmp"
+    pq.write_table(rb, rb_tmp)
+    os.replace(rb_tmp, rb_path)
     return {
         "files": len(files), "segments": n_segs, "rollbacks": rb.num_rows,
         "events": n_events, "offsets": offsets,

@@ -140,9 +140,20 @@ def _fold_lww_sel(
     for c, ufunc, null_fill in reducers:
         col = t.column(c)
         field_type = t.schema.field(c).type
+        nullm = None  # row null mask (int min/max path only)
         if ufunc is np.add:
             # exact: null→0 in Arrow keeps integer dtype end to end
             vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        elif pa.types.is_integer(field_type):
+            # integer min/max must stay integer: the ±inf-via-float64
+            # sentinel loses precision above 2^53 (hash-like ids, big
+            # counters).  Fill nulls with the dtype's iinfo bound and
+            # null out all-null groups via an explicit valid count.
+            info = np.iinfo(field_type.to_pandas_dtype())
+            sentinel = info.max if ufunc is np.minimum else info.min
+            if col.null_count > 0:
+                nullm = pc.is_null(col).to_numpy(zero_copy_only=False)
+            vals = pc.fill_null(col, sentinel).to_numpy(zero_copy_only=False)
         else:
             vals = col.to_numpy(zero_copy_only=False)
             if col.null_count > 0 or vals.dtype.kind == "f":
@@ -152,7 +163,18 @@ def _fold_lww_sel(
         vals = vals if row_sel is None else vals[row_sel]
         vals = vals[idx_np]
         reduced = ufunc.reduceat(vals, starts) if len(starts) else vals[:0]
-        if ufunc is not np.add and reduced.dtype.kind == "f":
+        if nullm is not None:
+            # all-null groups (valid count 0) reduce to the sentinel → null
+            nv = (~nullm).astype(np.int64)
+            nv = nv if row_sel is None else nv[row_sel]
+            nv = nv[idx_np]
+            valid = np.add.reduceat(nv, starts) if len(starts) else nv[:0]
+            bad = valid == 0
+            arr = pa.array(reduced).cast(field_type)
+            if bad.any():
+                arr = pc.if_else(pa.array(bad), pa.nulls(len(arr), field_type),
+                                 arr)
+        elif ufunc is not np.add and reduced.dtype.kind == "f":
             # group of only nulls reduced to the sentinel → null out
             bad = ~np.isfinite(reduced)
             arr = pa.array(np.where(bad, 0, reduced)).cast(field_type)

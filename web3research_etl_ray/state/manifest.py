@@ -427,7 +427,10 @@ def committed_chain_multi(lake_dir: str) -> set[int]:
         out.add(m.generation)
         if m.parent_generation is None:
             break
-        m = load_multi_manifest(lake_dir, m.parent_generation)
+        try:
+            m = load_multi_manifest(lake_dir, m.parent_generation)
+        except FileNotFoundError:
+            break  # older links GC'd — chain ends here (see committed_chain)
     return out
 
 
