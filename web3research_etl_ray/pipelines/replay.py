@@ -55,18 +55,46 @@ import ray.data
 from ..oracle import load_rollback_ranges
 from ..schema import REPO_FILES, TableSpec
 from ..stages.lww import agg_kwargs, fold_lww, partial_lww
-from ..stages.merge import Merger, SpoolMerger, _empty_group
-from ..stages.normalize import Normalize
+from ..stages.merge import ENTRY_SCHEMA, Merger, SpoolMerger, _empty_group
+from ..stages.normalize import Normalize, depth_vector, route_pids
 from ..state.manifest import (
     Manifest,
     PartitionEntry,
     commit_manifest,
     committed_chain,
+    extended_pids,
     load_latest,
     load_manifest,
+    partition_relpath,
 )
 
 DEFAULT_NUM_PARTITIONS = 32
+
+#: auto-split a partition file past this many stored keys (None/0 in the
+#: replay call disables).  Sized so test/bench lakes (≤ ~1M keys per
+#: partition) never trigger while an unsplit 100×-grown production
+#: partition does.
+DEFAULT_SPLIT_THRESHOLD_ROWS = 4_000_000
+
+#: hard cap on per-base split depth (2^16 files per base partition)
+MAX_SPLIT_DEPTH = 16
+
+
+def _expand_repair_pids(
+    pids: frozenset[int], num_partitions: int, split_depths: dict[int, int]
+) -> frozenset[int]:
+    """Base-level repair requests (pid < P — what check()/repair() emit)
+    expand to every extended id of that base; ids >= P are already
+    extended and pass through."""
+    out: set[int] = set()
+    for pid in pids:
+        pid = int(pid)
+        if pid < num_partitions:
+            k = int(split_depths.get(pid, 0))
+            out.update(pid + num_partitions * s for s in range(1 << k))
+        else:
+            out.add(pid)
+    return frozenset(out)
 
 
 def event_files(stream_dir: str) -> list[str]:
@@ -206,6 +234,7 @@ def replay(
     upto_seq: int | None = None,
     force_repair_pids: frozenset[int] = frozenset(),
     exchange: str = "auto",
+    split_threshold_rows: int | None = DEFAULT_SPLIT_THRESHOLD_ROWS,
 ) -> Manifest:
     """Run one replay/tail generation; returns the committed manifest.
 
@@ -236,7 +265,14 @@ def replay(
         {tuple(r) for r in prior.applied_rollbacks} if prior else set()
     )
     new_ranges = [r for r in ranges if tuple(r) not in prior_rb]
-    repair_pids = force_repair_pids
+    # hot-partition split layout carries from the prior generation; a
+    # repartition (new P) starts a fresh unsplit layout
+    split_depths: dict[int, int] = dict(prior.split_depths) if prior else {}
+    if prior is not None and prior.num_partitions != num_partitions:
+        split_depths = {}
+    repair_pids = _expand_repair_pids(
+        force_repair_pids, num_partitions, split_depths
+    )
     if prior is not None:
         repair_pids = repair_pids | _find_repair_pids(
             lake_dir, prior, new_ranges, spec.order_col
@@ -260,6 +296,7 @@ def replay(
                 applied_rollbacks=sorted([list(r) for r in ranges]),
                 schema_version=prior.schema_version,
                 parent_generation=prior.generation,
+                split_depths=split_depths,
             )
             commit_manifest(lake_dir, manifest)
             return manifest
@@ -291,7 +328,8 @@ def replay(
                 salt_hot_pids = frozenset(
                     pid for pid, v in traffic.items() if v > max(1, 4 * median)
                 )
-    normalize = Normalize(num_partitions, ranges, spec)
+    normalize = Normalize(num_partitions, ranges, spec, split_depths=split_depths)
+    valid_pids = extended_pids(num_partitions, split_depths)
     # Exact per-PARTITION watermark routing on resumed ticks: the read
     # filter prunes at the global MIN watermark, so partitions whose own
     # watermark is ahead would see already-applied events again.  For
@@ -299,20 +337,26 @@ def replay(
     # inflated superseded counters); for additive tables (spec.sum_cols)
     # it would DOUBLE-COUNT — so each row is kept only if it is past its
     # own partition's committed watermark.  Repair partitions keep full
-    # history (they rebuild from scratch).
-    wm_vec = None
+    # history (they rebuild from scratch).  Extended (split) partition
+    # ids are sparse in [0, P << max_depth), so the lookup is a
+    # searchsorted over the sorted valid-id array, not a dense vector.
+    wm_ids = wm_arr = None
     if prior is not None and prior.num_partitions == num_partitions:
-        wm_vec = np.full(num_partitions, -1, dtype=np.int64)
+        wm_ids = np.asarray(valid_pids, dtype=np.int64)
+        wm_arr = np.full(len(wm_ids), -1, dtype=np.int64)
+        pos = {int(p): i for i, p in enumerate(wm_ids)}
         for _pid, _e in prior.partitions.items():
-            wm_vec[_pid] = _e.watermark_seq
+            i = pos.get(int(_pid))
+            if i is not None:
+                wm_arr[i] = _e.watermark_seq
     repair_np = np.array(sorted(repair_pids), dtype=np.int64) if repair_pids else None
 
     def norm_partial(t):
         t = normalize(t)
-        if wm_vec is not None and t.num_rows:
+        if wm_ids is not None and t.num_rows:
             seqs = t.column(spec.order_col).to_numpy(zero_copy_only=False)
             pids = t.column("part_id").to_numpy(zero_copy_only=False)
-            keep = seqs > wm_vec[pids]
+            keep = seqs > wm_arr[np.searchsorted(wm_ids, pids)]
             if repair_np is not None:
                 keep |= np.isin(pids, repair_np)
             if not keep.all():
@@ -516,16 +560,19 @@ def replay(
             schema_version=int(r["schema_version"]),
             last_gen_events=int(r.get("last_gen_events", 0)),
         )
-    # carry forward untouched partitions from the prior generation
-    if prior is not None:
+    # carry forward untouched partitions from the prior generation —
+    # only under an unchanged layout (a repartition rebuilt every new
+    # pid; stale old-layout ids must not leak into the new manifest)
+    if prior is not None and prior.num_partitions == num_partitions:
+        valid_set = set(valid_pids)
         for pid, e in prior.partitions.items():
-            if pid not in partitions:
+            if pid not in partitions and pid in valid_set:
                 partitions[pid] = e
-    # ensure every partition id exists (empty lake partitions)
+    # ensure every (extended) partition id exists (empty lake partitions)
     global_wm = max(
         [p.watermark_seq for p in partitions.values()] + [watermark, -1]
     )
-    for pid in range(num_partitions):
+    for pid in valid_pids:
         if pid not in partitions:
             partitions[pid] = PartitionEntry(
                 part_id=pid, file=None, watermark_seq=global_wm
@@ -538,6 +585,199 @@ def replay(
         applied_rollbacks=sorted([list(r) for r in ranges]),
         schema_version=max(p.schema_version for p in partitions.values()),
         parent_generation=None if prior is None else prior.generation,
+        split_depths=split_depths,
+    )
+    commit_manifest(lake_dir, manifest)
+    # growth-adaptive layout: partitions past the split threshold double
+    # their file count (one extra committed generation per doubling;
+    # only the oversized partitions rewrite — see split_partitions)
+    while split_threshold_rows:
+        over = sorted(
+            {
+                int(pid) % num_partitions
+                for pid, e in manifest.partitions.items()
+                if e.num_rows > split_threshold_rows
+                and manifest.depth_of(int(pid) % num_partitions) < MAX_SPLIT_DEPTH
+            }
+        )
+        if not over:
+            break
+        manifest = split_partitions(lake_dir, over, spec=spec)
+    return manifest
+
+
+def split_partitions(
+    lake_dir: str,
+    bases: list[int],
+    *,
+    spec: TableSpec = REPO_FILES,
+) -> Manifest:
+    """Split the given BASE partitions one depth level (2^k → 2^(k+1)
+    files each) and commit the result as a new generation.
+
+    Scale contract (SURVEY §7.5(6) / VERDICT r02 Wrong #3): ONLY the
+    split bases' files are rewritten — every other partition is carried
+    forward untouched, so splitting one overgrown partition of a
+    petabyte lake moves exactly that partition's bytes.  Each file
+    splits in ONE streaming pass: row groups are read one at a time and
+    routed to two ParquetWriters by the next depth's sub-hash, so task
+    memory is O(row group), and because the parent file is key-sorted a
+    filtered child stays key-sorted (merge-on-write invariant holds).
+
+    Lineage: both children inherit the parent's watermark (they cover
+    disjoint key subsets of exactly the applied history); cumulative
+    event counters stay on the low child so lake totals don't double.
+    """
+    from ..functions.hashing import key_hash64
+
+    prior = load_latest(lake_dir)
+    if prior is None:
+        raise FileNotFoundError(f"no committed lake under {lake_dir}")
+    P = prior.num_partitions
+    depths = dict(prior.split_depths)
+    generation = prior.generation + 1
+    key_cols = list(spec.key)
+
+    items: list[dict] = []
+    partitions = dict(prior.partitions)
+    for b in sorted({int(x) for x in bases}):
+        if not (0 <= b < P):
+            raise ValueError(f"base pid {b} outside [0, {P})")
+        k = int(depths.get(b, 0))
+        if k >= MAX_SPLIT_DEPTH:
+            continue
+        for s in range(1 << k):
+            lo = b + P * s
+            hi = b + P * (s + (1 << k))
+            entry = prior.partitions.get(lo) or PartitionEntry(
+                part_id=lo, file=None
+            )
+            if entry.file:
+                items.append(
+                    {
+                        "lo": lo,
+                        "hi": hi,
+                        "sub": s,
+                        "k": k,
+                        "file": entry.file,
+                        "watermark_seq": entry.watermark_seq,
+                        "events_applied": entry.events_applied,
+                        "events_superseded": entry.events_superseded,
+                        "events_rolled_back": entry.events_rolled_back,
+                        "schema_version": entry.schema_version,
+                    }
+                )
+            else:
+                # empty parent → two empty children, watermark carried
+                for pid in (lo, hi):
+                    partitions[pid] = PartitionEntry(
+                        part_id=pid,
+                        file=None,
+                        watermark_seq=entry.watermark_seq,
+                        events_applied=entry.events_applied if pid == lo else 0,
+                        events_superseded=(
+                            entry.events_superseded if pid == lo else 0
+                        ),
+                        events_rolled_back=(
+                            entry.events_rolled_back if pid == lo else 0
+                        ),
+                        schema_version=entry.schema_version,
+                    )
+        depths[b] = k + 1
+
+    def split_file(batch: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        for row in batch.to_pylist():  # ≤ a handful of work items/task
+            src = os.path.join(lake_dir, row["file"])
+            pf = pq.ParquetFile(src)
+            width = np.uint64(P) << np.uint64(row["k"] + 1)
+            writers: dict[str, pq.ParquetWriter | None] = {"lo": None, "hi": None}
+            rows = {"lo": 0, "hi": 0}
+            paths = {
+                side: os.path.join(
+                    lake_dir, partition_relpath(generation, row[side])
+                )
+                for side in ("lo", "hi")
+            }
+
+            def emit(side: str, t: pa.Table) -> None:
+                if not t.num_rows:
+                    return
+                if writers[side] is None:
+                    os.makedirs(os.path.dirname(paths[side]), exist_ok=True)
+                    writers[side] = pq.ParquetWriter(paths[side], t.schema)
+                writers[side].write_table(t)
+                rows[side] += t.num_rows
+
+            for i in range(pf.num_row_groups):
+                rg = pf.read_row_group(i)
+                h = key_hash64(*[rg.column(c) for c in key_cols])
+                sub_next = ((h % width) // np.uint64(P)).astype(np.int64)
+                hi_mask = sub_next != int(row["sub"])
+                emit("hi", rg.filter(pa.array(hi_mask)))
+                emit("lo", rg.filter(pa.array(~hi_mask)))
+            for side in ("lo", "hi"):
+                if writers[side] is not None:
+                    writers[side].close()
+            for side, keep_ctr in (("lo", True), ("hi", False)):
+                out.append(
+                    pa.table(
+                        {
+                            "part_id": [int(row[side])],
+                            "file": [
+                                partition_relpath(generation, row[side])
+                                if rows[side]
+                                else None
+                            ],
+                            "num_rows": [rows[side]],
+                            "watermark_seq": [int(row["watermark_seq"])],
+                            "events_applied": [
+                                int(row["events_applied"]) if keep_ctr else 0
+                            ],
+                            "events_superseded": [
+                                int(row["events_superseded"]) if keep_ctr else 0
+                            ],
+                            "events_rolled_back": [
+                                int(row["events_rolled_back"]) if keep_ctr else 0
+                            ],
+                            "schema_version": [int(row["schema_version"])],
+                            "last_gen_events": [0],
+                        },
+                        schema=ENTRY_SCHEMA,
+                    )
+                )
+        return (
+            pa.concat_tables(out) if out else ENTRY_SCHEMA.empty_table()
+        )
+
+    if items:
+        entry_rows = (
+            ray.data.from_items(items)
+            .repartition(len(items))
+            .map_batches(split_file, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        for r in entry_rows:
+            partitions[int(r["part_id"])] = PartitionEntry(
+                part_id=int(r["part_id"]),
+                file=r["file"],
+                num_rows=int(r["num_rows"]),
+                watermark_seq=int(r["watermark_seq"]),
+                events_applied=int(r["events_applied"]),
+                events_superseded=int(r["events_superseded"]),
+                events_rolled_back=int(r["events_rolled_back"]),
+                schema_version=int(r["schema_version"]),
+                last_gen_events=0,
+            )
+
+    manifest = Manifest(
+        generation=generation,
+        num_partitions=P,
+        partitions=partitions,
+        applied_rollbacks=list(prior.applied_rollbacks),
+        schema_version=prior.schema_version,
+        parent_generation=prior.generation,
+        split_depths=depths,
     )
     commit_manifest(lake_dir, manifest)
     return manifest
@@ -605,8 +845,13 @@ def lake_diff(
             f"aligned ({m_old.num_partitions} vs {m_new.num_partitions}); "
             "re-key with a replay at the new partition count first"
         )
+    if m_old.split_depths != m_new.split_depths:
+        raise ValueError(
+            "snapshot diff across a partition split is not partition-"
+            "aligned; diff generations on the same split layout"
+        )
     pairs = []
-    for pid in range(m_new.num_partitions):
+    for pid in m_new.extended_pids():
         fo = m_old.partitions.get(pid)
         fn = m_new.partitions.get(pid)
         fo = fo.file if fo else None
@@ -708,8 +953,11 @@ def lookup_key(
     except FileNotFoundError:
         return None
     pid = int(
-        key_hash64(pa.array([repo]), pa.array([path]))[0]
-        % np.uint64(manifest.num_partitions)
+        route_pids(
+            key_hash64(pa.array([repo]), pa.array([path])),
+            manifest.num_partitions,
+            depth_vector(manifest.num_partitions, manifest.split_depths),
+        )[0]
     )
     entry = manifest.partitions.get(pid)
     if entry is None or not entry.file:

@@ -41,6 +41,10 @@ from .lww import ORPHAN_OP, agg_kwargs, fold_lww
 #: columns the in-flight rows carry beyond the lake payload
 _FLIGHT_ONLY = ["op", "part_id", "salt", "orphaned", "schema_version", "n_events"]
 
+#: row-group cap for partition files — the unit of the sorted streaming
+#: merge's memory bound (and of zone-map pruning granularity)
+_ROW_GROUP_ROWS = 1 << 18
+
 ENTRY_SCHEMA = pa.schema(
     [
         ("part_id", pa.int64()),
@@ -54,6 +58,24 @@ ENTRY_SCHEMA = pa.schema(
         ("last_gen_events", pa.int64()),
     ]
 )
+
+
+def _lex_le(cols: list, bounds: list) -> "np.ndarray":
+    """Vectorized lexicographic (cols <= bounds) over parallel key
+    columns — exact multi-column cursor compare for the sorted
+    streaming merge (no composite-string allocation, works for any
+    orderable key dtype)."""
+    import numpy as np
+
+    n = len(cols[0])
+    lt = np.zeros(n, dtype=bool)
+    eq = np.ones(n, dtype=bool)
+    for c, b in zip(cols, bounds):
+        c_lt = pc.less(c, pa.scalar(b)).to_numpy(zero_copy_only=False)
+        c_eq = pc.equal(c, pa.scalar(b)).to_numpy(zero_copy_only=False)
+        lt |= eq & c_lt
+        eq &= c_eq
+    return lt | eq
 
 
 def _prior_as_events(prior: pa.Table, spec: TableSpec) -> pa.Table:
@@ -95,6 +117,58 @@ class Merger:
         pid = int(group.column("part_id")[0].as_py())
         return self.merge(pid, group)
 
+    def _live_rows(self, folded: pa.Table) -> pa.Table:
+        """Folded winners → lake rows: drop tombstones + in-flight
+        columns, hash the survivors (O(winners), never O(events)),
+        conform to the lake schema."""
+        spec = self.spec
+        live = folded.filter(pc.not_equal(folded.column(spec.op_col), "delete"))
+        flight_only = [c for c in _FLIGHT_ONLY if c != "op"] + [spec.op_col]
+        live = live.drop_columns(
+            [c for c in flight_only if c in live.column_names]
+        )
+        if spec.hash_source and spec.hash_col:
+            live = live.append_column(
+                spec.hash_col, sha256_binary(live.column(spec.hash_source))
+            )
+        return live.select(spec.schema.names).cast(spec.schema)
+
+    def _stream_prior_merge(self, folded: pa.Table, prior_path: str, emit):
+        """Sorted streaming merge against the prior partition file.
+
+        The prior file is key-sorted with one row per key (this stage
+        wrote it), so its row groups partition the key space in order.
+        Walk them one at a time: fold the row group against the slice
+        of incoming winners whose key is <= the row group's max key
+        (exact multi-column cursor via _lex_le), emit, advance.  Memory
+        is O(row group + incoming winners) regardless of how large the
+        partition has grown (VERDICT r02 Wrong #3); incoming keys past
+        the last prior key flush as a final chunk."""
+        spec = self.spec
+        key_cols = list(spec.key)
+        pf = pq.ParquetFile(prior_path)
+        cursor = 0
+        n_inc = folded.num_rows
+        for i in range(pf.num_row_groups):
+            rg = pf.read_row_group(i)
+            count = 0
+            if cursor < n_inc:
+                bounds = [rg.column(k)[-1].as_py() for k in key_cols]
+                rem = folded.slice(cursor)
+                count = int(
+                    _lex_le([rem.column(k) for k in key_cols], bounds).sum()
+                )
+            inc = folded.slice(cursor, count)
+            cursor += count
+            # new rows first: stable sort keeps the fresh copy on ties
+            merged = pa.concat_tables(
+                [inc, _prior_as_events(rg, spec)], promote_options="default"
+            )
+            emit(fold_lww(merged, "n_events", spec.key, spec.order_col,
+                          **agg_kwargs(spec)))
+        if cursor < n_inc:
+            emit(folded.slice(cursor))
+
     def merge(self, pid: int, group: pa.Table) -> pa.Table:
         spec = self.spec
         if "part_id" in group.column_names:
@@ -119,28 +193,39 @@ class Merger:
                           **agg_kwargs(spec))
         repair = pid in self.repair_pids
         prior_path = None if repair else self.prior_files.get(pid)
+
+        # Chunked sink: fold output is key-sorted (fold_lww emits
+        # winners in key order), so chunks append into one ParquetWriter
+        # and the partition file stays globally key-sorted with NO final
+        # sort.  With a prior file the chunks come from the sorted
+        # streaming merge (memory O(row group + incoming winners), never
+        # O(partition) — SURVEY §7.5(6)); without one, a single chunk.
+        relpath = partition_relpath(self.generation, pid)
+        path = os.path.join(self.lake_dir, relpath)
+        sink = {"applied": 0, "rows": 0, "writer": None}
+
+        def emit(chunk: pa.Table) -> None:
+            ne = chunk.column("n_events").to_numpy(zero_copy_only=False)
+            sink["applied"] += int((ne > 0).sum())
+            live = self._live_rows(chunk)
+            if live.num_rows:
+                if sink["writer"] is None:
+                    # makedirs at write time: the task may run anywhere
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    sink["writer"] = pq.ParquetWriter(path, spec.schema)
+                sink["writer"].write_table(live, row_group_size=_ROW_GROUP_ROWS)
+                sink["rows"] += live.num_rows
+
         if prior_path:
-            prior = pq.read_table(prior_path)
-            # new rows first: stable sort keeps the fresh copy on seq ties
-            folded = pa.concat_tables(
-                [folded, _prior_as_events(prior, spec)], promote_options="default"
-            )
-            folded = fold_lww(folded, "n_events", spec.key, spec.order_col,
-                              **agg_kwargs(spec))
-
-        n_events_col = folded.column("n_events").to_numpy(zero_copy_only=False)
-        applied = int((n_events_col > 0).sum())
+            self._stream_prior_merge(folded, prior_path, emit)
+        else:
+            emit(folded)
+        if sink["writer"] is not None:
+            sink["writer"].close()
+        applied = sink["applied"]
         superseded = new_events_total - applied
-
-        live = folded.filter(pc.not_equal(folded.column(spec.op_col), "delete"))
-        flight_only = [c for c in _FLIGHT_ONLY if c != "op"] + [spec.op_col]
-        live = live.drop_columns([c for c in flight_only if c in live.column_names])
-        if spec.hash_source and spec.hash_col:
-            live = live.append_column(
-                spec.hash_col, sha256_binary(live.column(spec.hash_source))
-            )
-        live = live.select(spec.schema.names).cast(spec.schema)
-        live = live.sort_by([(k, "ascending") for k in spec.key])
+        if sink["rows"] == 0:
+            relpath = None
 
         # Repair rebuilds the partition from the full event history, so
         # cumulative counters restart from this fold (carrying the prior
@@ -156,18 +241,10 @@ class Merger:
             int((self.prior_entries.get(pid) or {}).get("schema_version", 1)),
         )
 
-        relpath = None
-        if live.num_rows:
-            relpath = partition_relpath(self.generation, pid)
-            path = os.path.join(self.lake_dir, relpath)
-            # makedirs at write time: the task/actor may run on any node
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            pq.write_table(live, path)
-
         entry = PartitionEntry(
             part_id=pid,
             file=relpath,
-            num_rows=live.num_rows,
+            num_rows=sink["rows"],
             watermark_seq=watermark,
             events_applied=int(prior_entry.get("events_applied", 0)) + applied,
             events_superseded=int(prior_entry.get("events_superseded", 0))

@@ -24,6 +24,34 @@ from ..functions.hashing import key_hash64
 from ..schema import REPO_FILES, TableSpec, schema_version_of, unify_to
 
 
+def depth_vector(num_partitions: int, split_depths: dict[int, int] | None):
+    """Dense per-base-pid depth lookup (None when nothing is split)."""
+    if not split_depths:
+        return None
+    vec = np.zeros(num_partitions, dtype=np.uint64)
+    for b, k in split_depths.items():
+        vec[int(b)] = int(k)
+    return vec
+
+
+def route_pids(
+    h: np.ndarray, num_partitions: int, depth_vec: np.ndarray | None = None
+) -> np.ndarray:
+    """Extended partition ids from 64-bit key hashes.
+
+    base = h % P; a base with split depth k spreads its keys over the
+    extended ids {base + P*sub} with sub = (h % (P << k)) // P — see
+    ``Manifest.split_depths``.  Depth 0 (or no splits) degenerates to
+    plain ``h % P``, so unsplit lakes route exactly as before."""
+    P = np.uint64(num_partitions)
+    base = h % P
+    if depth_vec is None:
+        return base.astype(np.int64)
+    k = depth_vec[base.astype(np.int64)]
+    sub = (h % (P << k)) // P
+    return (base + P * sub).astype(np.int64)
+
+
 def orphan_mask(seqs: np.ndarray, ranges: list[tuple[int, int]]) -> np.ndarray:
     """Vectorized membership of commit_seq in any orphan range.
 
@@ -61,10 +89,12 @@ class Normalize:
         num_partitions: int,
         orphan_ranges: list[tuple[int, int]],
         spec: TableSpec = REPO_FILES,
+        split_depths: dict[int, int] | None = None,
     ):
         self.num_partitions = num_partitions
         self.ranges = sorted(orphan_ranges)
         self.spec = spec
+        self.depth_vec = depth_vector(num_partitions, split_depths)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
@@ -78,10 +108,11 @@ class Normalize:
             )
         seqs = batch.column(spec.order_col).to_numpy(zero_copy_only=False)
         orphaned = orphan_mask(seqs, self.ranges)
-        pid = (
-            key_hash64(*[batch.column(k) for k in spec.key])
-            % np.uint64(self.num_partitions)
-        ).astype(np.int64)
+        pid = route_pids(
+            key_hash64(*[batch.column(k) for k in spec.key]),
+            self.num_partitions,
+            self.depth_vec,
+        )
         # any content-hash column is deliberately NOT computed here:
         # hashing every event costs O(events); the merge stage hashes
         # only the winners that reach the lake (O(keys)).

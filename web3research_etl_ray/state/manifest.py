@@ -53,6 +53,15 @@ class Manifest:
     applied_rollbacks: list[list[int]] = field(default_factory=list)  # [from, to]
     schema_version: int = 1
     parent_generation: int | None = None
+    #: per-BASE-partition split depth: base pid b (0 <= b < num_partitions)
+    #: with depth k stores its keys across 2^k files under extended
+    #: partition ids {b + num_partitions * s}.  A key with hash h routes
+    #: to base b = h % P, sub s = (h % (P << k)) // P — so splitting one
+    #: hot partition rewrites ONLY that partition's file (splitting b
+    #: from depth k to k+1 sends each row of extended id b + P*s to
+    #: either b + P*s or b + P*(s + 2^k); no other partition moves).
+    #: Bases absent from the map have depth 0.
+    split_depths: dict[int, int] = field(default_factory=dict)
 
     @property
     def min_watermark(self) -> int:
@@ -65,6 +74,14 @@ class Manifest:
         if not self.partitions:
             return -1
         return max(p.watermark_seq for p in self.partitions.values())
+
+    def depth_of(self, base: int) -> int:
+        return int(self.split_depths.get(base, 0))
+
+    def extended_pids(self) -> list[int]:
+        """Every valid partition id under the current split layout:
+        base b contributes {b + num_partitions * s : s < 2^depth(b)}."""
+        return extended_pids(self.num_partitions, self.split_depths)
 
     def data_files(self, lake_dir: str) -> list[str]:
         return [
@@ -84,6 +101,15 @@ class Manifest:
                 p.events_rolled_back for p in self.partitions.values()
             ),
         }
+
+
+def extended_pids(num_partitions: int, split_depths: dict[int, int]) -> list[int]:
+    """Valid partition ids for a (P, split_depths) layout, sorted."""
+    out: list[int] = []
+    for b in range(num_partitions):
+        for s in range(1 << int(split_depths.get(b, 0))):
+            out.append(b + num_partitions * s)
+    return sorted(out)
 
 
 def gen_dir(lake_dir: str, generation: int) -> str:
@@ -106,6 +132,9 @@ def commit_manifest(lake_dir: str, manifest: Manifest) -> None:
     os.makedirs(lake_dir, exist_ok=True)
     doc = asdict(manifest)
     doc["partitions"] = {str(k): asdict(v) for k, v in manifest.partitions.items()}
+    doc["split_depths"] = {
+        str(k): v for k, v in manifest.split_depths.items() if v
+    }
     path = _manifest_path(lake_dir, manifest.generation)
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
@@ -127,7 +156,8 @@ def load_manifest(lake_dir: str, generation: int) -> Manifest:
     parts = {
         int(k): PartitionEntry(**v) for k, v in doc.pop("partitions", {}).items()
     }
-    return Manifest(partitions=parts, **doc)
+    depths = {int(k): int(v) for k, v in doc.pop("split_depths", {}).items()}
+    return Manifest(partitions=parts, split_depths=depths, **doc)
 
 
 def load_latest(lake_dir: str) -> Manifest | None:
