@@ -247,7 +247,20 @@ class FanoutMerger:
         return pa.concat_tables(out)
 
 
-def replay_fanout(
+def replay_fanout(stream_dir: str, lake_dir: str, tables, **kw) -> MultiManifest:
+    """One fan-out replay generation under the lake's single-writer
+    lease; see :func:`_replay_fanout_impl` for parameters."""
+    from ..state.manifest import acquire_lease, release_lease
+
+    created = acquire_lease(lake_dir)
+    try:
+        return _replay_fanout_impl(stream_dir, lake_dir, tables, **kw)
+    finally:
+        if created:
+            release_lease(lake_dir)
+
+
+def _replay_fanout_impl(
     stream_dir: str,
     lake_dir: str,
     tables: list[FanoutTable],

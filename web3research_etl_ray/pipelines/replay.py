@@ -60,12 +60,14 @@ from ..stages.normalize import Normalize, depth_vector, route_pids
 from ..state.manifest import (
     Manifest,
     PartitionEntry,
+    acquire_lease,
     commit_manifest,
     committed_chain,
     extended_pids,
     load_latest,
     load_manifest,
     partition_relpath,
+    release_lease,
 )
 
 DEFAULT_NUM_PARTITIONS = 32
@@ -220,7 +222,20 @@ def _write_gen_stats(lake_dir: str, generation: int, entries_ds) -> None:
         pass
 
 
-def replay(
+def replay(stream_dir: str, lake_dir: str, **kw) -> Manifest:
+    """Run one replay/tail generation under the lake's single-writer
+    lease; see :func:`_replay_impl` for parameters.  A second live
+    writer raises ConcurrentWriterError instead of racing the LATEST
+    pointer; a crashed writer's lease is taken over automatically."""
+    created = acquire_lease(lake_dir)
+    try:
+        return _replay_impl(stream_dir, lake_dir, **kw)
+    finally:
+        if created:
+            release_lease(lake_dir)
+
+
+def _replay_impl(
     stream_dir: str,
     lake_dir: str,
     *,
@@ -613,7 +628,8 @@ def split_partitions(
     spec: TableSpec = REPO_FILES,
 ) -> Manifest:
     """Split the given BASE partitions one depth level (2^k → 2^(k+1)
-    files each) and commit the result as a new generation.
+    files each) and commit the result as a new generation.  Runs under
+    the writer lease (reentrant when auto-triggered from replay).
 
     Scale contract (SURVEY §7.5(6) / VERDICT r02 Wrong #3): ONLY the
     split bases' files are rewritten — every other partition is carried
@@ -628,6 +644,19 @@ def split_partitions(
     disjoint key subsets of exactly the applied history); cumulative
     event counters stay on the low child so lake totals don't double.
     """
+    from ..functions.hashing import key_hash64
+
+    created = acquire_lease(lake_dir)
+    try:
+        return _split_partitions_locked(lake_dir, bases, spec)
+    finally:
+        if created:
+            release_lease(lake_dir)
+
+
+def _split_partitions_locked(
+    lake_dir: str, bases: list[int], spec: TableSpec
+) -> Manifest:
     from ..functions.hashing import key_hash64
 
     prior = load_latest(lake_dir)
