@@ -138,12 +138,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             _consume(QUERIES[name](sf_dir))
             q_secs[name] = round(time.perf_counter() - t0, 3)
 
+    incr = {}
+    if not os.environ.get("W3R_SKIP_QUERIES"):
+        incr = bench_incremental(sf_dir)
+
     ray.shutdown()
     return {
         "metric": "cdc_replay_wall_sec (change-events applied to converged lake)",
         "value": round(headline_sec, 3),
         "unit": "sec",
         "queries": q_secs,
+        "incremental": incr,
         "sf": sf,
         "num_cpus": num_cpus,
         "n_events": n_events,
@@ -151,6 +156,69 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "lake_rows": totals["rows"],
         "events_applied": totals["events_applied"],
     }
+
+
+def bench_incremental(sf_dir: str) -> dict:
+    """Per-tick walls for the O(tick) incremental indices at two index
+    sizes (VERDICT r02 Next #10): the dedup and curate tick cost must
+    track TICK size, not index size — the flat-in-index-size claim is
+    checked mechanically every bench run via the small/large ratio."""
+    import shutil
+
+    import ray.data
+
+    from web3research_etl_ray.pipelines.curate import CurateIndex
+    from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(
+        docs_path
+    ).num_rows
+    tick_n = max(100, n_docs // 10)
+
+    def doc_slice(lo: int, hi: int) -> "ray.data.Dataset":
+        import pyarrow.compute as pc
+
+        return ray.data.read_parquet(
+            docs_path,
+            columns=["doc_id", "text"],
+            filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi),
+        )
+
+    out: dict = {"tick_docs": tick_n, "corpus_docs": n_docs}
+
+    # --- MinHash dedup index: tick after a small base vs after ~3x ----
+    root = "/tmp/w3r_bench_dedup_idx"
+    shutil.rmtree(root, ignore_errors=True)
+    idx = MinHashIndex(root)
+    idx.dedup_tick(doc_slice(0, 3 * tick_n))  # small index (3 ticks' worth)
+    t0 = time.perf_counter()
+    idx.dedup_tick(doc_slice(3 * tick_n, 4 * tick_n))
+    small = time.perf_counter() - t0
+    idx.dedup_tick(doc_slice(4 * tick_n, 9 * tick_n))  # grow ~3x
+    t0 = time.perf_counter()
+    idx.dedup_tick(doc_slice(9 * tick_n, 10 * tick_n))
+    large = time.perf_counter() - t0
+    out["dedup_tick_sec_small_index"] = round(small, 3)
+    out["dedup_tick_sec_large_index"] = round(large, 3)
+    out["dedup_tick_large_over_small"] = round(large / small, 2)
+
+    # --- curate index: same two-size protocol --------------------------
+    root = "/tmp/w3r_bench_curate_idx"
+    shutil.rmtree(root, ignore_errors=True)
+    cidx = CurateIndex(root)
+    cidx.tick(doc_slice(0, 3 * tick_n))
+    t0 = time.perf_counter()
+    cidx.tick(doc_slice(3 * tick_n, 4 * tick_n))
+    small = time.perf_counter() - t0
+    cidx.tick(doc_slice(4 * tick_n, 9 * tick_n))
+    t0 = time.perf_counter()
+    cidx.tick(doc_slice(9 * tick_n, 10 * tick_n))
+    large = time.perf_counter() - t0
+    out["curate_tick_sec_small_index"] = round(small, 3)
+    out["curate_tick_sec_large_index"] = round(large, 3)
+    out["curate_tick_large_over_small"] = round(large / small, 2)
+    return out
 
 
 def run_scaling() -> dict:

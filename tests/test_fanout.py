@@ -679,3 +679,58 @@ def test_fanout_time_travel_after_gc(tiny_stream, lake_dir):
     # a GC'd generation is a clean FileNotFoundError, not a crash
     with pytest.raises(FileNotFoundError):
         multi_manifest_at(lake_dir, 0)
+
+
+def _tables_small_heads():
+    """Same two tables, but the tiny derived table uses 1/8 the base
+    table's partitions (VERDICT r02 Next #9: per-table sizing — a
+    20-key aggregate must not carry the base table's merge fan-out)."""
+    base, heads = _tables()
+    return [base, FanoutTable(heads.spec, heads.derive, num_partitions=2)]
+
+
+def test_fanout_per_table_partition_counts(tiny_stream, lake_dir):
+    m = replay_fanout(
+        tiny_stream, lake_dir, _tables_small_heads(), num_partitions=16
+    )
+    assert m.tables["repo_files"].num_partitions == 16
+    assert m.tables["repo_heads"].num_partitions == 2
+    assert len(m.tables["repo_heads"].partitions) == 2
+    from web3research_etl_ray.oracle import oracle_fold, tables_equal
+
+    assert tables_equal(fanout_table(lake_dir, "repo_files"),
+                        oracle_fold(tiny_stream))
+    want = _heads_oracle(tiny_stream)
+    heads = fanout_table(lake_dir, "repo_heads")
+    got = {
+        r: c for r, c in zip(heads["repo"].to_pylist(),
+                             heads["commit"].to_pylist())
+    }
+    assert got == want
+    # ticks + auto resume keep the per-table layout and stay exact
+    m2 = replay_fanout(
+        tiny_stream, lake_dir, _tables_small_heads(), num_partitions="auto"
+    )
+    assert m2.tables["repo_heads"].num_partitions == 2
+    assert m2.tables["repo_files"].num_partitions == 16
+    assert tables_equal(fanout_table(lake_dir, "repo_files"),
+                        oracle_fold(tiny_stream))
+
+
+def test_fanout_per_table_resize_triggers_table_repair(tiny_stream, lake_dir):
+    replay_fanout(tiny_stream, lake_dir, _tables_small_heads(),
+                  num_partitions=16)
+    # widen ONLY the derived table: full rebuild of that table, base
+    # untouched, everything still oracle-exact
+    base, heads = _tables()
+    resized = [base, FanoutTable(heads.spec, heads.derive, num_partitions=4)]
+    m = replay_fanout(tiny_stream, lake_dir, resized, num_partitions=16)
+    assert m.tables["repo_heads"].num_partitions == 4
+    assert sorted(m.tables["repo_heads"].partitions) == [0, 1, 2, 3]
+    want = _heads_oracle(tiny_stream)
+    heads_t = fanout_table(lake_dir, "repo_heads")
+    got = {
+        r: c for r, c in zip(heads_t["repo"].to_pylist(),
+                             heads_t["commit"].to_pylist())
+    }
+    assert got == want

@@ -1239,3 +1239,89 @@ def test_count_min_overestimates_within_bound():
     for v, e in zip([7, 42, 1000], est):
         assert e >= true[v]
         assert e - true[v] <= 2 * len(vals) / 2048 * 4  # slack x4
+
+
+def test_png_roundtrip_and_all_filters():
+    """VERDICT r02 Missing #4: compressed-image decode with no PIL —
+    pure zlib+numpy PNG.  Round-trip via our encoder, then adversarial
+    streams exercising every scanline filter type and the gray/alpha
+    color types."""
+    import struct as _struct
+    import zlib
+
+    from web3research_etl_ray.functions.multimodal import (
+        RealImageDecoder,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (9, 14, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+    def make_png(pixels: np.ndarray, ctype: int, filters: list[int]) -> bytes:
+        """Reference encoder applying a chosen filter per scanline."""
+        h, w, ch = pixels.shape
+        stride = w * ch
+        flat = pixels.reshape(h, stride).astype(np.int32)
+        prev = np.zeros(stride, dtype=np.int32)
+        lines = []
+        for y in range(h):
+            cur, f = flat[y], filters[y % len(filters)]
+            if f == 0:
+                filt = cur % 256
+            elif f == 1:
+                left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+                filt = (cur - left) % 256
+            elif f == 2:
+                filt = (cur - prev) % 256
+            elif f == 3:
+                left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+                filt = (cur - (left + prev) // 2) % 256
+            else:  # Paeth
+                left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+                upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+                p = left + prev - upleft
+                pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, upleft)
+                )
+                filt = (cur - pred) % 256
+            lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+            prev = cur
+        raw = b"".join(lines)
+
+        def chunk(tag, body):
+            return (
+                _struct.pack(">I", len(body)) + tag + body
+                + _struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # every filter type on RGB
+    data = make_png(px, 2, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(data), px)
+    # grayscale (type 0) broadcasts to RGB
+    gray = rng.integers(0, 256, (6, 7, 1), dtype=np.uint8)
+    assert np.array_equal(decode_png(make_png(gray, 0, [1, 2, 4])), np.repeat(gray, 3, axis=2))
+    # RGBA (type 6) drops alpha
+    rgba = rng.integers(0, 256, (5, 8, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(make_png(rgba, 6, [4, 3, 2, 1, 0])), rgba[:, :, :3])
+
+    # the production decoder stage routes PNG natively (no PIL)
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([encode_png(px)], pa.binary()),
+            "meta_format": pa.array(["png"]),
+        }
+    )
+    out = RealImageDecoder(size=(8, 8))(t)
+    assert out.column("width").to_pylist() == [14]
+    assert out.column("height").to_pylist() == [9]

@@ -83,6 +83,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--lake", required=True)
     c.add_argument("--keep", type=int, default=2)
 
+    sp = sub.add_parser(
+        "split",
+        help="double the file count of the given (or all oversized) base "
+             "partitions — rewrites ONLY those partitions' bytes",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--bases", default=None,
+                    help="comma-separated base pids (default: every base "
+                         "with a file over --threshold rows)")
+    sp.add_argument("--threshold", type=int, default=4_000_000)
+
     b = sub.add_parser("backup", help="snapshot the committed generation "
                                       "(scripts/backup_db.py analogue)")
     b.add_argument("--lake", required=True)
@@ -319,6 +330,8 @@ def main(argv: list[str] | None = None) -> int:
             "max_watermark": m.max_watermark,
             "schema_version": m.schema_version,
             "applied_rollbacks": m.applied_rollbacks,
+            "split_depths": {str(k): v for k, v in sorted(m.split_depths.items())},
+            "num_files": sum(1 for e in m.partitions.values() if e.file),
             **m.totals(),
         }
         if args.partitions:
@@ -340,6 +353,34 @@ def main(argv: list[str] | None = None) -> int:
                 upto_seq=args.to_seq,
             )
             print(json.dumps({"generation": m.generation, **m.totals()}))
+        elif args.cmd == "split":
+            from .pipelines.replay import split_partitions
+            from .state.manifest import load_latest
+
+            m0 = load_latest(args.lake)
+            if m0 is None:
+                print(json.dumps({"error": "no committed manifest"}))
+                return 1
+            if args.bases:
+                bases = [int(b) for b in args.bases.split(",")]
+            else:
+                bases = sorted(
+                    {
+                        int(pid) % m0.num_partitions
+                        for pid, e in m0.partitions.items()
+                        if e.num_rows > args.threshold
+                    }
+                )
+            if not bases:
+                print(json.dumps({"split": [], "generation": m0.generation}))
+                return 0
+            m = split_partitions(args.lake, bases)
+            print(json.dumps({
+                "split": bases,
+                "generation": m.generation,
+                "split_depths": {str(k): v for k, v in sorted(m.split_depths.items())},
+                "num_files": sum(1 for e in m.partitions.values() if e.file),
+            }))
         elif args.cmd == "sync":
             from .pipelines.tail import sync
 

@@ -70,10 +70,17 @@ class FanoutTable:
     ``derive`` maps a unified event batch to this table's change rows
     (must emit the spec's flight columns including order/op cols).
     ``None`` = identity (the base table).
+
+    ``num_partitions``: per-table partition count override (None =
+    the replay call's shared default).  Derived tables of one stream
+    can differ 100× in key cardinality (repo_files vs repo_heads) —
+    a 20-key aggregate table has no business carrying the base
+    table's 256 partitions' worth of merge tasks and files.
     """
 
     spec: TableSpec
     derive: Callable[[pa.Table], pa.Table] | None = None
+    num_partitions: int | None = None
 
 
 def _union_flight_schema(tables: list[FanoutTable]) -> pa.Schema:
@@ -119,9 +126,14 @@ class FanoutNormalize:
         base_spec: TableSpec = REPO_FILES,
         wm_by_table: dict[str, np.ndarray | None] | None = None,
         repair_pids: dict[str, frozenset[int]] | None = None,
+        p_by_table: dict[str, int] | None = None,
     ):
         self.tables = tables
         self.num_partitions = num_partitions
+        #: per-table partition count (defaults to the shared count)
+        self.p_by_table = p_by_table or {
+            ft.spec.name: num_partitions for ft in tables
+        }
         self.ranges = sorted(orphan_ranges)
         self.base_spec = base_spec
         #: per-table per-PARTITION committed watermarks (len
@@ -151,7 +163,7 @@ class FanoutNormalize:
             orphaned = orphan_mask(seqs, self.ranges)
             pid = (
                 key_hash64(*[rows.column(k) for k in spec.key])
-                % np.uint64(self.num_partitions)
+                % np.uint64(self.p_by_table[spec.name])
             ).astype(np.int64)
             rows = rows.append_column("part_id", pa.array(pid, pa.int64()))
             rows = rows.append_column("orphaned", pa.array(orphaned))
@@ -277,18 +289,25 @@ def _replay_fanout_impl(
     files = event_files(stream_dir)
     if not files:
         raise FileNotFoundError(f"no events-*.parquet under {stream_dir}")
-    if num_partitions in ("auto", None):
+    auto = num_partitions in ("auto", None)
+    if auto:
         from .replay import auto_partitions
 
-        # resuming a lake keeps its committed partition count (a
-        # change would force a full repartition repair of every table)
-        prior0 = load_latest_multi(lake_dir)
-        if prior0 is not None and prior0.tables:
-            num_partitions = next(
-                iter(prior0.tables.values())
-            ).num_partitions
+        num_partitions = auto_partitions(files)
+    # per-table partition counts: an explicit FanoutTable.num_partitions
+    # wins; otherwise a resumed table keeps its committed count under
+    # "auto" (changing it forces a full repartition repair of the
+    # table), else the shared default.
+    prior0 = load_latest_multi(lake_dir)
+    p_by_table: dict[str, int] = {}
+    for ft in tables:
+        ts0 = prior0.tables.get(ft.spec.name) if prior0 else None
+        if ft.num_partitions:
+            p_by_table[ft.spec.name] = int(ft.num_partitions)
+        elif auto and ts0 is not None:
+            p_by_table[ft.spec.name] = ts0.num_partitions
         else:
-            num_partitions = auto_partitions(files)
+            p_by_table[ft.spec.name] = int(num_partitions)
     base_spec = tables[0].spec if tables[0].derive is None else REPO_FILES
     ranges = [
         (lo, hi)
@@ -306,21 +325,22 @@ def _replay_fanout_impl(
     repair_pids: dict[str, frozenset[int]] = {}
     if prior is not None:
         for ft in tables:
-            ts = prior.tables.get(ft.spec.name)
+            name = ft.spec.name
+            ts = prior.tables.get(name)
             if ts is None:
                 # a table added mid-stream: full rebuild of that table
-                repair_pids[ft.spec.name] = frozenset(range(num_partitions))
+                repair_pids[name] = frozenset(range(p_by_table[name]))
                 continue
             pids = _find_repair_pids(
-                table_dir(lake_dir, ft.spec.name),
+                table_dir(lake_dir, name),
                 ts.partitions,
                 new_ranges,
                 ft.spec.order_col,
             )
-            if ts.num_partitions != num_partitions:
-                pids = frozenset(range(num_partitions))
+            if ts.num_partitions != p_by_table[name]:
+                pids = frozenset(range(p_by_table[name]))
             if pids:
-                repair_pids[ft.spec.name] = pids
+                repair_pids[name] = pids
     if force_repair_pids:
         # externally detected corruption (check_fanout) — rebuild
         # those partitions from history in this generation
@@ -363,18 +383,20 @@ def _replay_fanout_impl(
     wm_by_table: dict[str, np.ndarray | None] = {}
     if prior is not None:
         for ft in tables:
-            ts = prior.tables.get(ft.spec.name)
-            if ts is None or ts.num_partitions != num_partitions:
+            name = ft.spec.name
+            ts = prior.tables.get(name)
+            if ts is None or ts.num_partitions != p_by_table[name]:
                 # new or repartitioned table: full-rebuild repair set
                 # already covers it — no watermark routing
-                wm_by_table[ft.spec.name] = None
+                wm_by_table[name] = None
                 continue
-            vec = np.full(num_partitions, -1, dtype=np.int64)
+            vec = np.full(p_by_table[name], -1, dtype=np.int64)
             for _pid, _e in ts.partitions.items():
                 vec[_pid] = _e.watermark_seq
-            wm_by_table[ft.spec.name] = vec
+            wm_by_table[name] = vec
     stage = FanoutNormalize(
-        tables, num_partitions, ranges, base_spec, wm_by_table, repair_pids
+        tables, num_partitions, ranges, base_spec, wm_by_table, repair_pids,
+        p_by_table,
     )
     ds = ray.data.read_parquet(
         files, override_num_blocks=len(files), **read_kwargs
@@ -461,21 +483,24 @@ def _replay_fanout_impl(
                 schema_version=int(r["schema_version"]),
                 last_gen_events=int(r.get("last_gen_events", 0)),
             )
-        if prior_ts is not None:
+        # carry forward untouched partitions — only under an unchanged
+        # layout (a repartitioned table rebuilt every new pid; stale
+        # old-layout ids must not leak into the new manifest)
+        if prior_ts is not None and prior_ts.num_partitions == p_by_table[name]:
             for pid, e in prior_ts.partitions.items():
                 if pid not in partitions:
                     partitions[pid] = e
         global_wm = max(
             [p.watermark_seq for p in partitions.values()] + [watermark, -1]
         )
-        for pid in range(num_partitions):
+        for pid in range(p_by_table[name]):
             if pid not in partitions:
                 partitions[pid] = PartitionEntry(
                     part_id=pid, file=None, watermark_seq=global_wm
                 )
         states[name] = TableState(
             name=name,
-            num_partitions=num_partitions,
+            num_partitions=p_by_table[name],
             partitions=partitions,
             schema_version=max(p.schema_version for p in partitions.values()),
         )
