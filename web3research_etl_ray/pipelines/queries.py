@@ -4172,12 +4172,419 @@ HAVING count(*) >= CAST(ceil(0.005 * (SELECT count(*) FROM events)) AS BIGINT)
 
 
 # ---------------------------------------------------------------------------
+# r03 wave: corpus curation search/mixing/contamination operators
+# ---------------------------------------------------------------------------
+
+
+def q_boilerplate_prefixes(sf_dir: str) -> pa.Table:
+    """Boilerplate/template detection: 8-token document PREFIXES shared
+    by >= 2 docs (headers, license banners, scraped-page chrome — the
+    classic C4/RefinedWeb cleanup signal, keyed on the prefix because
+    templates anchor at the document start).  Distributed shape: one
+    vectorized pass computes each doc's prefix (list_slice +
+    binary_join — no row loop), per-batch partial counts collapse
+    duplicates before the exchange, then a keyed hash-bucket exchange
+    folds counts per prefix (one vectorized group count per bucket —
+    never O(distinct prefixes) Ray groups)."""
+    MIN_DOCS = 2
+    NB = 64
+    W = 8
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")), pattern=r"\W+"
+        )
+        prefix = pc.binary_join(pc.list_slice(toks, 0, W), " ")
+        tbl = pa.table({"prefix": prefix})
+        tbl = tbl.filter(pc.greater(pc.utf8_length(tbl.column("prefix")), 0))
+        counts = (
+            tbl.group_by("prefix").aggregate([("prefix", "count")])
+            .rename_columns(["prefix", "n_docs"])
+        )
+        h = (key_hash64(counts.column("prefix")) % np.uint64(NB)).astype(
+            np.int64
+        )
+        return counts.append_column("__b", pa.array(h, pa.int64()))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        counts = (
+            g.group_by("prefix").aggregate([("n_docs", "sum")])
+            .rename_columns(["prefix", "n_docs"])
+        )
+        return counts.filter(
+            pc.greater_equal(counts.column("n_docs"), MIN_DOCS)
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    t = _from_rows(rows, {"prefix": pa.string(), "n_docs": pa.int64()})
+    return t.sort_by([("n_docs", "descending"), ("prefix", "ascending")])
+
+
+ORACLE_BOILERPLATE = r"""
+SELECT prefix, count(*) AS n_docs
+FROM (SELECT array_to_string(
+        (regexp_extract_all(lower(text), '\w+'))[1:8], ' ') AS prefix
+      FROM documents)
+WHERE length(prefix) > 0
+GROUP BY prefix HAVING count(*) >= 2
+ORDER BY n_docs DESC, prefix
+"""
+
+
+def q_chunk_documents(sf_dir: str) -> pa.Table:
+    """Sliding-window document chunking (embedding/RAG prep): 200-char
+    windows, stride 160 (40 overlap).  Vectorized: chunk index k is a
+    SCALAR per pass, so every doc's k-th chunk slices in one Arrow
+    utf8_slice_codeunits call — no per-row Python; the pass count is
+    bounded by the longest doc, not the corpus."""
+    SIZE, STRIDE = 200, 160
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        n = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        # chunk count per doc: 1 + max(0, ceil((len - SIZE) / STRIDE))
+        extra = np.ceil(np.maximum(0, n - SIZE) / STRIDE).astype(np.int64)
+        n_chunks = 1 + extra
+        out = []
+        for k in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            alive = n_chunks > k
+            sub = t.filter(pa.array(alive))
+            piece = pc.utf8_slice_codeunits(
+                pc.fill_null(sub.column("text"), ""),
+                start=k * STRIDE,
+                stop=k * STRIDE + SIZE,
+            )
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": sub.column("doc_id"),
+                        "chunk_idx": pa.array(
+                            np.full(sub.num_rows, k, dtype=np.int64)
+                        ),
+                        "chunk": piece,
+                        "chunk_len": pc.utf8_length(piece).cast(pa.int64()),
+                    }
+                )
+            )
+        if not out:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+                 ("chunk", pa.string()), ("chunk_len", pa.int64())]
+            ).empty_table()
+        return pa.concat_tables(out)
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_CHUNKS = """
+SELECT doc_id, i AS chunk_idx,
+       substr(text, 1 + i * 160, 200) AS chunk,
+       length(substr(text, 1 + i * 160, 200)) AS chunk_len
+FROM documents JOIN range(0, 64) t(i)
+  ON t.i <= CAST(ceil(greatest(0, length(text) - 200) / 160.0) AS BIGINT)
+"""
+
+
+def q_mix_char_budget(sf_dir: str) -> pa.Table:
+    """Data mixing: per-source char budget — each source contributes
+    docs in deterministic content-hash order until its cumulative
+    n_chars exceeds the budget (the sampling primitive behind mixture
+    weights like 'cap source X at N tokens').  Distributed: one keyed
+    hash exchange on source, then ONE vectorized segment pass per
+    bucket (sort by rank, segment cumsum) — the same shape as
+    window_running_totals; no driver-side loop, no global sort."""
+    BUDGET = 120_000
+    from ..functions.window import keyed_window
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "rank_hash", sha256_hex(t.column("doc_id").cast(pa.string()))
+        )
+        # numeric key for the bucket exchange (source is a string)
+        return t.append_column(
+            "src_h",
+            pa.array(
+                (key_hash64(t.column("source")) % np.uint64(1 << 62)).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [("source", "ascending"), ("rank_hash", "ascending"),
+             ("doc_id", "ascending")]
+        )
+        src = g.column("source").to_numpy(zero_copy_only=False)
+        chars = g.column("n_chars").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(chars)
+        # rebase the running sum at each source boundary
+        starts = np.flatnonzero(
+            np.concatenate([[True], src[1:] != src[:-1]])
+        )
+        base = np.zeros(len(chars), dtype=cum.dtype)
+        base[starts[1:]] = cum[starts[1:] - 1]
+        np.maximum.accumulate(base, out=base)
+        keep = (cum - base) <= BUDGET
+        return g.filter(pa.array(keep)).select(["doc_id", "source"])
+
+    rows = keyed_window(ds.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    ), "src_h", per_bucket).take_all()
+    return _from_rows(
+        rows, {"doc_id": pa.int64(), "source": pa.string()}
+    ).sort_by("doc_id")
+
+
+ORACLE_MIX = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS cum
+  FROM documents
+) WHERE cum <= 120000 ORDER BY doc_id
+"""
+
+
+def q_contamination_documents(sf_dir: str) -> pa.Table:
+    """Benchmark-contamination scan: corpus docs sharing any 5-token
+    shingle with the eval set (doc_id % 11 == 0 — a held-out slice).
+    Distributed: the eval side is SMALL by construction (a benchmark,
+    not a corpus), so its shingle set broadcasts once via ray.put and
+    each corpus batch probes it with one vectorized is_in — zero
+    shuffle.  Past ~10M eval shingles the same pipeline switches to a
+    shingle-hash semi-join (the exact_dedup keep-list pattern)."""
+    W = 5
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles_vec(t: pa.Table) -> pa.Table:
+        """Vectorized shingling: flatten tokens once, join W parallel
+        shifted views (one binary_join_element_wise call), mask windows
+        that cross document boundaries via segment offsets."""
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")), pattern=r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ok = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(ok))
+        parent = parent[ok]
+        n = len(flat)
+        if n < W:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "shingle": pa.array([], pa.string())}
+            )
+        views = [flat.slice(j, n - W + 1) for j in range(W)]
+        sh = pc.binary_join_element_wise(*views, " ")
+        # a window is valid only if its first and last token share a doc
+        valid = parent[: n - W + 1] == parent[W - 1 :]
+        doc = pc.take(
+            t.column("doc_id"), pa.array(parent[: n - W + 1], pa.int64())
+        )
+        return pa.table({"doc_id": doc, "shingle": sh}).filter(pa.array(valid))
+
+    # eval side: small by construction — collect its distinct shingles
+    def eval_only(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 11 == 0))
+
+    eval_sh = (
+        ds.map_batches(eval_only, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(shingles_vec, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    eval_set = pa.array(
+        sorted({r["shingle"] for r in eval_sh}), pa.string()
+    )
+    import ray as _ray
+
+    eval_ref = _ray.put(eval_set)
+
+    def probe(t: pa.Table) -> pa.Table:
+        sh = shingles_vec(t)
+        ids = sh.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = sh.filter(pa.array(ids % 11 != 0))
+        hit = pc.is_in(sh.column("shingle"), value_set=_ray.get(eval_ref))
+        docs = sh.filter(hit).column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(np.unique(docs), pa.int64())})
+
+    rows = ds.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    ids = sorted({int(r["doc_id"]) for r in rows})
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+ORACLE_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '\w+'),
+                     x -> length(x) > 0) AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS shingle
+  FROM toks JOIN range(1, 4096) t(i) ON t.i <= greatest(0, len(ts) - 4)
+)
+SELECT DISTINCT c.doc_id FROM sh c
+WHERE c.doc_id % 11 <> 0
+  AND EXISTS (SELECT 1 FROM sh e
+              WHERE e.doc_id % 11 = 0 AND e.shingle = c.shingle)
+ORDER BY doc_id
+"""
+
+
+def q_bm25_search(sf_dir: str) -> pa.Table:
+    """BM25 top-20 for a fixed query — the retrieval primitive over
+    the corpus (Robertson/Spärck Jones weighting, k1=1.2 b=0.75).
+    Distributed: ONE streaming pass computes per-doc (dl, tf_t) with
+    RE2 kernels (only query terms are counted — the inverted-index
+    pruning happens at scan time); corpus stats (N, sum dl, df_t) are
+    integer partials summed driver-side (a handful of ints per batch);
+    scoring + partial top-k runs in a second pruned pass over docs
+    with any hit.  Float determinism: every input to the double-math
+    score is an INTEGER (tf, dl, N, df, sum_dl), added in fixed term
+    order — bit-identical to the SQL oracle's expression tree."""
+    TERMS = ("data", "model", "training")
+    K1, B = 1.2, 0.75
+    K = 20
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(t.column("text"), ""))
+        cols = {
+            "doc_id": t.column("doc_id"),
+            "dl": pc.count_substring_regex(low, pattern=r"\w+").cast(pa.int64()),
+        }
+        for term in TERMS:
+            cols[f"tf_{term}"] = pc.count_substring_regex(
+                low, pattern=rf"\b{term}\b"
+            ).cast(pa.int64())
+        return pa.table(cols)
+
+    st = ds.map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def partials(t: pa.Table) -> pa.Table:
+        row = {"n": [t.num_rows], "sum_dl": [int(pc.sum(t.column("dl")).as_py() or 0)]}
+        for term in TERMS:
+            row[f"df_{term}"] = [
+                int(
+                    pc.sum(
+                        pc.greater(t.column(f"tf_{term}"), 0).cast(pa.int64())
+                    ).as_py()
+                    or 0
+                )
+            ]
+        return pa.table(row)
+
+    agg = pa.Table.from_pylist(
+        st.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    )
+    N = int(pc.sum(agg.column("n")).as_py())
+    sum_dl = int(pc.sum(agg.column("sum_dl")).as_py())
+    avgdl = sum_dl / N
+    idf = {
+        term: np.log(
+            (N - int(pc.sum(agg.column(f"df_{term}")).as_py()) + 0.5)
+            / (int(pc.sum(agg.column(f"df_{term}")).as_py()) + 0.5)
+            + 1.0
+        )
+        for term in TERMS
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.zeros(t.num_rows, dtype=np.float64)
+        # expression tree mirrors ORACLE_BM25 token-for-token (literal
+        # 2.2/0.25/0.75, dl/avgdl grouped) so doubles stay bit-equal
+        norm = K1 * (0.25 + 0.75 * (dl / avgdl))
+        for term in TERMS:
+            tf = (
+                t.column(f"tf_{term}")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            s = s + idf[term] * (tf * 2.2) / (tf + norm)
+        out = t.append_column("score", pa.array(s, pa.float64()))
+        out = out.filter(pa.array(s > 0))
+        # partial top-k per batch (score desc, doc_id asc tie-break)
+        return out.sort_by(
+            [("score", "descending"), ("doc_id", "ascending")]
+        ).slice(0, K)
+
+    rows = (
+        st.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    t = _from_rows(
+        rows,
+        {"doc_id": pa.int64(), "dl": pa.int64(),
+         **{f"tf_{term}": pa.int64() for term in TERMS},
+         "score": pa.float64()},
+    )
+    return t.sort_by(
+        [("score", "descending"), ("doc_id", "ascending")]
+    ).slice(0, K)
+
+
+ORACLE_BM25 = r"""
+WITH stats AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\w+')) AS dl,
+         len(regexp_extract_all(lower(text), '\bdata\b')) AS tf_data,
+         len(regexp_extract_all(lower(text), '\bmodel\b')) AS tf_model,
+         len(regexp_extract_all(lower(text), '\btraining\b')) AS tf_training
+  FROM documents
+), g AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         count(*) FILTER (tf_data > 0) AS df_data,
+         count(*) FILTER (tf_model > 0) AS df_model,
+         count(*) FILTER (tf_training > 0) AS df_training
+  FROM stats
+)
+SELECT doc_id, dl, tf_data, tf_model, tf_training,
+       ln((n - df_data + 0.5) / (df_data + 0.5) + 1.0)
+         * (tf_data * 2.2) / (tf_data + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n))))
+     + ln((n - df_model + 0.5) / (df_model + 0.5) + 1.0)
+         * (tf_model * 2.2) / (tf_model + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n))))
+     + ln((n - df_training + 0.5) / (df_training + 0.5) + 1.0)
+         * (tf_training * 2.2)
+           / (tf_training + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n))))
+       AS score
+FROM stats, g
+WHERE tf_data > 0 OR tf_model > 0 OR tf_training > 0
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
     # Ordered so the entries without a CORRECTNESS_r02 driver row run
     # first (capstone + composites lead), per VERDICT r02 next-round #1.
+    "bm25_search": q_bm25_search,
+    "boilerplate_prefixes": q_boilerplate_prefixes,
+    "chunk_documents": q_chunk_documents,
+    "mix_char_budget": q_mix_char_budget,
+    "contamination_documents": q_contamination_documents,
     "prepare_training_set": q_prepare_training_set,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -4277,6 +4684,11 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "bm25_search": ORACLE_BM25,
+    "boilerplate_prefixes": ORACLE_BOILERPLATE,
+    "chunk_documents": ORACLE_CHUNKS,
+    "mix_char_budget": ORACLE_MIX,
+    "contamination_documents": ORACLE_CONTAMINATION,
     "cdc_replay_lake": _CDC_SQL,
     "scd2_history": ORACLE_SCD2,
     "cdc_scan_recent": ORACLE_SCAN_RECENT,
