@@ -734,3 +734,80 @@ def test_fanout_per_table_resize_triggers_table_repair(tiny_stream, lake_dir):
                              heads_t["commit"].to_pylist())
     }
     assert got == want
+
+
+def test_fanout_partition_split_and_resume(tiny_stream, lake_dir):
+    """Per-table growth splits: split one table's bases, content
+    identical, then resume ticks route through the split layout and
+    stay oracle-exact; the other table's files are untouched."""
+    from web3research_etl_ray.pipelines.fanout import split_fanout_partitions
+    from web3research_etl_ray.oracle import oracle_fold, tables_equal
+
+    tables = _tables()
+    replay_fanout(tiny_stream, lake_dir, tables, num_partitions=8,
+                  upto_seq=999)
+    before_files = fanout_table(lake_dir, "repo_files")
+    m = split_fanout_partitions(lake_dir, tables, {"repo_files": [0, 3]})
+    ts = m.tables["repo_files"]
+    assert ts.split_depths == {0: 1, 3: 1}
+    assert _eq(fanout_table(lake_dir, "repo_files"), before_files)
+    # untouched table carried forward wholesale
+    heads_files = [e.file for e in m.tables["repo_heads"].partitions.values()]
+    assert all(f is None or "gen=000000" in f for f in heads_files)
+    # resume the stream through the split layout
+    replay_fanout(tiny_stream, lake_dir, tables, num_partitions=8)
+    assert tables_equal(fanout_table(lake_dir, "repo_files"),
+                        oracle_fold(tiny_stream))
+    want = _heads_oracle(tiny_stream)
+    heads = fanout_table(lake_dir, "repo_heads")
+    got = {r: c for r, c in zip(heads["repo"].to_pylist(),
+                                heads["commit"].to_pylist())}
+    assert got == want
+
+
+def test_fanout_auto_split_bounds_partitions(tiny_stream, lake_dir):
+    from web3research_etl_ray.oracle import oracle_fold, tables_equal
+
+    m = replay_fanout(tiny_stream, lake_dir, _tables(), num_partitions=4,
+                      split_threshold_rows=60)
+    ts = m.tables["repo_files"]
+    assert ts.split_depths, "threshold should have split the base table"
+    assert all(e.num_rows <= 60 for e in ts.partitions.values())
+    assert tables_equal(fanout_table(lake_dir, "repo_files"),
+                        oracle_fold(tiny_stream))
+    # re-tick keeps the layout
+    m2 = replay_fanout(tiny_stream, lake_dir, _tables(), num_partitions=4,
+                       split_threshold_rows=60)
+    assert m2.tables["repo_files"].split_depths == ts.split_depths
+    assert tables_equal(fanout_table(lake_dir, "repo_files"),
+                        oracle_fold(tiny_stream))
+
+
+def test_fanout_check_repair_across_split(tiny_stream, lake_dir):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from web3research_etl_ray.pipelines.check import check_fanout, repair_fanout
+    from web3research_etl_ray.pipelines.fanout import split_fanout_partitions
+    from web3research_etl_ray.state.manifest import load_latest_multi, table_dir
+
+    tables = _tables()
+    replay_fanout(tiny_stream, lake_dir, tables, num_partitions=8)
+    split_fanout_partitions(lake_dir, tables, {"repo_files": [1]})
+    reports = check_fanout(tiny_stream, lake_dir, tables)
+    assert all(r.ok for r in reports.values()), reports
+    # corrupt the split child file; check localizes (base-level), and
+    # repair expands the base to its extended ids
+    m = load_latest_multi(lake_dir)
+    victim = next(e for p, e in sorted(m.tables["repo_files"].partitions.items())
+                  if p >= 8 and e.file)
+    path = os.path.join(table_dir(lake_dir, "repo_files"), victim.file)
+    t = _pq.read_table(path)
+    _pq.write_table(t.slice(1), path)
+    reports = check_fanout(tiny_stream, lake_dir, tables)
+    assert not reports["repo_files"].ok
+    repair_fanout(tiny_stream, lake_dir, tables,
+                  {"repo_files": reports["repo_files"].bad_partitions})
+    reports = check_fanout(tiny_stream, lake_dir, tables)
+    assert all(r.ok for r in reports.values()), reports

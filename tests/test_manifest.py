@@ -13,7 +13,8 @@ from web3research_etl_ray.state.manifest import (
 
 
 def _mk(gen, parts, lake):
-    m = Manifest(generation=gen, num_partitions=len(parts), partitions=parts)
+    m = Manifest(generation=gen, num_partitions=len(parts), partitions=parts,
+                 parent_generation=None if gen == 0 else gen - 1)
     for e in parts.values():
         if e.file:
             p = os.path.join(lake, e.file)

@@ -388,12 +388,13 @@ def repair_fanout(
     manifest = load_latest_multi(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed multi-lake under {lake_dir}")
-    P = next(iter(manifest.tables.values())).num_partitions
+    # "auto" pins each table's committed partition count (tables may
+    # carry per-FanoutTable counts and split layouts)
     return replay_fanout(
         stream_dir,
         lake_dir,
         tables,
-        num_partitions=P,
+        num_partitions="auto",
         force_repair_pids={k: frozenset(v) for k, v in bad.items() if v},
     )
 

@@ -60,7 +60,15 @@ from ..state.manifest import (
     load_latest_multi,
     table_dir,
 )
-from .replay import _file_seq_ranges, _find_repair_pids, event_files
+from .replay import (
+    DEFAULT_SPLIT_THRESHOLD_ROWS,
+    MAX_SPLIT_DEPTH,
+    _file_seq_ranges,
+    _find_repair_pids,
+    _run_split_items,
+    event_files,
+    plan_split_items,
+)
 
 
 @dataclass(frozen=True)
@@ -124,15 +132,26 @@ class FanoutNormalize:
         num_partitions: int,
         orphan_ranges: list[tuple[int, int]],
         base_spec: TableSpec = REPO_FILES,
-        wm_by_table: dict[str, np.ndarray | None] | None = None,
+        wm_by_table: dict | None = None,
         repair_pids: dict[str, frozenset[int]] | None = None,
         p_by_table: dict[str, int] | None = None,
+        depths_by_table: dict[str, dict[int, int]] | None = None,
     ):
         self.tables = tables
         self.num_partitions = num_partitions
         #: per-table partition count (defaults to the shared count)
         self.p_by_table = p_by_table or {
             ft.spec.name: num_partitions for ft in tables
+        }
+        #: per-table split layout (dense depth vector per base pid)
+        from ..stages.normalize import depth_vector
+
+        self.depthvec_by_table = {
+            ft.spec.name: depth_vector(
+                self.p_by_table[ft.spec.name],
+                (depths_by_table or {}).get(ft.spec.name),
+            )
+            for ft in tables
         }
         self.ranges = sorted(orphan_ranges)
         self.base_spec = base_spec
@@ -161,19 +180,23 @@ class FanoutNormalize:
             rows = ft.derive(batch) if ft.derive is not None else batch
             seqs = rows.column(spec.order_col).to_numpy(zero_copy_only=False)
             orphaned = orphan_mask(seqs, self.ranges)
-            pid = (
-                key_hash64(*[rows.column(k) for k in spec.key])
-                % np.uint64(self.p_by_table[spec.name])
-            ).astype(np.int64)
+            from ..stages.normalize import route_pids
+
+            pid = route_pids(
+                key_hash64(*[rows.column(k) for k in spec.key]),
+                self.p_by_table[spec.name],
+                self.depthvec_by_table.get(spec.name),
+            )
             rows = rows.append_column("part_id", pa.array(pid, pa.int64()))
             rows = rows.append_column("orphaned", pa.array(orphaned))
             rows = rows.append_column(
                 "schema_version", pa.array(np.full(len(rows), version, dtype=np.int8))
             )
-            wm_vec = self.wm_by_table.get(spec.name)
-            if wm_vec is not None and rows.num_rows:
+            wm = self.wm_by_table.get(spec.name)
+            if wm is not None and rows.num_rows:
+                wm_ids, wm_arr = wm  # sorted extended ids + watermarks
                 repair = self.repair_pids.get(spec.name, frozenset())
-                keep = seqs > wm_vec[pid]
+                keep = seqs > wm_arr[np.searchsorted(wm_ids, pid)]
                 if repair:
                     keep |= np.isin(pid, np.array(sorted(repair), dtype=np.int64))
                 if not keep.all():
@@ -280,6 +303,7 @@ def _replay_fanout_impl(
     num_partitions: int | str = 16,
     upto_seq: int | None = None,
     force_repair_pids: dict[str, frozenset[int]] | None = None,
+    split_threshold_rows: int | None = DEFAULT_SPLIT_THRESHOLD_ROWS,
     _crash_before_commit: bool = False,
 ) -> MultiManifest:
     """One fan-out replay generation: every table advances together or
@@ -322,6 +346,17 @@ def _replay_fanout_impl(
         {tuple(r) for r in prior.applied_rollbacks} if prior else set()
     )
     new_ranges = [r for r in ranges if tuple(r) not in prior_rb]
+    # per-table split layouts carry from the prior generation; a
+    # repartitioned table starts a fresh unsplit layout
+    depths_by_table: dict[str, dict[int, int]] = {}
+    for ft in tables:
+        name = ft.spec.name
+        ts = prior.tables.get(name) if prior else None
+        if ts is not None and ts.num_partitions == p_by_table[name]:
+            depths_by_table[name] = dict(ts.split_depths)
+        else:
+            depths_by_table[name] = {}
+
     repair_pids: dict[str, frozenset[int]] = {}
     if prior is not None:
         for ft in tables:
@@ -343,10 +378,15 @@ def _replay_fanout_impl(
                 repair_pids[name] = pids
     if force_repair_pids:
         # externally detected corruption (check_fanout) — rebuild
-        # those partitions from history in this generation
+        # those partitions from history in this generation.  check
+        # reports BASE-level pids; expand to the table's split layout.
+        from .replay import _expand_repair_pids
+
         for name, pids in force_repair_pids.items():
-            repair_pids[name] = repair_pids.get(name, frozenset()) | frozenset(
-                pids
+            repair_pids[name] = repair_pids.get(name, frozenset()) | (
+                _expand_repair_pids(
+                    frozenset(pids), p_by_table[name], depths_by_table[name]
+                )
             )
     any_repair = any(repair_pids.values())
 
@@ -362,6 +402,7 @@ def _replay_fanout_impl(
                         num_partitions=ts.num_partitions,
                         partitions=dict(ts.partitions),
                         schema_version=ts.schema_version,
+                        split_depths=dict(ts.split_depths),
                     )
                     for n, ts in prior.tables.items()
                 },
@@ -380,7 +421,9 @@ def _replay_fanout_impl(
         expr = e if expr is None else (expr & e)
     read_kwargs = {"filter": expr} if expr is not None else {}
 
-    wm_by_table: dict[str, np.ndarray | None] = {}
+    from ..state.manifest import extended_pids as _ext_pids
+
+    wm_by_table: dict = {}
     if prior is not None:
         for ft in tables:
             name = ft.spec.name
@@ -390,13 +433,20 @@ def _replay_fanout_impl(
                 # already covers it — no watermark routing
                 wm_by_table[name] = None
                 continue
-            vec = np.full(p_by_table[name], -1, dtype=np.int64)
+            ids = np.asarray(
+                _ext_pids(p_by_table[name], depths_by_table[name]),
+                dtype=np.int64,
+            )
+            arr = np.full(len(ids), -1, dtype=np.int64)
+            pos = {int(p): i for i, p in enumerate(ids)}
             for _pid, _e in ts.partitions.items():
-                vec[_pid] = _e.watermark_seq
-            wm_by_table[name] = vec
+                i = pos.get(int(_pid))
+                if i is not None:
+                    arr[i] = _e.watermark_seq
+            wm_by_table[name] = (ids, arr)
     stage = FanoutNormalize(
         tables, num_partitions, ranges, base_spec, wm_by_table, repair_pids,
-        p_by_table,
+        p_by_table, depths_by_table,
     )
     ds = ray.data.read_parquet(
         files, override_num_blocks=len(files), **read_kwargs
@@ -486,14 +536,16 @@ def _replay_fanout_impl(
         # carry forward untouched partitions — only under an unchanged
         # layout (a repartitioned table rebuilt every new pid; stale
         # old-layout ids must not leak into the new manifest)
+        valid = _ext_pids(p_by_table[name], depths_by_table[name])
         if prior_ts is not None and prior_ts.num_partitions == p_by_table[name]:
+            valid_set = set(valid)
             for pid, e in prior_ts.partitions.items():
-                if pid not in partitions:
+                if pid not in partitions and pid in valid_set:
                     partitions[pid] = e
         global_wm = max(
             [p.watermark_seq for p in partitions.values()] + [watermark, -1]
         )
-        for pid in range(p_by_table[name]):
+        for pid in valid:
             if pid not in partitions:
                 partitions[pid] = PartitionEntry(
                     part_id=pid, file=None, watermark_seq=global_wm
@@ -503,6 +555,7 @@ def _replay_fanout_impl(
             num_partitions=p_by_table[name],
             partitions=partitions,
             schema_version=max(p.schema_version for p in partitions.values()),
+            split_depths=depths_by_table[name],
         )
 
     manifest = MultiManifest(
@@ -514,7 +567,92 @@ def _replay_fanout_impl(
     if _crash_before_commit:
         raise RuntimeError("injected crash before commit")
     commit_multi_manifest(lake_dir, manifest)
+    # growth-adaptive per-table layout (same contract as single-table
+    # replay): any table partition past the threshold doubles its base
+    while split_threshold_rows:
+        bases_by_table: dict[str, list[int]] = {}
+        for name, ts in manifest.tables.items():
+            over = sorted(
+                {
+                    int(pid) % ts.num_partitions
+                    for pid, e in ts.partitions.items()
+                    if e.num_rows > split_threshold_rows
+                    and ts.depth_of(int(pid) % ts.num_partitions)
+                    < MAX_SPLIT_DEPTH
+                }
+            )
+            if over:
+                bases_by_table[name] = over
+        if not bases_by_table:
+            break
+        manifest = split_fanout_partitions(lake_dir, tables, bases_by_table)
     return manifest
+
+
+def split_fanout_partitions(
+    lake_dir: str,
+    tables: list[FanoutTable],
+    bases_by_table: dict[str, list[int]],
+) -> MultiManifest:
+    """Split the given base partitions of the given TABLES one depth
+    level each and commit ONE new multi-table generation.  Only the
+    named tables' oversized partitions rewrite; every other partition
+    of every table is carried forward — the cross-table-atomic version
+    of :func:`..replay.split_partitions` (same streaming one-pass
+    worker, same extended-id routing)."""
+    from ..state.manifest import acquire_lease, release_lease
+
+    created = acquire_lease(lake_dir)
+    try:
+        prior = load_latest_multi(lake_dir)
+        if prior is None:
+            raise FileNotFoundError(f"no committed multi-lake under {lake_dir}")
+        specs = {ft.spec.name: ft.spec for ft in tables}
+        generation = prior.generation + 1
+        states: dict[str, TableState] = {}
+        for name, ts in prior.tables.items():
+            partitions = dict(ts.partitions)
+            depths = dict(ts.split_depths)
+            if name in bases_by_table:
+                spec = specs[name]
+                items = plan_split_items(
+                    ts.partitions, ts.num_partitions, depths,
+                    bases_by_table[name], partitions,
+                )
+                rows = _run_split_items(
+                    table_dir(lake_dir, name), generation, ts.num_partitions,
+                    list(spec.key), items,
+                )
+                for r in rows:
+                    partitions[int(r["part_id"])] = PartitionEntry(
+                        part_id=int(r["part_id"]),
+                        file=r["file"],
+                        num_rows=int(r["num_rows"]),
+                        watermark_seq=int(r["watermark_seq"]),
+                        events_applied=int(r["events_applied"]),
+                        events_superseded=int(r["events_superseded"]),
+                        events_rolled_back=int(r["events_rolled_back"]),
+                        schema_version=int(r["schema_version"]),
+                        last_gen_events=0,
+                    )
+            states[name] = TableState(
+                name=name,
+                num_partitions=ts.num_partitions,
+                partitions=partitions,
+                schema_version=ts.schema_version,
+                split_depths=depths,
+            )
+        manifest = MultiManifest(
+            generation=generation,
+            tables=states,
+            applied_rollbacks=list(prior.applied_rollbacks),
+            parent_generation=prior.generation,
+        )
+        commit_multi_manifest(lake_dir, manifest)
+        return manifest
+    finally:
+        if created:
+            release_lease(lake_dir)
 
 
 def read_fanout_table(

@@ -621,110 +621,34 @@ def _replay_impl(
     return manifest
 
 
-def split_partitions(
-    lake_dir: str,
-    bases: list[int],
-    *,
-    spec: TableSpec = REPO_FILES,
-) -> Manifest:
-    """Split the given BASE partitions one depth level (2^k → 2^(k+1)
-    files each) and commit the result as a new generation.  Runs under
-    the writer lease (reentrant when auto-triggered from replay).
-
-    Scale contract (SURVEY §7.5(6) / VERDICT r02 Wrong #3): ONLY the
-    split bases' files are rewritten — every other partition is carried
-    forward untouched, so splitting one overgrown partition of a
-    petabyte lake moves exactly that partition's bytes.  Each file
-    splits in ONE streaming pass: row groups are read one at a time and
-    routed to two ParquetWriters by the next depth's sub-hash, so task
-    memory is O(row group), and because the parent file is key-sorted a
-    filtered child stays key-sorted (merge-on-write invariant holds).
-
-    Lineage: both children inherit the parent's watermark (they cover
-    disjoint key subsets of exactly the applied history); cumulative
-    event counters stay on the low child so lake totals don't double.
-    """
+def _run_split_items(
+    data_root: str,
+    generation: int,
+    P: int,
+    key_cols: list[str],
+    items: list[dict],
+) -> list[dict]:
+    """Distributed file-split worker shared by the single-table and
+    fan-out split ops: one Ray task batch per work item streams the
+    parent file row-group-by-row-group into two child writers routed
+    by the next depth's sub-hash (memory O(row group)); returns one
+    lineage entry row per child."""
     from ..functions.hashing import key_hash64
 
-    created = acquire_lease(lake_dir)
-    try:
-        return _split_partitions_locked(lake_dir, bases, spec)
-    finally:
-        if created:
-            release_lease(lake_dir)
-
-
-def _split_partitions_locked(
-    lake_dir: str, bases: list[int], spec: TableSpec
-) -> Manifest:
-    from ..functions.hashing import key_hash64
-
-    prior = load_latest(lake_dir)
-    if prior is None:
-        raise FileNotFoundError(f"no committed lake under {lake_dir}")
-    P = prior.num_partitions
-    depths = dict(prior.split_depths)
-    generation = prior.generation + 1
-    key_cols = list(spec.key)
-
-    items: list[dict] = []
-    partitions = dict(prior.partitions)
-    for b in sorted({int(x) for x in bases}):
-        if not (0 <= b < P):
-            raise ValueError(f"base pid {b} outside [0, {P})")
-        k = int(depths.get(b, 0))
-        if k >= MAX_SPLIT_DEPTH:
-            continue
-        for s in range(1 << k):
-            lo = b + P * s
-            hi = b + P * (s + (1 << k))
-            entry = prior.partitions.get(lo) or PartitionEntry(
-                part_id=lo, file=None
-            )
-            if entry.file:
-                items.append(
-                    {
-                        "lo": lo,
-                        "hi": hi,
-                        "sub": s,
-                        "k": k,
-                        "file": entry.file,
-                        "watermark_seq": entry.watermark_seq,
-                        "events_applied": entry.events_applied,
-                        "events_superseded": entry.events_superseded,
-                        "events_rolled_back": entry.events_rolled_back,
-                        "schema_version": entry.schema_version,
-                    }
-                )
-            else:
-                # empty parent → two empty children, watermark carried
-                for pid in (lo, hi):
-                    partitions[pid] = PartitionEntry(
-                        part_id=pid,
-                        file=None,
-                        watermark_seq=entry.watermark_seq,
-                        events_applied=entry.events_applied if pid == lo else 0,
-                        events_superseded=(
-                            entry.events_superseded if pid == lo else 0
-                        ),
-                        events_rolled_back=(
-                            entry.events_rolled_back if pid == lo else 0
-                        ),
-                        schema_version=entry.schema_version,
-                    )
-        depths[b] = k + 1
+    if not items:
+        return []
 
     def split_file(batch: pa.Table) -> pa.Table:
         out: list[pa.Table] = []
         for row in batch.to_pylist():  # ≤ a handful of work items/task
-            src = os.path.join(lake_dir, row["file"])
+            src = os.path.join(data_root, row["file"])
             pf = pq.ParquetFile(src)
             width = np.uint64(P) << np.uint64(row["k"] + 1)
             writers: dict[str, pq.ParquetWriter | None] = {"lo": None, "hi": None}
             rows = {"lo": 0, "hi": 0}
             paths = {
                 side: os.path.join(
-                    lake_dir, partition_relpath(generation, row[side])
+                    data_root, partition_relpath(generation, row[side])
                 )
                 for side in ("lo", "hi")
             }
@@ -775,29 +699,135 @@ def _split_partitions_locked(
                         schema=ENTRY_SCHEMA,
                     )
                 )
-        return (
-            pa.concat_tables(out) if out else ENTRY_SCHEMA.empty_table()
-        )
+        return pa.concat_tables(out) if out else ENTRY_SCHEMA.empty_table()
 
-    if items:
-        entry_rows = (
-            ray.data.from_items(items)
-            .repartition(len(items))
-            .map_batches(split_file, batch_format="pyarrow", batch_size=None)
-            .take_all()
-        )
-        for r in entry_rows:
-            partitions[int(r["part_id"])] = PartitionEntry(
-                part_id=int(r["part_id"]),
-                file=r["file"],
-                num_rows=int(r["num_rows"]),
-                watermark_seq=int(r["watermark_seq"]),
-                events_applied=int(r["events_applied"]),
-                events_superseded=int(r["events_superseded"]),
-                events_rolled_back=int(r["events_rolled_back"]),
-                schema_version=int(r["schema_version"]),
-                last_gen_events=0,
+    return (
+        ray.data.from_items(items)
+        .repartition(len(items))
+        .map_batches(split_file, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+
+
+def plan_split_items(
+    prior_partitions: dict[int, PartitionEntry],
+    P: int,
+    depths: dict[int, int],
+    bases: list[int],
+    partitions_out: dict[int, PartitionEntry],
+) -> list[dict]:
+    """Shared split planning: raise each base's depth in ``depths``,
+    collect file-split work items, and place empty-parent children
+    directly into ``partitions_out``."""
+    items: list[dict] = []
+    for b in sorted({int(x) for x in bases}):
+        if not (0 <= b < P):
+            raise ValueError(f"base pid {b} outside [0, {P})")
+        k = int(depths.get(b, 0))
+        if k >= MAX_SPLIT_DEPTH:
+            continue
+        for s in range(1 << k):
+            lo = b + P * s
+            hi = b + P * (s + (1 << k))
+            entry = prior_partitions.get(lo) or PartitionEntry(
+                part_id=lo, file=None
             )
+            if entry.file:
+                items.append(
+                    {
+                        "lo": lo,
+                        "hi": hi,
+                        "sub": s,
+                        "k": k,
+                        "file": entry.file,
+                        "watermark_seq": entry.watermark_seq,
+                        "events_applied": entry.events_applied,
+                        "events_superseded": entry.events_superseded,
+                        "events_rolled_back": entry.events_rolled_back,
+                        "schema_version": entry.schema_version,
+                    }
+                )
+            else:
+                # empty parent → two empty children, watermark carried
+                for pid in (lo, hi):
+                    partitions_out[pid] = PartitionEntry(
+                        part_id=pid,
+                        file=None,
+                        watermark_seq=entry.watermark_seq,
+                        events_applied=entry.events_applied if pid == lo else 0,
+                        events_superseded=(
+                            entry.events_superseded if pid == lo else 0
+                        ),
+                        events_rolled_back=(
+                            entry.events_rolled_back if pid == lo else 0
+                        ),
+                        schema_version=entry.schema_version,
+                    )
+        depths[b] = k + 1
+    return items
+
+
+def split_partitions(
+    lake_dir: str,
+    bases: list[int],
+    *,
+    spec: TableSpec = REPO_FILES,
+) -> Manifest:
+    """Split the given BASE partitions one depth level (2^k → 2^(k+1)
+    files each) and commit the result as a new generation.  Runs under
+    the writer lease (reentrant when auto-triggered from replay).
+
+    Scale contract (SURVEY §7.5(6) / VERDICT r02 Wrong #3): ONLY the
+    split bases' files are rewritten — every other partition is carried
+    forward untouched, so splitting one overgrown partition of a
+    petabyte lake moves exactly that partition's bytes.  Each file
+    splits in ONE streaming pass: row groups are read one at a time and
+    routed to two ParquetWriters by the next depth's sub-hash, so task
+    memory is O(row group), and because the parent file is key-sorted a
+    filtered child stays key-sorted (merge-on-write invariant holds).
+
+    Lineage: both children inherit the parent's watermark (they cover
+    disjoint key subsets of exactly the applied history); cumulative
+    event counters stay on the low child so lake totals don't double.
+    """
+    from ..functions.hashing import key_hash64
+
+    created = acquire_lease(lake_dir)
+    try:
+        return _split_partitions_locked(lake_dir, bases, spec)
+    finally:
+        if created:
+            release_lease(lake_dir)
+
+
+def _split_partitions_locked(
+    lake_dir: str, bases: list[int], spec: TableSpec
+) -> Manifest:
+    from ..functions.hashing import key_hash64
+
+    prior = load_latest(lake_dir)
+    if prior is None:
+        raise FileNotFoundError(f"no committed lake under {lake_dir}")
+    P = prior.num_partitions
+    depths = dict(prior.split_depths)
+    generation = prior.generation + 1
+    key_cols = list(spec.key)
+
+    partitions = dict(prior.partitions)
+    items = plan_split_items(prior.partitions, P, depths, bases, partitions)
+
+    for r in _run_split_items(lake_dir, generation, P, key_cols, items):
+        partitions[int(r["part_id"])] = PartitionEntry(
+            part_id=int(r["part_id"]),
+            file=r["file"],
+            num_rows=int(r["num_rows"]),
+            watermark_seq=int(r["watermark_seq"]),
+            events_applied=int(r["events_applied"]),
+            events_superseded=int(r["events_superseded"]),
+            events_rolled_back=int(r["events_rolled_back"]),
+            schema_version=int(r["schema_version"]),
+            last_gen_events=0,
+        )
 
     manifest = Manifest(
         generation=generation,

@@ -371,6 +371,15 @@ class TableState:
     num_partitions: int
     partitions: dict[int, PartitionEntry] = field(default_factory=dict)
     schema_version: int = 1
+    #: per-base split depth — same extended-id scheme as
+    #: ``Manifest.split_depths`` (scoped to this table's layout)
+    split_depths: dict[int, int] = field(default_factory=dict)
+
+    def depth_of(self, base: int) -> int:
+        return int(self.split_depths.get(base, 0))
+
+    def extended_pids(self) -> list[int]:
+        return extended_pids(self.num_partitions, self.split_depths)
 
     @property
     def min_watermark(self) -> int:
@@ -430,6 +439,9 @@ def commit_multi_manifest(lake_dir: str, manifest: MultiManifest) -> None:
                 "name": ts.name,
                 "num_partitions": ts.num_partitions,
                 "schema_version": ts.schema_version,
+                "split_depths": {
+                    str(k): v for k, v in ts.split_depths.items() if v
+                },
                 "partitions": {
                     str(k): asdict(v) for k, v in ts.partitions.items()
                 },
@@ -467,6 +479,10 @@ def load_multi_manifest(lake_dir: str, generation: int) -> MultiManifest:
             num_partitions=td["num_partitions"],
             partitions=parts,
             schema_version=td.get("schema_version", 1),
+            split_depths={
+                int(k): int(v)
+                for k, v in td.get("split_depths", {}).items()
+            },
         )
     return MultiManifest(
         generation=doc["generation"],
