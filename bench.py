@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "knn_pq",
     "curate_documents",
     "quantiles_value_per_user",
+    "bm25_search",
+    "chunk_documents",
+    "mix_char_budget",
 ]
 
 
@@ -245,10 +248,14 @@ def run_scaling() -> dict:
         int(x) for x in os.environ.get("W3R_SCALING_CPUS", "2,8").split(",")
     )
     # the scaling criterion needs a compute-dominated job: per-job fixed
-    # cost (~0.6s: shuffle setup, scheduling) must be small against
-    # compute at BOTH levels, so the scaling input is larger than the
-    # default per-sf stream (same input at both levels, per the rule)
-    scale_events = int(os.environ.get("W3R_SCALING_EVENTS", "20000000"))
+    # cost (~4s: Ray session + shuffle setup + scheduling + commit) must
+    # be small against compute at BOTH levels, so the scaling input is
+    # much larger than the default per-sf stream (same input at both
+    # levels, per the rule).  Measured at 20M events the fixed cost
+    # alone caps 2→8 efficiency at ~0.78 even though the raw-decode
+    # hardware control on the same box scales at 0.92; at 50M the
+    # fixed share drops ~2.5x.
+    scale_events = int(os.environ.get("W3R_SCALING_EVENTS", "50000000"))
     os.environ["W3R_BENCH_EVENTS"] = str(scale_events)
     os.environ["W3R_SKIP_QUERIES"] = "1"
     r_lo, r_hi = one(lo), one(hi)

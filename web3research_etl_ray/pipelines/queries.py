@@ -4573,6 +4573,162 @@ ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_redact_pii_documents(sf_dir: str) -> pa.Table:
+    """PII redaction — the write side of the pii_scan pre-pass: replace
+    emails/URLs/IPv4/long digit runs with typed placeholders, emit the
+    redacted text + per-doc replacement count.  One compiled-RE2
+    replace kernel per pattern, fully vectorized, embarrassingly
+    parallel (no shuffle); patterns AND application order are shared
+    verbatim with the SQL oracle (order matters — a URL can contain
+    digits)."""
+    from ..functions.text import PII_PATTERNS
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    order = ["n_emails", "n_urls", "n_ipv4", "n_long_digits"]
+    marks = {"n_emails": "[EMAIL]", "n_urls": "[URL]",
+             "n_ipv4": "[IP]", "n_long_digits": "[NUM]"}
+
+    def redact(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        total = np.zeros(t.num_rows, dtype=np.int64)
+        for name in order:
+            pat = PII_PATTERNS[name]
+            total += (
+                pc.count_substring_regex(text, pattern=pat)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            text = pc.replace_substring_regex(
+                text, pattern=pat, replacement=marks[name]
+            )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "redacted": text,
+                "n_redactions": pa.array(total, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_REDACT = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        'https?://[^\s]+', '[URL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+    '\d{9,}', '[NUM]', 'g') AS redacted,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+  + len(regexp_extract_all(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      'https?://[^\s]+'))
+  + len(regexp_extract_all(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        'https?://[^\s]+', '[URL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+  + len(regexp_extract_all(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          'https?://[^\s]+', '[URL]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      '\d{9,}')) AS n_redactions
+FROM documents
+"""
+
+
+def q_token_rarity_documents(sf_dir: str) -> pa.Table:
+    """Unigram-LM rarity filter (the integer-exact core of CCNet-style
+    perplexity filtering): per doc, the SUM of the corpus-wide counts
+    of its tokens plus its token count — docs whose mean token
+    frequency (sum_freq / n_tokens) is low are rare/OOD, high are
+    boilerplate-like.  Both outputs are INTEGERS, so the parity hash
+    is exact where a float mean-log-prob would be association-
+    sensitive.  Distributed shape: corpus token counts via per-batch
+    partial counts + one keyed fold (the top_tokens exchange); the
+    count table broadcasts via ray.put while small (here: a pooled
+    vocab), switching to a token-hash semi-join at web-scale vocab —
+    the per-doc pass is then index_in + one segment reduceat, no row
+    loops."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")), pattern=r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        return (
+            pa.table({"token": flat})
+            .group_by("token")
+            .aggregate([("token", "count")])
+            .rename_columns(["token", "n"])
+        )
+
+    partial_rows = ds.map_batches(
+        tok_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    counts = (
+        pa.Table.from_pylist(partial_rows)
+        .group_by("token")
+        .aggregate([("n", "sum")])
+        .rename_columns(["token", "n"])
+    )
+    import ray as _ray
+
+    vocab_ref = _ray.put(counts.column("token").combine_chunks())
+    n_ref = _ray.put(
+        counts.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+    def rarity(t: pa.Table) -> pa.Table:
+        vocab, nvec = _ray.get(vocab_ref), _ray.get(n_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")), pattern=r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ok = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(ok)), parent[ok]
+        idx = pc.index_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
+        freqs = nvec[idx.astype(np.int64)]
+        sum_freq = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(sum_freq, parent, freqs)
+        n_tok = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(n_tok, parent, 1)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "sum_freq": pa.array(sum_freq, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rarity, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_RARITY = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*) AS n FROM tok GROUP BY token
+)
+SELECT doc_id, count(*) AS n_tokens, sum(n)::BIGINT AS sum_freq
+FROM tok JOIN cnt USING (token)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4585,6 +4741,8 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "mix_char_budget": q_mix_char_budget,
     "contamination_documents": q_contamination_documents,
+    "redact_pii_documents": q_redact_pii_documents,
+    "token_rarity_documents": q_token_rarity_documents,
     "prepare_training_set": q_prepare_training_set,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -4689,6 +4847,8 @@ ORACLE_SQL = {
     "chunk_documents": ORACLE_CHUNKS,
     "mix_char_budget": ORACLE_MIX,
     "contamination_documents": ORACLE_CONTAMINATION,
+    "redact_pii_documents": ORACLE_REDACT,
+    "token_rarity_documents": ORACLE_RARITY,
     "cdc_replay_lake": _CDC_SQL,
     "scd2_history": ORACLE_SCD2,
     "cdc_scan_recent": ORACLE_SCAN_RECENT,
