@@ -4729,6 +4729,74 @@ GROUP BY doc_id
 """
 
 
+def q_repetition_stats_documents(sf_dir: str) -> pa.Table:
+    """Within-document repetition (Gopher-rule quality signal): total
+    vs distinct 4-token shingles per doc — a high duplicate fraction
+    marks looping/boilerplate generations.  Integer outputs keep the
+    parity hash exact.  Vectorized: shingles come from W shifted views
+    of the flattened token stream joined in ONE kernel call; per-doc
+    distinct counting is a batch-local group_by over (doc, shingle)
+    (docs never span batches), no row loops, no shuffle."""
+    W = 4
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")), pattern=r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ok = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(ok)), parent[ok]
+        n = len(flat)
+        n_sh = np.zeros(t.num_rows, dtype=np.int64)
+        n_distinct = np.zeros(t.num_rows, dtype=np.int64)
+        if n >= W:
+            views = [flat.slice(j, n - W + 1) for j in range(W)]
+            sh = pc.binary_join_element_wise(*views, " ")
+            valid = parent[: n - W + 1] == parent[W - 1 :]
+            doc_row = parent[: n - W + 1][valid]
+            sh = sh.filter(pa.array(valid))
+            np.add.at(n_sh, doc_row, 1)
+            uniq = (
+                pa.table(
+                    {"row": pa.array(doc_row, pa.int64()), "sh": sh}
+                )
+                .group_by(["row", "sh"])
+                .aggregate([])
+            )
+            rows = uniq.column("row").to_numpy(zero_copy_only=False)
+            np.add.at(n_distinct, rows.astype(np.int64), 1)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_shingles": pa.array(n_sh, pa.int64()),
+                "n_distinct_shingles": pa.array(n_distinct, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS shingle
+  FROM toks JOIN range(1, 4096) t(i) ON t.i <= greatest(0, len(ts) - 3)
+)
+SELECT d.doc_id,
+       coalesce(s.n_shingles, 0) AS n_shingles,
+       coalesce(s.n_distinct_shingles, 0) AS n_distinct_shingles
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_shingles,
+         count(DISTINCT shingle) AS n_distinct_shingles
+  FROM sh GROUP BY doc_id
+) s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4743,6 +4811,7 @@ QUERIES = {
     "contamination_documents": q_contamination_documents,
     "redact_pii_documents": q_redact_pii_documents,
     "token_rarity_documents": q_token_rarity_documents,
+    "repetition_stats_documents": q_repetition_stats_documents,
     "prepare_training_set": q_prepare_training_set,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -4849,6 +4918,7 @@ ORACLE_SQL = {
     "contamination_documents": ORACLE_CONTAMINATION,
     "redact_pii_documents": ORACLE_REDACT,
     "token_rarity_documents": ORACLE_RARITY,
+    "repetition_stats_documents": ORACLE_REPETITION,
     "cdc_replay_lake": _CDC_SQL,
     "scd2_history": ORACLE_SCD2,
     "cdc_scan_recent": ORACLE_SCAN_RECENT,
