@@ -70,6 +70,10 @@ def test_entry_smoke():
         "cube_event_counts",
         "heavy_hitter_users", "fanout_repo_activity",
         "intersect_click_purchase", "except_click_no_purchase",
+        "bm25_search", "boilerplate_prefixes", "chunk_documents",
+        "mix_char_budget", "contamination_documents",
+        "redact_pii_documents", "token_rarity_documents",
+        "repetition_stats_documents",
     ],
 )
 def test_query(results, name):
