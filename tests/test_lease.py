@@ -116,3 +116,42 @@ def test_two_concurrent_sync_loops(tiny_stream, lake_dir):
         release_lease(lake_dir)
     replay(tiny_stream, lake_dir, num_partitions=8)  # loop A continues
     assert tables_equal(lake_table(lake_dir), oracle_fold(tiny_stream))
+
+
+def test_index_ticks_hold_the_lease(tmp_path):
+    """The persistent index state dirs share the lake's single-writer
+    contract: a live foreign writer makes a tick refuse cleanly."""
+    import pyarrow as pa
+    import ray
+
+    from web3research_etl_ray.pipelines.curate import CurateIndex
+    from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(30)), pa.int64()),
+            "text": pa.array(
+                ["the quick brown fox jumps over the lazy dog "
+                 f"document number {i} with enough distinct words to pass "
+                 "every quality filter threshold easily" for i in range(30)]
+            ),
+        }
+    )
+    for idx in (
+        MinHashIndex(str(tmp_path / "didx")),
+        CurateIndex(str(tmp_path / "cidx"), quality_min=0.5),
+    ):
+        with open(os.path.join(idx.root, "WRITER.lease"), "w") as fh:
+            fh.write(f"{os.uname().nodename}:1")  # live foreign writer
+        with pytest.raises(ConcurrentWriterError):
+            if hasattr(idx, "dedup_tick"):
+                idx.dedup_tick(ray.data.from_arrow(docs))
+            else:
+                idx.tick(ray.data.from_arrow(docs))
+        os.remove(os.path.join(idx.root, "WRITER.lease"))
+        # with the stale writer gone the tick proceeds
+        if hasattr(idx, "dedup_tick"):
+            idx.dedup_tick(ray.data.from_arrow(docs))
+        else:
+            out = idx.tick(ray.data.from_arrow(docs))
+            assert out.num_rows > 0

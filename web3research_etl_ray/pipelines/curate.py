@@ -301,7 +301,21 @@ class CurateIndex:
         """Curate the new docs against everything seen so far; returns
         the curated NEW rows and absorbs their shas into the index.
         ``tick_id`` names the tick for idempotent replay (default: a
-        deterministic key from the tick's doc_id span + count)."""
+        deterministic key from the tick's doc_id span + count).
+        Runs under the index's single-writer lease (same contract as
+        the lake: a second live writer refuses, a dead one is taken
+        over)."""
+        from ..state.manifest import acquire_lease, release_lease
+
+        created = acquire_lease(self.root)
+        try:
+            return self._tick_locked(docs, tick_id)
+        finally:
+            if created:
+                release_lease(self.root)
+
+    def _tick_locked(self, docs: ray.data.Dataset,
+                     tick_id: str | None) -> pa.Table:
         import os
         import shutil
 

@@ -194,6 +194,24 @@ class MinHashIndex:
         still preserve connected components (clusters/keep-lists are
         unchanged), but pair-level identity is only guaranteed below
         the cap."""
+        from ..state.manifest import acquire_lease, release_lease
+
+        created = acquire_lease(self.root)
+        try:
+            return self._dedup_tick_locked(
+                docs, threshold=threshold, max_bucket=max_bucket
+            )
+        finally:
+            if created:
+                release_lease(self.root)
+
+    def _dedup_tick_locked(
+        self,
+        docs: ray.data.Dataset,
+        *,
+        threshold: float,
+        max_bucket: int,
+    ) -> pa.Table:
         sig_t = pa.binary(self.num_perm * 8)
 
         hasher = MinHasher(
