@@ -1325,3 +1325,98 @@ def test_png_roundtrip_and_all_filters():
     out = RealImageDecoder(size=(8, 8))(t)
     assert out.column("width").to_pylist() == [14]
     assert out.column("height").to_pylist() == [9]
+
+
+def test_kmeans_embeddings_recovers_planted_blobs():
+    """Distributed Lloyd must exactly recover well-separated planted
+    blobs and agree with a single-process numpy Lloyd run from the
+    same deterministic init (the k smallest-id vectors)."""
+    from web3research_etl_ray.functions.similarity import kmeans_embeddings
+
+    rng = np.random.default_rng(7)
+    k, per, d = 4, 50, 16
+    centers = rng.normal(size=(k, d)) * 20.0  # far apart vs sigma=1
+    mat = np.concatenate(
+        [centers[c] + rng.normal(size=(per, d)) for c in range(k)]
+    )
+    # interleave ids so the k smallest ids hit k DIFFERENT blobs
+    ids = np.argsort(np.tile(np.arange(per), k) * k + np.repeat(np.arange(k), per))
+    inv = np.empty_like(ids)
+    inv[ids] = np.arange(len(ids))
+    mat = mat[np.argsort(inv)]  # row i now has vec_id i, blob i % k
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(k * per), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        kmeans_embeddings(
+            ray.data.from_arrow(tbl).repartition(5), k=k, iters=6
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assign = out["cluster"].to_numpy()
+    truth = np.arange(k * per) % k
+
+    # every blob lands wholly in one distinct cluster
+    for blob in range(k):
+        members = assign[truth == blob]
+        assert (members == members[0]).all()
+    assert len(set(assign[truth == b][0] for b in range(k))) == k
+
+    # agreement with a single-process Lloyd from the same init
+    mat32 = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    cent = mat32[:k].astype(np.float64)
+    x = mat32.astype(np.float64)
+    for _ in range(6):
+        dmat = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        a = np.argmin(dmat, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cent[c] = x[a == c].mean(axis=0)
+    ref = np.argmin(
+        -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :], axis=1
+    )
+    assert (assign == ref).all()
+
+
+def test_dup_ngrams_planted_shared_span():
+    """A 4-gram span planted in two docs counts as duplicated in both
+    (with multiplicity), and a unique doc reports zero dup shingles."""
+    import tempfile
+
+    from web3research_etl_ray.pipelines.queries import q_dup_ngrams_documents
+
+    shared = "alpha beta gamma delta"
+    texts = [
+        f"intro words then {shared} and a tail",
+        f"{shared} opens this one then diverges completely here",
+        "nothing in common with the others at all whatsoever today",
+        "too short",  # < 4 tokens → zero shingles, still one output row
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            f"{tmp}/documents.parquet",
+        )
+        out = (
+            q_dup_ngrams_documents(tmp)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    # doc0: 10 tokens -> 7 shingles, exactly one ("alpha beta gamma delta") dup
+    assert out.loc[0, "n_shingles"] == 7 and out.loc[0, "n_dup_shingles"] == 1
+    assert out.loc[1, "n_dup_shingles"] == 1
+    assert out.loc[2, "n_dup_shingles"] == 0 and out.loc[2, "n_shingles"] > 0
+    assert out.loc[3, "n_shingles"] == 0 and out.loc[3, "n_dup_shingles"] == 0

@@ -677,3 +677,101 @@ def knn_ivf(
 
     cands = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).take_all()
     return _merge_topk(cands, k)
+
+
+def kmeans_embeddings(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over an embedding column — the
+    clustering primitive behind SemDeDup-style semantic dedup and
+    cluster-balanced corpus sampling (Abbas et al. 2023; Lloyd 1982).
+
+    Ray-Data shape (every step streams):
+    - init: the k vectors with the SMALLEST ids — found with a
+      per-batch partial min-k (each batch forwards at most k rows) so
+      the driver folds num_blocks*k candidate rows, never the table.
+      Deterministic across runs/block layouts by construction.
+    - each iteration: centroids broadcast once via ``ray.put``; one
+      ``map_batches`` pass emits k partial rows per block
+      (cluster, member count, float64 component sums) — the classic
+      combiner, so the driver folds k*num_blocks tiny rows per round
+      and the full matrix never leaves the workers.  Empty clusters
+      keep their previous centroid (stable, rare past iteration 1).
+    - final pass: one ``map_batches`` assignment → Dataset
+      ``(id_col, cluster)``; at 100 TB each iteration is one streaming
+      read — O(iters) scans, O(k*d) driver state, no shuffle at all.
+
+    L2 geometry on the raw vectors (no normalization): matches the
+    single-process reference (`_kmeans_l2`) used by the PQ codebooks.
+    """
+    import ray as _ray
+
+    def min_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        take = np.argsort(ids)[:k]
+        return batch.select([id_col, vec_col]).take(pa.array(take, pa.int64()))
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(min_k, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    order = np.argsort(cand.column(id_col).to_numpy(zero_copy_only=False))[:k]
+    cand = cand.take(pa.array(order, pa.int64()))
+    cent = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in cand.column(vec_col).to_pylist()]
+    )
+
+    def _assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        d = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+        return np.argmin(d, axis=1)
+
+    for _ in range(iters):
+        ref = _ray.put(cent)
+
+        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = _ray.get(_ref)
+            mat = _batch_mat(batch, vec_col).astype(np.float64)
+            a = _assign(mat, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, mat)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                    "n": pa.array(counts, pa.int64()),
+                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        rows = pa.Table.from_pylist(
+            ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        )
+        cl = rows.column("cluster").to_numpy(zero_copy_only=False)
+        n = rows.column("n").to_numpy(zero_copy_only=False)
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for i, vec in enumerate(rows.column("s").to_pylist()):
+            sums[cl[i]] += np.asarray(vec, dtype=np.float64)
+            counts[cl[i]] += n[i]
+        live = counts > 0
+        cent[live] = sums[live] / counts[live][:, None]
+
+    ref = _ray.put(cent)
+
+    def assign_out(batch: pa.Table, _ref=ref) -> pa.Table:
+        c = _ray.get(_ref)
+        mat = _batch_mat(batch, vec_col).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(_assign(mat, c), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign_out, batch_format="pyarrow", zero_copy_batch=True)
