@@ -1420,3 +1420,38 @@ def test_dup_ngrams_planted_shared_span():
     assert out.loc[1, "n_dup_shingles"] == 1
     assert out.loc[2, "n_dup_shingles"] == 0 and out.loc[2, "n_shingles"] > 0
     assert out.loc[3, "n_shingles"] == 0 and out.loc[3, "n_dup_shingles"] == 0
+
+
+def test_semdedup_matches_exact_pairs_on_clustered_fixture():
+    """When every planted near-dup pair is intra-blob (the SemDeDup
+    assumption), within-cluster dedup must return EXACTLY the pairs
+    the exact O(N^2) block-pair operator finds."""
+    from web3research_etl_ray.functions.similarity import (
+        cosine_neardup_pairs,
+        semdedup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    k, per, d = 4, 40, 12
+    centers = rng.normal(size=(k, d)) * 25.0
+    rows = []
+    for c in range(k):
+        base = centers[c] + rng.normal(size=(per, d))
+        rows.append(base)
+        # plant 3 near-dups per blob: tiny perturbations of members
+        rows.append(base[:3] + rng.normal(size=(3, d)) * 1e-3)
+    mat = np.concatenate(rows)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    exact = cosine_neardup_pairs(ds, tau=0.95)
+    sem = semdedup_pairs(ds, k=k, iters=6, tau=0.95)
+    want = set(zip(exact["id_a"].to_pylist(), exact["id_b"].to_pylist()))
+    got = set(zip(sem["id_a"].to_pylist(), sem["id_b"].to_pylist()))
+    assert len(want) >= 3 * k  # the planted pairs are above tau
+    assert got == want

@@ -679,6 +679,74 @@ def knn_ivf(
     return _merge_topk(cands, k)
 
 
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Fit-only half of `kmeans_embeddings`: returns the k×d float64
+    centroid matrix (same init/iteration contract); callers that need
+    the vectors alongside the assignment (e.g. `semdedup_pairs`) fit
+    once and run their own assignment pass."""
+    import ray as _ray
+
+    def min_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        take = np.argsort(ids)[:k]
+        return batch.select([id_col, vec_col]).take(pa.array(take, pa.int64()))
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(min_k, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    order = np.argsort(cand.column(id_col).to_numpy(zero_copy_only=False))[:k]
+    cand = cand.take(pa.array(order, pa.int64()))
+    cent = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in cand.column(vec_col).to_pylist()]
+    )
+
+    for _ in range(iters):
+        ref = _ray.put(cent)
+
+        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = _ray.get(_ref)
+            mat = _batch_mat(batch, vec_col).astype(np.float64)
+            a = _kmeans_assign(mat, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, mat)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                    "n": pa.array(counts, pa.int64()),
+                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        rows = pa.Table.from_pylist(
+            ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        )
+        cl = rows.column("cluster").to_numpy(zero_copy_only=False)
+        n = rows.column("n").to_numpy(zero_copy_only=False)
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for i, vec in enumerate(rows.column("s").to_pylist()):
+            sums[cl[i]] += np.asarray(vec, dtype=np.float64)
+            counts[cl[i]] += n[i]
+        live = counts > 0
+        cent[live] = sums[live] / counts[live][:, None]
+    return cent
+
+
+def _kmeans_assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+    d = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+    return np.argmin(d, axis=1)
+
+
 def kmeans_embeddings(
     ds: ray.data.Dataset,
     *,
@@ -711,57 +779,7 @@ def kmeans_embeddings(
     """
     import ray as _ray
 
-    def min_k(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        take = np.argsort(ids)[:k]
-        return batch.select([id_col, vec_col]).take(pa.array(take, pa.int64()))
-
-    cand = pa.Table.from_pylist(
-        ds.map_batches(min_k, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
-    )
-    order = np.argsort(cand.column(id_col).to_numpy(zero_copy_only=False))[:k]
-    cand = cand.take(pa.array(order, pa.int64()))
-    cent = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in cand.column(vec_col).to_pylist()]
-    )
-
-    def _assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
-        d = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
-        return np.argmin(d, axis=1)
-
-    for _ in range(iters):
-        ref = _ray.put(cent)
-
-        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
-            c = _ray.get(_ref)
-            mat = _batch_mat(batch, vec_col).astype(np.float64)
-            a = _assign(mat, c)
-            sums = np.zeros_like(c)
-            np.add.at(sums, a, mat)
-            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
-            return pa.table(
-                {
-                    "cluster": pa.array(np.arange(len(c)), pa.int64()),
-                    "n": pa.array(counts, pa.int64()),
-                    "s": pa.array(list(sums), pa.list_(pa.float64())),
-                }
-            )
-
-        rows = pa.Table.from_pylist(
-            ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-            .take_all()
-        )
-        cl = rows.column("cluster").to_numpy(zero_copy_only=False)
-        n = rows.column("n").to_numpy(zero_copy_only=False)
-        sums = np.zeros_like(cent)
-        counts = np.zeros(len(cent), dtype=np.int64)
-        for i, vec in enumerate(rows.column("s").to_pylist()):
-            sums[cl[i]] += np.asarray(vec, dtype=np.float64)
-            counts[cl[i]] += n[i]
-        live = counts > 0
-        cent[live] = sums[live] / counts[live][:, None]
-
+    cent = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     ref = _ray.put(cent)
 
     def assign_out(batch: pa.Table, _ref=ref) -> pa.Table:
@@ -770,8 +788,110 @@ def kmeans_embeddings(
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "cluster": pa.array(_assign(mat, c), pa.int64()),
+                "cluster": pa.array(_kmeans_assign(mat, c), pa.int64()),
             }
         )
 
     return ds.map_batches(assign_out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semdedup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 6,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 4096,
+) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs by
+    comparing embeddings only WITHIN k-means clusters — the scale
+    trick that turns O(N²) cosine dedup into k × O((N/k)²), with k
+    sized so the expected cluster's all-pairs sims matrix fits a
+    worker's heap (pick k ≈ N / max_cluster at corpus scale; the
+    4096² float64 default is ~134 MB per group task).  `max_cluster`
+    also guards the skew case by salting an oversized cluster into
+    sub-chunks compared pairwise only within the same chunk — a
+    documented recall trade identical to the star-cap in the MinHash
+    verify.
+
+    Shape: one fit (`kmeans_fit`, combiner partials), then ONE
+    map_batches pass tags every row with its cluster and ONE
+    ``groupby(cluster)`` exchange; inside each cluster group a single
+    normalized matmul emits ``id_a < id_b`` pairs with cosine ≥ tau.
+    Nothing materializes on the driver except the final pair table.
+    """
+    import ray as _ray
+
+    cent = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ref = _ray.put(cent)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        mat = _batch_mat(batch, vec_col).astype(np.float64)
+        a = _kmeans_assign(mat, c)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+                "cluster": pa.array(a, pa.int64()),
+            }
+        )
+
+    def cluster_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_mat(group, vec_col).astype(np.float64))
+        out_a, out_b, out_s = [], [], []
+        # salt an oversized cluster into bounded sub-chunks (id order —
+        # deterministic) rather than OOM on a skewed centroid
+        for s in range(0, n, max_cluster):
+            sub = slice(s, min(n, s + max_cluster))
+            m = mat[sub]
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(m), k=1)
+            hit = sims[iu, ju] >= tau
+            if hit.any():
+                a = ids[sub][iu[hit]]
+                b = ids[sub][ju[hit]]
+                lo, hi_ = np.minimum(a, b), np.maximum(a, b)
+                out_a.append(lo)
+                out_b.append(hi_)
+                out_s.append(sims[iu, ju][hit])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(cluster_pairs, batch_format="pyarrow")
+        .take_all()
+    )
+    if not rows:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+    return pa.Table.from_pylist(rows).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )

@@ -4961,6 +4961,22 @@ def q_kmeans_embeddings(sf_dir: str) -> pa.Table:
     return kmeans_embeddings(ds, k=8, iters=6)
 
 
+def q_semdedup_embeddings(sf_dir: str) -> pa.Table:
+    """SemDeDup semantic near-dup pairs: k-means fit + within-cluster
+    cosine ≥ tau (see `functions.similarity.semdedup_pairs`).  Model-
+    fit composite → rows-only gate; the within-cluster restriction is
+    recall-tested against the EXACT block-pair operator on a clustered
+    fixture in tests/test_functions.py.  tau matches the fixture's
+    low-similarity regime (like `embedding_neardup`); on this
+    near-random data the intra-cluster restriction keeps only the
+    same-cluster subset of the exact tau=0.4 pairs — the documented
+    SemDeDup trade (real corpora cluster; this fixture barely does)."""
+    from ..functions.similarity import semdedup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup_pairs(ds, k=8, iters=6, tau=0.4)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4970,6 +4986,7 @@ QUERIES = {
     # first (capstone + composites lead), per VERDICT r02 next-round #1.
     "dup_ngrams_documents": q_dup_ngrams_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semdedup_embeddings": q_semdedup_embeddings,
     "bm25_search": q_bm25_search,
     "boilerplate_prefixes": q_boilerplate_prefixes,
     "chunk_documents": q_chunk_documents,
