@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "bm25_search",
     "chunk_documents",
     "mix_char_budget",
+    "dup_ngrams_documents",
+    "semdedup_embeddings",
 ]
 
 

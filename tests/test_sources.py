@@ -103,3 +103,61 @@ def test_debezium_landing_empty_metadata_and_creates(tmp_path):
     rows = {(r["repo"], r["path"]): r for r in t.to_pylist()}
     assert set(rows) == {("r2", "b.rs")}  # a.py ends deleted
     assert rows[("r2", "b.rs")]["content"] == "fn main() {}\n"
+
+
+def test_debezium_snapshot_bootstrap_then_incremental(tmp_path):
+    """Debezium's two-phase contract: an initial-snapshot file whose
+    rows carry op "r" (snapshot read), then incremental files with
+    c/u/d ops.  Landing the full dump and replaying must converge to
+    the same lake as the canonical parquet stream — i.e. the engine
+    bootstraps from a snapshot and hands off to the binlog tail with
+    no special casing (op != "d" is an upsert)."""
+    stream = ensure_stream(2_000)
+    seg_files = sorted(glob.glob(os.path.join(stream, "events-*.parquet")))
+    wire_dir = str(tmp_path / "wire")
+    os.makedirs(wire_dir)
+
+    # phase 1: snapshot = the converged state of the first segment,
+    # emitted as op "r" rows (one per surviving key, at its seq)
+    first = pq.read_table(seg_files[0]).to_pylist()
+    latest = {}
+    for r in sorted(first, key=lambda r: r["commit_seq"]):
+        latest[(r["repo"], r["path"])] = r
+    with open(os.path.join(wire_dir, "wire-00000.jsonl"), "w") as fh:
+        for r in sorted(latest.values(), key=lambda r: r["commit_seq"]):
+            if r["op"] == "delete":
+                continue  # deleted keys simply absent from a snapshot
+            payload = {
+                "repo": r["repo"], "path": r["path"], "commit": r["commit"],
+                "lang": r["lang"], "content": r["content"],
+            }
+            if r.get("metadata") is not None:
+                payload["metadata"] = dict(r["metadata"])
+            if r.get("size_bytes") is not None:
+                payload["size_bytes"] = r["size_bytes"]
+            fh.write(json.dumps(
+                {"op": "r", "before": None, "after": payload,
+                 "seq": r["commit_seq"]}) + "\n")
+
+    # phase 2: the remaining segments as ordinary incremental envelopes
+    rest_dir = str(tmp_path / "rest_stream")
+    os.makedirs(rest_dir)
+    for f in seg_files[1:]:
+        os.symlink(f, os.path.join(rest_dir, os.path.basename(f)))
+    rb = os.path.join(stream, "rollbacks.parquet")
+    if os.path.exists(rb):
+        os.symlink(rb, os.path.join(rest_dir, "rollbacks.parquet"))
+    inc_files = _stream_to_jsonl(rest_dir, str(tmp_path / "wire_inc"))
+    for i, f in enumerate(inc_files):
+        os.rename(f, os.path.join(wire_dir, f"wire-{i + 1:05d}.jsonl"))
+
+    landed = str(tmp_path / "landed")
+    land_debezium_jsonl(wire_dir, landed)
+    lake_wire = str(tmp_path / "lake_wire")
+    lake_ref = str(tmp_path / "lake_ref")
+    replay(landed, lake_wire, num_partitions=4)
+    replay(stream, lake_ref, num_partitions=4)
+    # snapshot drops keys that died INSIDE segment 0 and replaces
+    # superseded versions with the converged row — the final lakes
+    # must nonetheless agree because LWW folds to the same winners
+    assert tables_equal(lake_table(lake_wire), lake_table(lake_ref))
