@@ -1,0 +1,126 @@
+"""Publish-side CDC: lake → changelog feed → Debezium JSONL export.
+
+The inverse of the ingest path — a downstream consumer must be able to
+(a) apply the c/u/d feed to its copy of the old snapshot and land on
+the new snapshot exactly, and (b) bootstrap a REPLICA lake from the
+exported snapshot+changelog JSONL through the engine's own Debezium
+landing, closing the loop: this engine can feed itself."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from web3research_etl_ray.gen import ensure_stream
+from web3research_etl_ray.oracle import tables_equal
+from web3research_etl_ray.pipelines.replay import (
+    lake_changelog,
+    lake_table,
+    replay,
+)
+from web3research_etl_ray.sources.debezium import (
+    export_debezium_jsonl,
+    land_debezium_jsonl,
+)
+
+
+def _two_tick_lake(tmp_path, n_events=2_000, split_frac=0.55):
+    stream = ensure_stream(n_events)
+    lake = str(tmp_path / "lake")
+    seqs = []
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(os.path.join(stream, "events-*.parquet"))):
+        seqs.extend(pq.read_table(f, columns=["commit_seq"]).column(0).to_pylist())
+    seqs.sort()
+    split = seqs[int(len(seqs) * split_frac)]
+    replay(stream, lake, num_partitions=4, upto_seq=split)
+    replay(stream, lake, num_partitions=4)
+    return stream, lake
+
+
+def _ckey(t: pa.Table) -> pa.Array:
+    return pc.binary_join_element_wise(
+        t.column("repo").cast(pa.string()), t.column("path").cast(pa.string()), "\x00"
+    )
+
+
+def test_changelog_applies_old_to_new(tmp_path):
+    _, lake = _two_tick_lake(tmp_path)
+    old = lake_table(lake, generation=0)
+    new = lake_table(lake, generation=1)
+    import ray
+
+    blocks = [
+        b for b in ray.get(lake_changelog(lake, 0, 1).to_arrow_refs()) if b.num_rows
+    ]
+    cl = pa.concat_tables(blocks)
+    assert cl.num_rows > 0
+    ops = set(cl.column("op").to_pylist())
+    assert ops <= {"c", "u", "d"} and "u" in ops
+    # after-images are present for c/u, null for d
+    cu = cl.filter(pc.not_equal(cl.column("op"), "d"))
+    d = cl.filter(pc.equal(cl.column("op"), "d"))
+    assert cu.column("content").null_count == 0
+    assert d.num_rows == 0 or d.column("content").null_count == d.num_rows
+    assert d.num_rows == 0 or d.column("seq").null_count == d.num_rows
+
+    # apply: drop changed/deleted keys from old, union the c/u after-images
+    touched = _ckey(cl)
+    keep = old.filter(pc.is_null(pc.index_in(_ckey(old), touched)))
+    applied_cols = {}
+    for name in new.column_names:
+        src = cu.column(name if name != "commit_seq" else "seq")
+        applied_cols[name] = pa.concat_arrays(
+            [
+                pa.concat_arrays([c for c in keep.column(name).cast(new.schema.field(name).type).chunks]),
+                pa.concat_arrays([c for c in src.cast(new.schema.field(name).type).chunks]),
+            ]
+        )
+    applied = pa.table(applied_cols).cast(new.schema)
+    assert tables_equal(applied, new)
+    # c rows' keys are absent from old; u rows' old_seq matches old state
+    c = cl.filter(pc.equal(cl.column("op"), "c"))
+    assert c.num_rows == 0 or pc.all(
+        pc.is_null(pc.index_in(_ckey(c), _ckey(old)))
+    ).as_py()
+    u = cl.filter(pc.equal(cl.column("op"), "u"))
+    idx = pc.index_in(_ckey(u), _ckey(old))
+    assert pc.all(pc.is_valid(idx)).as_py()
+    assert pc.all(
+        pc.equal(pc.take(old.column("commit_seq"), idx), u.column("old_seq"))
+    ).as_py()
+
+
+def test_changelog_same_generation_is_empty(tmp_path):
+    _, lake = _two_tick_lake(tmp_path)
+    assert lake_changelog(lake, 1, 1).count() == 0
+
+
+def test_export_snapshot_changelog_bootstraps_replica(tmp_path):
+    """export(snapshot@gen0 + changelog 0→1) → land → replay must
+    reproduce the source lake's latest state exactly — the engine
+    feeding a second copy of itself over its own wire format."""
+    _, lake = _two_tick_lake(tmp_path)
+    wire = str(tmp_path / "wire")
+    stats = export_debezium_jsonl(
+        lake, wire, gen_old=0, gen_new=1, snapshot=True
+    )
+    assert stats["snapshot_rows"] > 0 and stats["changelog_rows"] > 0
+    landed = str(tmp_path / "landed")
+    land_debezium_jsonl(wire, landed)
+    replica = str(tmp_path / "replica")
+    replay(landed, replica, num_partitions=4)
+    assert tables_equal(lake_table(replica), lake_table(lake))
+
+
+def test_export_is_idempotent(tmp_path):
+    """Re-exporting into the same wire dir overwrites (content-derived
+    names) — the landing side then sees each frame once."""
+    _, lake = _two_tick_lake(tmp_path)
+    wire = str(tmp_path / "wire")
+    export_debezium_jsonl(lake, wire, gen_old=0, gen_new=1, snapshot=True)
+    first = sorted(os.listdir(wire))
+    export_debezium_jsonl(lake, wire, gen_old=0, gen_new=1, snapshot=True)
+    assert sorted(os.listdir(wire)) == first

@@ -176,6 +176,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="scan this table of a multi-table fan-out lake "
                          "instead of a single-table lake")
 
+    ex = sub.add_parser(
+        "export",
+        help="publish the lake's change feed as Debezium JSONL "
+             "(snapshot + changelog — bootstraps a replica lake)",
+    )
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--out", required=True, help="wire output dir (JSONL)")
+    ex.add_argument("--from-gen", type=int, required=True, dest="from_gen")
+    ex.add_argument("--to-gen", type=int, default=None, dest="to_gen",
+                    help="default: latest committed generation")
+    ex.add_argument("--snapshot", action="store_true",
+                    help="also emit the from-gen state as op 'r' envelopes")
+
     st = sub.add_parser("stats", help="lake lineage/watermark summary")
     st.add_argument("--lake", required=True)
     st.add_argument("--partitions", action="store_true",
@@ -236,6 +249,16 @@ def main(argv: list[str] | None = None) -> int:
         from .state.manifest import restore_lake
 
         print(json.dumps(restore_lake(args.backup, args.lake)))
+        return 0
+
+    if args.cmd == "export":
+        from .sources.debezium import export_debezium_jsonl
+
+        stats = export_debezium_jsonl(
+            args.lake, args.out, gen_old=args.from_gen,
+            gen_new=args.to_gen, snapshot=args.snapshot,
+        )
+        print(json.dumps(stats))
         return 0
 
     if args.cmd == "lookup":

@@ -390,6 +390,71 @@ ORDER BY repo, path
 """
 
 
+def q_changelog_export(sf_dir: str) -> pa.Table:
+    """Publish-side CDC at the gate: replay the derived stream in two
+    ticks, then emit the gen0→gen1 change FEED (replay.py::
+    lake_changelog — Debezium verbs + after-images, the outbox half of
+    a CDC engine).  Partition-aligned pair compare, NO shuffle; the
+    oracle is the FULL OUTER JOIN of the two snapshot winners."""
+    import shutil
+
+    import ray
+
+    from .replay import lake_changelog, replay
+
+    stream = _derive_cdc_stream(sf_dir)
+    lake_dir = stream + "-cllake"
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    replay(stream, lake_dir, num_partitions=8, upto_seq=_TT_SPLIT)
+    replay(stream, lake_dir, num_partitions=8)
+    blocks = [
+        b
+        for b in ray.get(lake_changelog(lake_dir, 0, 1).to_arrow_refs())
+        if b.num_rows
+    ]
+    cl = pa.concat_tables(blocks)
+    is_d = pc.equal(cl.column("op"), "d")
+    sha = sha256_hex(cl.column("content"))
+    after_sha = pc.if_else(is_d, pa.nulls(cl.num_rows, pa.string()), sha)
+    out = pa.table(
+        {
+            "repo": cl.column("repo"),
+            "path": cl.column("path"),
+            "op": cl.column("op"),
+            "old_seq": cl.column("old_seq"),
+            "seq": cl.column("seq"),
+            "after_sha": after_sha,
+        }
+    )
+    return out.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+ORACLE_CHANGELOG = f"""
+WITH {_EV_CTE},
+old_w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM eff WHERE commit_seq <= {_TT_SPLIT}
+),
+old_s AS (SELECT repo, path, commit_seq, content FROM old_w WHERE rn = 1 AND op <> 'delete'),
+new_w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM eff
+),
+new_s AS (SELECT repo, path, commit_seq, content FROM new_w WHERE rn = 1 AND op <> 'delete')
+SELECT COALESCE(o.repo, n.repo) AS repo,
+       COALESCE(o.path, n.path) AS path,
+       CASE WHEN o.path IS NULL THEN 'c'
+            WHEN n.path IS NULL THEN 'd'
+            ELSE 'u' END AS op,
+       o.commit_seq AS old_seq,
+       n.commit_seq AS seq,
+       CASE WHEN n.path IS NULL THEN NULL ELSE sha256(n.content) END AS after_sha
+FROM old_s o FULL OUTER JOIN new_s n ON o.repo = n.repo AND o.path = n.path
+WHERE o.commit_seq IS DISTINCT FROM n.commit_seq
+ORDER BY repo, path
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2. CDC-core operator analogues over the generic events table
 # ---------------------------------------------------------------------------
@@ -5045,6 +5110,7 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "cdc_scan_recent": q_cdc_scan_recent,
     "time_travel_diff": q_time_travel_diff,
+    "changelog_export": q_changelog_export,
     "lww_upsert_events": q_lww_upsert_events,
     "watermark_events": q_watermark_events,
     "per_type_counts": q_per_type_counts,
@@ -5107,6 +5173,7 @@ ORACLE_SQL = {
     "scd2_history": ORACLE_SCD2,
     "cdc_scan_recent": ORACLE_SCAN_RECENT,
     "time_travel_diff": ORACLE_TT_DIFF,
+    "changelog_export": ORACLE_CHANGELOG,
     "lww_upsert_events": ORACLE_LWW,
     "watermark_events": "SELECT max(event_id) AS max_event_id, count(*) AS n_events FROM events",
     "per_type_counts": ORACLE_PER_TYPE,

@@ -995,6 +995,145 @@ def lake_diff(
     )
 
 
+def lake_changelog(
+    lake_dir: str,
+    gen_old: int,
+    gen_new: int | None = None,
+    *,
+    spec: TableSpec = REPO_FILES,
+) -> ray.data.Dataset:
+    """Publish-side CDC: the change feed between two committed
+    generations, with full after-images — the outbox half of a CDC
+    engine (the reference only consumes CDC; a downstream consumer of
+    THIS lake needs the inverse of src/ch_eth/sync.rs's apply loop).
+
+    One row per changed upsert key:
+      key_cols... + payload_cols... (after-image; null for deletes)
+      + ``op`` ∈ c|u|d (Debezium verbs) + ``old_seq`` + ``seq``.
+    ``seq`` is the new winner's order value for c/u and null for d —
+    merge drops tombstones, so the deleting event's own seq is not
+    retained in lake state (see export_debezium_jsonl for the wire
+    substitute).
+
+    Scale shape is lake_diff's: both snapshots share the lake's hash
+    partitioning, so the feed is computed partition-aligned — one task
+    per changed partition pair, vectorized index_in on the composite
+    key, NO shuffle, untouched carried-forward partitions skipped
+    entirely.  After-images ride the same partition read (no second
+    lookup pass)."""
+    m_old = _manifest_at(lake_dir, gen_old)
+    m_new = _manifest_at(lake_dir, gen_new)
+    if (
+        m_old.num_partitions != m_new.num_partitions
+        or m_old.split_depths != m_new.split_depths
+    ):
+        raise ValueError(
+            "changelog across a repartitioned/split lake is not "
+            "partition-aligned; diff generations on the same layout"
+        )
+    pairs = []
+    for pid in m_new.extended_pids():
+        fo = m_old.partitions.get(pid)
+        fn = m_new.partitions.get(pid)
+        fo = fo.file if fo else None
+        fn = fn.file if fn else None
+        if fo == fn:
+            continue  # untouched partition carried forward
+        pairs.append({"part_id": pid, "old_file": fo, "new_file": fn})
+    key_cols, order_col = list(spec.key), spec.order_col
+    payload_cols = [
+        f.name for f in spec.schema if f.name not in key_cols and f.name != order_col
+    ]
+    out_schema = pa.schema(
+        [(c, spec.schema.field(c).type) for c in key_cols]
+        + [(c, spec.schema.field(c).type) for c in payload_cols]
+        + [("op", pa.string()), ("old_seq", pa.int64()), ("seq", pa.int64())]
+    )
+
+    def changelog_partition(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            old_t = (
+                pq.read_table(
+                    os.path.join(lake_dir, row["old_file"]),
+                    columns=key_cols + [order_col],
+                )
+                if row["old_file"]
+                else None
+            )
+            new_t = (
+                pq.read_table(os.path.join(lake_dir, row["new_file"]))
+                if row["new_file"]
+                else None
+            )
+
+            def ckey(t: pa.Table) -> pa.Array:
+                parts = [t.column(c).cast(pa.string()) for c in key_cols]
+                return pc.binary_join_element_wise(*parts, "\x00")
+
+            if old_t is None:
+                old_t = pa.schema(
+                    [(c, spec.schema.field(c).type) for c in key_cols]
+                    + [(order_col, spec.schema.field(order_col).type)]
+                ).empty_table()
+            if new_t is None:
+                new_t = spec.schema.empty_table()
+            ko, kn = ckey(old_t), ckey(new_t)
+            idx_on = pc.index_in(ko, kn)  # old key's position in new
+            idx_no = pc.index_in(kn, ko)  # new key's position in old
+            deleted = old_t.filter(pc.is_null(idx_on))
+            added = new_t.filter(pc.is_null(idx_no))
+            both = new_t.filter(pc.is_valid(idx_no))
+            old_seq_for_new = pc.take(
+                old_t.column(order_col), idx_no.filter(pc.is_valid(idx_no))
+            )
+            upd_mask = pc.not_equal(both.column(order_col), old_seq_for_new)
+            updated = both.filter(upd_mask)
+            upd_old_seq = old_seq_for_new.filter(upd_mask)
+
+            def emit(t: pa.Table, op: str, old_seq, seq):
+                n = t.num_rows
+                d = {c: t.column(c) for c in key_cols}
+                for c in payload_cols:
+                    d[c] = (
+                        t.column(c)
+                        if c in t.column_names and op != "d"
+                        else pa.nulls(n, spec.schema.field(c).type)
+                    )
+                d["op"] = pa.array([op] * n, pa.string())
+                d["old_seq"] = old_seq
+                d["seq"] = seq
+                out.append(pa.table(d))
+
+            nulls = lambda n: pa.nulls(n, pa.int64())  # noqa: E731
+            emit(
+                deleted, "d",
+                deleted.column(order_col).cast(pa.int64()),
+                nulls(deleted.num_rows),
+            )
+            emit(
+                added, "c", nulls(added.num_rows),
+                added.column(order_col).cast(pa.int64()),
+            )
+            emit(
+                updated, "u", upd_old_seq.cast(pa.int64()),
+                updated.column(order_col).cast(pa.int64()),
+            )
+        if not out:
+            return out_schema.empty_table()
+        return pa.concat_tables(
+            [t.select(out_schema.names) for t in out]
+        ).cast(out_schema)
+
+    if not pairs:
+        return ray.data.from_items([]).map_batches(
+            changelog_partition, batch_format="pyarrow"
+        )
+    return ray.data.from_items(pairs).map_batches(
+        changelog_partition, batch_format="pyarrow", batch_size=1
+    )
+
+
 def lookup_key(
     lake_dir: str, repo: str, path: str, *, generation: int | None = None
 ) -> dict | None:

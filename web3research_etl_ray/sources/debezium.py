@@ -279,3 +279,109 @@ def land_debezium_jsonl(src: str | list[str], out_stream_dir: str) -> dict:
     os.replace(tmp, rb_path)
     return {"files": len(files), "segments": n_seg, "rollbacks": rb.num_rows,
             "events": n_events}
+
+
+# ---------------------------------------------------------------------------
+# Publish side: lake → Debezium JSONL (the outbox / downstream feed)
+# ---------------------------------------------------------------------------
+
+
+def _envelope_lines(t: "pa.Table", snapshot_op: str | None = None) -> list[str]:
+    """One changelog/snapshot block → JSONL envelope lines.  Row-wise
+    json.dumps is inherent at the wire-format boundary (the landing
+    parser is the vectorized direction); blocks serialize in parallel,
+    one Ray task each."""
+    import json
+
+    key_or_payload = [
+        c for c in ("repo", "path", "commit", "lang", "content") if c in t.column_names
+    ]
+    lines = []
+    for r in t.to_pylist():
+        op = snapshot_op if snapshot_op is not None else r["op"]
+        seq = r["commit_seq"] if snapshot_op is not None else r["seq"]
+        if op == "d":
+            # merge drops tombstones, so the deleting event's own seq is
+            # not retained in lake state; any seq > the key's old winner
+            # makes every LWW consumer converge, and within the exported
+            # stream only the snapshot row (old_seq) competes for the key
+            payload = {
+                "repo": r["repo"], "path": r["path"],
+                "commit": "", "lang": "", "content": "",
+            }
+            env = {"op": "d", "before": payload, "after": None,
+                   "seq": r["old_seq"] + 1}
+        else:
+            payload = {c: r[c] for c in key_or_payload}
+            if r.get("metadata") is not None:
+                payload["metadata"] = dict(r["metadata"])
+            if r.get("size_bytes") is not None:
+                payload["size_bytes"] = r["size_bytes"]
+            env = {"op": op, "before": None, "after": payload, "seq": seq}
+        lines.append(json.dumps(env, sort_keys=True))
+    return lines
+
+
+def export_debezium_jsonl(
+    lake_dir: str,
+    out_dir: str,
+    *,
+    gen_old: int,
+    gen_new: int | None = None,
+    snapshot: bool = False,
+    spec=None,
+) -> dict:
+    """Export the lake's change feed as Debezium JSONL — the PUBLISH
+    half of a CDC engine (the reference only consumes; a downstream
+    system tailing THIS lake needs envelopes it can apply).  With
+    ``snapshot=True`` the full ``gen_old`` state is emitted first as
+    op "r" envelopes (Debezium's initial-snapshot phase), then the
+    gen_old→gen_new changelog as c/u/d envelopes — exactly the
+    two-phase stream :func:`land_debezium_jsonl` consumes, so an
+    engine can bootstrap a REPLICA lake from another lake's export
+    (tested round-trip: export → land → replay == source lake).
+
+    Scale shape: snapshot blocks and changelog partitions serialize in
+    parallel (one Ray task per block, write-then-rename); file names
+    are content-derived, so a re-export into the same dir overwrites
+    rather than duplicates (idempotent, like the landing side)."""
+    import hashlib
+
+    from ..pipelines.replay import lake_changelog, read_lake
+    from ..schema import REPO_FILES
+
+    spec = spec if spec is not None else REPO_FILES
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_block(t: pa.Table, kind: str, snapshot_op: str | None) -> int:
+        lines = _envelope_lines(t, snapshot_op)
+        if not lines:
+            return 0
+        body = "\n".join(lines) + "\n"
+        tag = hashlib.sha256(body.encode()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"wire-{kind}-{tag}.jsonl")
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(body)
+        os.replace(tmp, path)
+        return len(lines)
+
+    def snap_block(t: pa.Table) -> pa.Table:
+        n = _write_block(t, "snap", "r")
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    def cl_block(t: pa.Table) -> pa.Table:
+        n = _write_block(t, "feed", None)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_snap = 0
+    if snapshot:
+        snap = read_lake(lake_dir, generation=gen_old).map_batches(
+            snap_block, batch_format="pyarrow"
+        )
+        n_snap = sum(r["n"] for r in snap.take_all())
+    feed = lake_changelog(lake_dir, gen_old, gen_new, spec=spec).map_batches(
+        cl_block, batch_format="pyarrow"
+    )
+    n_feed = sum(r["n"] for r in feed.take_all())
+    return {"snapshot_rows": n_snap, "changelog_rows": n_feed}
