@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "mix_char_budget",
     "dup_ngrams_documents",
+    "remove_dup_spans_documents",
     "semdedup_embeddings",
 ]
 

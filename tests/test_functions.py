@@ -1455,3 +1455,58 @@ def test_semdedup_matches_exact_pairs_on_clustered_fixture():
     got = set(zip(sem["id_a"].to_pylist(), sem["id_b"].to_pylist()))
     assert len(want) >= 3 * k  # the planted pairs are above tau
     assert got == want
+
+
+def test_remove_dup_spans_keeps_first_occurrence():
+    """Exact-substring removal: a span shared by two docs survives in
+    the lexicographically-first (doc, pos) occurrence ONLY; a repeat of
+    the same 4-gram WITHIN one doc is also cut; unique docs and
+    <4-token docs pass through verbatim."""
+    import tempfile
+
+    from web3research_etl_ray.pipelines.queries import (
+        q_remove_dup_spans_documents,
+    )
+
+    shared = "alpha beta gamma delta"
+    texts = [
+        f"intro words lead up then {shared} and a small tail",
+        f"{shared} opens this one then diverges completely here",
+        "nothing in common with the others at all whatsoever today",
+        "too short",
+        f"selfrep starts {shared} middle filler words {shared} closing",
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            f"{tmp}/documents.parquet",
+        )
+        out = (
+            q_remove_dup_spans_documents(tmp)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    # doc0 holds the first occurrence (doc 0 < doc 1, and within doc 4
+    # its copies sit later by doc order) → doc0 is untouched
+    assert out.loc[0, "n_removed"] == 0
+    assert out.loc[0, "text_dedup"] == texts[0]
+    # doc1's copy is cut: exactly the 4 covered tokens go
+    assert out.loc[1, "n_removed"] == 4
+    assert out.loc[1, "text_dedup"] == "opens this one then diverges completely here"
+    # unique + short docs untouched
+    assert out.loc[2, "n_removed"] == 0 and out.loc[2, "text_dedup"] == texts[2]
+    assert out.loc[3, "n_removed"] == 0 and out.loc[3, "text_dedup"] == texts[3]
+    # doc4: BOTH its occurrences are non-first (doc0 owns the gram) → 8 cut
+    assert out.loc[4, "n_removed"] == 8
+    assert (
+        out.loc[4, "text_dedup"]
+        == "selfrep starts middle filler words closing"
+    )

@@ -74,6 +74,8 @@ def test_entry_smoke():
         "mix_char_budget", "contamination_documents",
         "redact_pii_documents", "token_rarity_documents",
         "repetition_stats_documents",
+        "dup_ngrams_documents", "remove_dup_spans_documents",
+        "changelog_export",
     ],
 )
 def test_query(results, name):

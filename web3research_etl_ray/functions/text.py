@@ -151,6 +151,28 @@ def token_hash_stream(
     return h, p
 
 
+def token_strings(
+    col: pa.Array | pa.ChunkedArray,
+) -> tuple[pa.Array, np.ndarray]:
+    """(flat_token string[T], doc_index int64[T]) — the STRING twin of
+    :func:`token_hash_stream` (same ``\\w+``-on-lowered tokenizer, so
+    positions line up between the hash and string views of a batch).
+    Used where the tokens themselves must survive, e.g. rebuilding
+    deduplicated text from kept positions."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(arr, "")), pattern=r"\W+"
+    )
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    mask = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(mask)
+    parents = parents.filter(mask)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, parents.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def simhash64(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit SimHash over token hashes (Charikar), batch-vectorized:
     one Arrow tokenize pass, buffer-level polynomial token hashing,

@@ -5013,6 +5013,188 @@ FROM documents d LEFT JOIN (
 """
 
 
+def q_remove_dup_spans_documents(sf_dir: str) -> pa.Table:
+    """Exact-substring span REMOVAL — the action half of the Lee et
+    al. 2022 dedup whose statistic `dup_ngrams_documents` computes:
+    every word position covered by a word-4-shingle occurrence that is
+    a non-first duplicate (the gram occurs >1 times corpus-wide, and
+    this occurrence is not the lexicographically-first (doc, pos)) is
+    cut; documents are rebuilt from the surviving tokens.  Keeping the
+    FIRST occurrence is what makes the rule deterministic and
+    SQL-mirrorable.
+
+    Scale shape: O(tokens) occurrence rows is inherent to exact-
+    substring dedup (the paper builds a corpus suffix array — also
+    O(tokens)); here it is two bounded-bucket shuffles. Batch pass
+    emits one row per shingle occurrence (hash stands in for the gram,
+    collision odds (#grams)^2/2^64 ≈ 0) → shingle-hash buckets mark
+    non-first members of each hash run (vectorized lexsort + run
+    scan) → removal rows and the original docs meet in doc-hash
+    buckets where ONE vectorized pass per bucket (interval delta +
+    cumsum cover mask + reduceat offsets + Arrow binary_join) rebuilds
+    every doc's text.  No per-doc Python, no full-corpus state."""
+    from ..functions.text import token_hash_stream, token_strings
+
+    W = 4
+    NB = 64
+    DB = 32
+
+    def occurrence_rows(t: pa.Table) -> pa.Table:
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h, parents = token_hash_stream(t.column("text"))
+        sh = np.zeros(0, np.int64)
+        shp = np.zeros(0, np.int64)
+        pos = np.zeros(0, np.int64)
+        if len(h) >= W:
+            K = np.uint64(1099511628211)
+            m = len(h) - W + 1
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(W):
+                acc = acc * K + h[j : m + j]
+            valid = parents[:m] == parents[W - 1 :]
+            sh = (acc[valid] >> np.uint64(1)).astype(np.int64)
+            shp = parents[:m][valid]
+            # within-doc 0-based token position of each shingle start:
+            # absolute index minus the doc's first absolute index
+            starts = np.flatnonzero(
+                np.concatenate(([True], parents[1:] != parents[:-1]))
+            )
+            first_abs = np.repeat(starts, np.diff(np.concatenate((starts, [len(parents)]))))
+            pos = (np.arange(len(parents), dtype=np.int64) - first_abs)[:m][valid]
+        return pa.table(
+            {
+                "s": pa.array(sh, pa.int64()),
+                "doc_id": pa.array(docs[shp] if len(sh) else shp, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "__db": pa.array(sh % NB, pa.int64()),
+            }
+        )
+
+    def mark_nonfirst(group: pa.Table) -> pa.Table:
+        s = group.column("s").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc, s))
+        s, doc, pos = s[order], doc[order], pos[order]
+        first_of_run = np.concatenate(([True], s[1:] != s[:-1]))
+        run_len = np.diff(
+            np.concatenate((np.flatnonzero(first_of_run), [len(s)]))
+        )
+        in_dup_run = np.repeat(run_len > 1, run_len)
+        # non-first members of every >1 run (the first occurrence of a
+        # duplicated gram is KEPT, all later (doc,pos) are cut)
+        cut = in_dup_run & ~first_of_run
+        doc, pos = doc[cut], pos[cut]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "text": pa.nulls(len(doc), pa.string()),
+                "__b": pa.array(doc % DB, pa.int64()),
+            }
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        docs = t.column("doc_id").cast(pa.int64())
+        d = docs.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": docs,
+                "pos": pa.array(np.full(len(d), -1, np.int64), pa.int64()),
+                "text": t.column("text"),
+                "__b": pa.array(d % DB, pa.int64()),
+            }
+        )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        is_doc = pc.equal(group.column("pos"), -1)
+        d_rows = group.filter(is_doc)
+        r_rows = group.filter(pc.invert(is_doc))
+        flat, parents = token_strings(d_rows.column("text"))
+        n_docs = d_rows.num_rows
+        counts = np.zeros(n_docs, np.int64)
+        if len(parents):
+            np.add.at(counts, parents, 1)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        delta = np.zeros(len(flat) + 1, np.int64)
+        if r_rows.num_rows:
+            ridx = pc.index_in(
+                r_rows.column("doc_id"), d_rows.column("doc_id")
+            ).to_numpy(zero_copy_only=False)
+            g = offsets[ridx] + r_rows.column("pos").to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(delta, g, 1)
+            np.add.at(delta, g + W, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        keep = ~covered
+        cs = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))
+        kept_counts = cs[offsets[1:]] - cs[offsets[:-1]]
+        new_offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+        kept = flat.filter(pa.array(keep)) if len(flat) else flat
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), kept
+        )
+        return pa.table(
+            {
+                "doc_id": d_rows.column("doc_id"),
+                "text_dedup": pc.binary_join(lists, " "),
+                "n_removed": pa.array(counts - kept_counts, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    removals = (
+        ds.map_batches(occurrence_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__db")
+        .map_groups(mark_nonfirst, batch_format="pyarrow")
+    )
+    docs = ds.map_batches(doc_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        removals.union(docs)
+        .groupby("__b")
+        .map_groups(
+            lambda g: rebuild(g.drop_columns(["__b"])), batch_format="pyarrow"
+        )
+    )
+
+
+ORACLE_REMOVE_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, i AS p, array_to_string(ts[i:i+3], ' ') AS shingle
+  FROM toks JOIN range(1, 4096) t(i) ON t.i <= greatest(0, len(ts) - 3)
+), cnt AS (
+  SELECT shingle, count(*) AS c, min(doc_id * 1000000 + p) AS fk
+  FROM sh GROUP BY shingle
+), dupocc AS (
+  SELECT s.doc_id, s.p FROM sh s JOIN cnt USING (shingle)
+  WHERE cnt.c > 1 AND s.doc_id * 1000000 + s.p <> cnt.fk
+), words AS (
+  SELECT doc_id, i AS pos, ts[i] AS word
+  FROM toks JOIN range(1, 4096) r(i) ON r.i <= len(ts)
+), removed AS (
+  SELECT DISTINCT w.doc_id, w.pos
+  FROM words w JOIN dupocc o
+    ON o.doc_id = w.doc_id AND w.pos BETWEEN o.p AND o.p + 3
+)
+SELECT t.doc_id,
+       coalesce(
+         string_agg(w.word, ' ' ORDER BY w.pos)
+           FILTER (WHERE w.pos IS NOT NULL AND r.pos IS NULL),
+         '') AS text_dedup,
+       count(r.pos)::BIGINT AS n_removed
+FROM toks t
+LEFT JOIN words w USING (doc_id)
+LEFT JOIN removed r ON r.doc_id = w.doc_id AND r.pos = w.pos
+GROUP BY t.doc_id
+"""
+
+
 def q_kmeans_embeddings(sf_dir: str) -> pa.Table:
     """Distributed Lloyd's k-means assignment over the embeddings
     table (SemDeDup / cluster-balanced-sampling primitive) — see
@@ -5050,6 +5232,7 @@ QUERIES = {
     # Ordered so the entries without a CORRECTNESS_r02 driver row run
     # first (capstone + composites lead), per VERDICT r02 next-round #1.
     "dup_ngrams_documents": q_dup_ngrams_documents,
+    "remove_dup_spans_documents": q_remove_dup_spans_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
     "bm25_search": q_bm25_search,
@@ -5161,6 +5344,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dup_ngrams_documents": ORACLE_DUP_NGRAMS,
+    "remove_dup_spans_documents": ORACLE_REMOVE_DUP_SPANS,
     "bm25_search": ORACLE_BM25,
     "boilerplate_prefixes": ORACLE_BOILERPLATE,
     "chunk_documents": ORACLE_CHUNKS,
