@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "mix_char_budget",
     "dup_ngrams_documents",
     "remove_dup_spans_documents",
+    "dedup_keep_best_documents",
     "semdedup_embeddings",
 ]
 

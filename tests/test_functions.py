@@ -1510,3 +1510,44 @@ def test_remove_dup_spans_keeps_first_occurrence():
         out.loc[4, "text_dedup"]
         == "selfrep starts middle filler words closing"
     )
+
+
+def test_dedup_keep_best_picks_highest_quality_variant():
+    """Case/whitespace variants cluster under the canonical-form sha;
+    the representative is the highest-quality ORIGINAL (here: longer
+    raw text scores higher), ties fall to the lowest doc_id."""
+    import tempfile
+
+    from web3research_etl_ray.pipelines.queries import (
+        q_dedup_keep_best_documents,
+    )
+
+    base = "some shared sentence of words for the cluster body here"
+    texts = [
+        base.replace(" shared ", "  shared "),  # doc0: extra space → longest
+        base.upper(),                            # doc1: case variant
+        base,                                    # doc2: canonical
+        "a totally different document with its own unique words",
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            f"{tmp}/documents.parquet",
+        )
+        out = (
+            q_dedup_keep_best_documents(tmp)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert len(out) == 2
+    by_size = out.set_index("cluster_size")
+    assert by_size.loc[3, "doc_id"] == 0  # longest variant wins its cluster
+    assert by_size.loc[1, "doc_id"] == 3

@@ -75,7 +75,7 @@ def test_entry_smoke():
         "redact_pii_documents", "token_rarity_documents",
         "repetition_stats_documents",
         "dup_ngrams_documents", "remove_dup_spans_documents",
-        "changelog_export",
+        "changelog_export", "dedup_keep_best_documents",
     ],
 )
 def test_query(results, name):

@@ -1288,6 +1288,115 @@ def q_normalized_text_sha(sf_dir: str) -> pa.Table:
 ORACLE_NORM_SHA = "SELECT doc_id, sha256(lower(text)) AS norm_sha256 FROM documents"
 
 
+def q_dedup_keep_best_documents(sf_dir: str) -> pa.Table:
+    """Dedup with representative SELECTION: cluster by normalized-text
+    sha, keep the member with the highest quality score (ties → lowest
+    doc_id) — the standard corpus rule "of N near-identical crawls,
+    keep the best one", vs exact_dedup_documents' keep-any-first.
+
+    Shape: per-batch partial fold (winner + count per sha, vectorized
+    Arrow sort + run-boundary scan, no Python per group) → one sha-hash
+    bucket exchange → identical final fold, counts summed by reduceat.
+    Shuffle volume is one row per (sha, batch), not per doc."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    NB = 32
+
+    def _fold(tb: pa.Table) -> pa.Table:
+        tb = tb.sort_by(
+            [
+                ("norm_sha256", "ascending"),
+                ("quality", "descending"),
+                ("doc_id", "ascending"),
+            ]
+        )
+        s = tb.column("norm_sha256").combine_chunks()
+        n = len(s)
+        if n == 0:
+            return tb
+        neq = pc.not_equal(s.slice(1), s.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        first = np.concatenate(([True], neq))
+        starts = np.flatnonzero(first)
+        cnt = tb.column("cluster_size").to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(cnt, starts)
+        win = tb.take(pa.array(starts, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": win.column("doc_id"),
+                "norm_sha256": win.column("norm_sha256"),
+                "cluster_size": pa.array(sums, pa.int64()),
+                "quality": win.column("quality"),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = quality_score(t)
+        # canonical form: lower + collapse whitespace runs + trim — so
+        # case/spacing variants cluster together while their ORIGINAL
+        # text quality still differs (what makes "keep best" real)
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t.column("text")), r"\s+", " "
+            )
+        )
+        nsha = sha256_hex(norm)
+        tb = pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "norm_sha256": nsha,
+                "cluster_size": pa.array(
+                    np.ones(t.num_rows, np.int64), pa.int64()
+                ),
+                "quality": q.column("quality"),
+            }
+        )
+        out = _fold(tb)
+        h = key_hash64(out.column("norm_sha256"))
+        return out.append_column(
+            "__b", pa.array((h % np.uint64(NB)).astype(np.int64), pa.int64())
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda g: _fold(g.drop_columns(["__b"])), batch_format="pyarrow"
+        )
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = r"""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digits
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS norm_sha256,
+         least(n_chars / 200.0, 1.0) * 0.4
+       + least(n_tokens / 40.0, 1.0) * 0.4
+       + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.1
+       + (1.0 - least(n_digits / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.1
+         AS quality
+  FROM m
+), r AS (
+  SELECT doc_id, norm_sha256, quality,
+         row_number() OVER (
+           PARTITION BY norm_sha256 ORDER BY quality DESC, doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY norm_sha256) AS csz
+  FROM c
+)
+SELECT doc_id, norm_sha256, csz::BIGINT AS cluster_size, quality
+FROM r WHERE rn = 1
+"""
+
+
 def q_top2_per_user(sf_dir: str) -> pa.Table:
     """Group-wise top-k (window-function family): each user's top-2
     events by value.  Partial top-2 per batch → final top-2 per user —
@@ -5233,6 +5342,7 @@ QUERIES = {
     # first (capstone + composites lead), per VERDICT r02 next-round #1.
     "dup_ngrams_documents": q_dup_ngrams_documents,
     "remove_dup_spans_documents": q_remove_dup_spans_documents,
+    "dedup_keep_best_documents": q_dedup_keep_best_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
     "bm25_search": q_bm25_search,
@@ -5345,6 +5455,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dup_ngrams_documents": ORACLE_DUP_NGRAMS,
     "remove_dup_spans_documents": ORACLE_REMOVE_DUP_SPANS,
+    "dedup_keep_best_documents": ORACLE_DEDUP_KEEP_BEST,
     "bm25_search": ORACLE_BM25,
     "boilerplate_prefixes": ORACLE_BOILERPLATE,
     "chunk_documents": ORACLE_CHUNKS,
