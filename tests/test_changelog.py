@@ -124,3 +124,40 @@ def test_export_is_idempotent(tmp_path):
     first = sorted(os.listdir(wire))
     export_debezium_jsonl(lake, wire, gen_old=0, gen_new=1, snapshot=True)
     assert sorted(os.listdir(wire)) == first
+
+
+def test_export_tick_relay_chain(tmp_path):
+    """Continuous outbox: tick the source lake three times, export
+    after each tick (snapshot, then incremental changelogs), land the
+    accumulated wire dir — the replica must equal the source after
+    every tick, and a no-change tick must export nothing."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.sources.debezium import export_tick
+
+    stream = ensure_stream(2_000)
+    seqs = []
+    for f in sorted(glob.glob(os.path.join(stream, "events-*.parquet"))):
+        seqs.extend(pq.read_table(f, columns=["commit_seq"]).column(0).to_pylist())
+    seqs.sort()
+    cuts = [seqs[len(seqs) // 3], seqs[2 * len(seqs) // 3], None]
+
+    lake = str(tmp_path / "lake")
+    wire = str(tmp_path / "wire")
+    modes = []
+    for i, cut in enumerate(cuts):
+        replay(stream, lake, num_partitions=4, upto_seq=cut)
+        stats = export_tick(lake, wire)
+        modes.append(stats["mode"])
+        landed = str(tmp_path / f"landed{i}")
+        land_debezium_jsonl(wire, landed)
+        replica = str(tmp_path / f"replica{i}")
+        replay(landed, replica, num_partitions=4)
+        assert tables_equal(lake_table(replica), lake_table(lake)), f"tick {i}"
+    assert modes == ["snapshot", "changelog", "changelog"]
+    # cursor caught up: a tick with no new generation exports nothing
+    assert export_tick(lake, wire)["mode"] == "noop"
+    with open(os.path.join(wire, "export-cursor.json")) as fh:
+        assert json.load(fh)["generation"] == 2

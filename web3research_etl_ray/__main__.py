@@ -183,7 +183,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ex.add_argument("--lake", required=True)
     ex.add_argument("--out", required=True, help="wire output dir (JSONL)")
-    ex.add_argument("--from-gen", type=int, required=True, dest="from_gen")
+    ex.add_argument("--tick", action="store_true",
+                    help="continuous-outbox mode: export everything "
+                         "committed since the last export tick (cursor "
+                         "kept in the wire dir; first tick = snapshot)")
+    ex.add_argument("--from-gen", type=int, default=None, dest="from_gen")
     ex.add_argument("--to-gen", type=int, default=None, dest="to_gen",
                     help="default: latest committed generation")
     ex.add_argument("--snapshot", action="store_true",
@@ -252,12 +256,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "export":
-        from .sources.debezium import export_debezium_jsonl
+        from .sources.debezium import export_debezium_jsonl, export_tick
 
-        stats = export_debezium_jsonl(
-            args.lake, args.out, gen_old=args.from_gen,
-            gen_new=args.to_gen, snapshot=args.snapshot,
-        )
+        if args.tick:
+            stats = export_tick(args.lake, args.out)
+        elif args.from_gen is None:
+            p.error("export needs --tick or --from-gen")
+        else:
+            stats = export_debezium_jsonl(
+                args.lake, args.out, gen_old=args.from_gen,
+                gen_new=args.to_gen, snapshot=args.snapshot,
+            )
         print(json.dumps(stats))
         return 0
 

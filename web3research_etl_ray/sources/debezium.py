@@ -385,3 +385,50 @@ def export_debezium_jsonl(
     )
     n_feed = sum(r["n"] for r in feed.take_all())
     return {"snapshot_rows": n_snap, "changelog_rows": n_feed}
+
+
+def export_tick(lake_dir: str, out_dir: str, *, spec=None) -> dict:
+    """Continuous outbox: publish everything committed since the last
+    export tick.  First call emits the op-'r' snapshot of the current
+    generation (Debezium's bootstrap phase); every later call emits the
+    changelog cursor→latest.  The cursor persists in the wire dir
+    (tmp+rename AFTER the envelopes land on disk), so a crash between
+    writing envelopes and advancing the cursor re-exports the same
+    window — idempotent, because envelope file names are
+    content-derived (re-export overwrites) and the landing side's LWW
+    absorbs replays.  Tailing sync loop + export_tick = a full
+    source→lake→wire→replica relay chain."""
+    import json as _json
+
+    from ..state.manifest import load_latest
+
+    latest = load_latest(lake_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed generation under {lake_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    cursor_path = os.path.join(out_dir, "export-cursor.json")
+    cursor = None
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            cursor = _json.load(fh)["generation"]
+    if cursor is None:
+        stats = export_debezium_jsonl(
+            lake_dir, out_dir, gen_old=latest.generation, snapshot=True,
+            spec=spec,
+        )
+        stats["mode"] = "snapshot"
+    elif cursor == latest.generation:
+        stats = {"snapshot_rows": 0, "changelog_rows": 0, "mode": "noop"}
+    else:
+        stats = export_debezium_jsonl(
+            lake_dir, out_dir, gen_old=cursor, gen_new=latest.generation,
+            spec=spec,
+        )
+        stats["mode"] = "changelog"
+    tmp = cursor_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump({"generation": latest.generation}, fh)
+    os.replace(tmp, cursor_path)
+    stats["generation"] = latest.generation
+    stats["since"] = cursor
+    return stats
