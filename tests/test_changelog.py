@@ -161,3 +161,71 @@ def test_export_tick_relay_chain(tmp_path):
     assert export_tick(lake, wire)["mode"] == "noop"
     with open(os.path.join(wire, "export-cursor.json")) as fh:
         assert json.load(fh)["generation"] == 2
+
+
+def test_sync_loop_publishes_outbox(tmp_path):
+    """sync(export_out=...) is the full relay: segments arrive between
+    ticks, each tick commits AND publishes — landing the wire dir at
+    the end rebuilds the source lake exactly."""
+    import shutil
+
+    from web3research_etl_ray.pipelines.tail import sync
+
+    stream = ensure_stream(3_000)
+    segs = sorted(glob.glob(os.path.join(stream, "events-*.parquet")))
+    growing = str(tmp_path / "growing")
+    os.makedirs(growing)
+    rb = os.path.join(stream, "rollbacks.parquet")
+    if os.path.exists(rb):
+        shutil.copy(rb, os.path.join(growing, "rollbacks.parquet"))
+    # ~3 growth steps
+    cuts = [max(1, len(segs) // 3), max(2, 2 * len(segs) // 3), len(segs)]
+    for f in segs[: cuts[0]]:
+        shutil.copy(f, growing)
+    step = {"i": 0}
+
+    def grow(tick, manifest):
+        i = step["i"]
+        if i + 1 < len(cuts):
+            for f in segs[cuts[i]: cuts[i + 1]]:
+                shutil.copy(f, growing)
+            step["i"] = i + 1
+
+    lake = str(tmp_path / "lake")
+    wire = str(tmp_path / "wire")
+    sync(growing, lake, max_ticks=3, num_partitions=4, on_tick=grow,
+         export_out=wire)
+    landed = str(tmp_path / "landed")
+    land_debezium_jsonl(wire, landed)
+    replica = str(tmp_path / "replica")
+    replay(landed, replica, num_partitions=4)
+    assert tables_equal(lake_table(replica), lake_table(lake))
+
+
+def test_export_tick_refuses_gcd_cursor(tmp_path):
+    """If the cursor generation fell out of the GC window the changelog
+    base is gone; export_tick must fail loudly (a silent re-snapshot
+    would strand deletes on the replica) and tell the operator to
+    re-bootstrap into a fresh wire dir."""
+    import pytest
+
+    from web3research_etl_ray.sources.debezium import export_tick
+    from web3research_etl_ray.state.manifest import gc_generations
+
+    stream = ensure_stream(2_000)
+    seqs = []
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(os.path.join(stream, "events-*.parquet"))):
+        seqs.extend(pq.read_table(f, columns=["commit_seq"]).column(0).to_pylist())
+    seqs.sort()
+    lake = str(tmp_path / "lake")
+    wire = str(tmp_path / "wire")
+    replay(stream, lake, num_partitions=4, upto_seq=seqs[len(seqs) // 4])
+    export_tick(lake, wire)  # cursor -> gen 0
+    replay(stream, lake, num_partitions=4, upto_seq=seqs[len(seqs) // 2])
+    replay(stream, lake, num_partitions=4, upto_seq=seqs[3 * len(seqs) // 4])
+    replay(stream, lake, num_partitions=4)
+    gc_generations(lake, keep=1)
+    with pytest.raises(RuntimeError, match="Re-bootstrap"):
+        export_tick(lake, wire)

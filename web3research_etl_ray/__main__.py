@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
                                 "bytes into --stream before each tick")
             s.add_argument("--wire-src", default=None,
                            help="wire dump dir (required with --wire)")
+            s.add_argument("--export-out", default=None,
+                           help="publish each tick downstream as Debezium "
+                                "JSONL into this wire dir (continuous "
+                                "outbox; first tick = snapshot)")
         if name == "check":
             s.add_argument("--repair", action="store_true")
 
@@ -438,6 +442,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions,
                 dedup_index_root=args.dedup_index,
                 dedup_threshold=args.dedup_threshold,
+                export_out=args.export_out,
                 on_dedup_pairs=(
                     (lambda t, p: dedup_counts.append(p.num_rows))
                     if args.dedup_index

@@ -40,6 +40,7 @@ def sync(
     dedup_threshold: float = 0.5,
     on_dedup_pairs: Callable[[int, "object"], None] | None = None,
     wire=None,
+    export_out: str | None = None,
     **replay_kw,
 ) -> list[CheckReport]:
     """Run the tail loop.  ``max_ticks`` bounds it for tests/CLI;
@@ -59,7 +60,13 @@ def sync(
     Parquet pushdown) flow into the persistent MinHash band index
     (``pipelines/dedup_index.py``) keyed by commit_seq, and the pairs
     found — vs the whole ingest history, at O(tick) cost — go to
-    ``on_dedup_pairs(tick, pairs_table)``."""
+    ``on_dedup_pairs(tick, pairs_table)``.
+
+    ``export_out`` closes the relay: after each tick commits, the
+    generation is published downstream as Debezium JSONL
+    (``sources.debezium.export_tick`` — snapshot on the first tick,
+    changelog after), so the loop is simultaneously a wire CONSUMER
+    (``wire=``) and a wire PRODUCER."""
     reports: list[CheckReport] = []
     tick = 0
     prev_wm = None
@@ -72,6 +79,14 @@ def sync(
         manifest = tail_once(stream_dir, lake_dir, **replay_kw)
         if on_tick:
             on_tick(tick, manifest)
+        if export_out is not None:
+            # publish the tick downstream (continuous outbox).  Running
+            # INSIDE the loop keeps the export cursor at most one
+            # generation behind — always within the gc_keep window, so
+            # the changelog diff can never lose its base snapshot.
+            from ..sources.debezium import export_tick
+
+            export_tick(lake_dir, export_out)
         if dedup_index_root is not None:
             new_wm = manifest.max_watermark
             if new_wm is not None and (prev_wm is None or new_wm > prev_wm):

@@ -420,10 +420,25 @@ def export_tick(lake_dir: str, out_dir: str, *, spec=None) -> dict:
     elif cursor == latest.generation:
         stats = {"snapshot_rows": 0, "changelog_rows": 0, "mode": "noop"}
     else:
-        stats = export_debezium_jsonl(
-            lake_dir, out_dir, gen_old=cursor, gen_new=latest.generation,
-            spec=spec,
-        )
+        try:
+            stats = export_debezium_jsonl(
+                lake_dir, out_dir, gen_old=cursor, gen_new=latest.generation,
+                spec=spec,
+            )
+        except (FileNotFoundError, ValueError) as e:
+            # The cursor generation was GC'd, or a partition split broke
+            # alignment.  A silent re-snapshot here would be WRONG: keys
+            # deleted since the cursor have no tombstone in a snapshot,
+            # so a replica that already consumed this wire dir would
+            # keep them forever.  Re-bootstrap into a FRESH wire dir
+            # (and point consumers at it) instead.
+            raise RuntimeError(
+                f"export cursor at generation {cursor} can no longer be "
+                f"diffed against {latest.generation} ({e}); the changelog "
+                "window was lost (GC or partition split). Re-bootstrap: "
+                "export --tick into a NEW wire dir and rebuild consumers "
+                "from its snapshot."
+            ) from e
         stats["mode"] = "changelog"
     tmp = cursor_path + f".tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
