@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "dup_ngrams_documents",
     "remove_dup_spans_documents",
     "dedup_keep_best_documents",
+    "tfidf_top_terms",
+    "pca_embeddings",
     "semdedup_embeddings",
 ]
 

@@ -1551,3 +1551,48 @@ def test_dedup_keep_best_picks_highest_quality_variant():
     by_size = out.set_index("cluster_size")
     assert by_size.loc[3, "doc_id"] == 0  # longest variant wins its cluster
     assert by_size.loc[1, "doc_id"] == 3
+
+
+def test_pca_matches_numpy_exactly():
+    """Distributed moment-partial PCA == single-process numpy PCA
+    (same sign convention) to 1e-9, invariant to block splits."""
+    import ray
+
+    from web3research_etl_ray.functions.similarity import pca_embeddings, pca_fit
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 400
+    # anisotropic cloud so the top components are well separated
+    basis = rng.normal(size=(d, d))
+    scales = np.linspace(4.0, 0.1, d)
+    x = rng.normal(size=(n, d)) * scales @ basis.T + rng.normal(size=d) * 3
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in x]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)  # uneven block splits
+    mean, comps, ev = pca_fit(ds, n_components=3)
+
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    ref = evecs[:, order].T
+    flip = np.sign(ref[np.arange(3), np.abs(ref).argmax(axis=1)])
+    ref = ref * flip[:, None]
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-9)
+    assert np.allclose(ev, np.sort(evals)[::-1][:3], atol=1e-9)
+
+    proj = (
+        pca_embeddings(ds, n_components=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (x - mu) @ ref.T
+    got = proj[["pc1", "pc2", "pc3"]].to_numpy()
+    assert np.allclose(got, want, atol=1e-8)

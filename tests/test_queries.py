@@ -76,6 +76,7 @@ def test_entry_smoke():
         "repetition_stats_documents",
         "dup_ngrams_documents", "remove_dup_spans_documents",
         "changelog_export", "dedup_keep_best_documents",
+        "tfidf_top_terms",
     ],
 )
 def test_query(results, name):

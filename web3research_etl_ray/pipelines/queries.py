@@ -5304,6 +5304,164 @@ GROUP BY t.doc_id
 """
 
 
+def q_tfidf_top_terms(sf_dir: str) -> pa.Table:
+    """Per-document keyword extraction: top-3 terms by tf·idf over the
+    FULL corpus vocabulary (idf = ln((N+1)/(df+1)) + 1, ties → term
+    asc).  Unlike `bm25_search` (3 fixed query terms, doc ranking),
+    this ranks every term of every doc — the keyword/tag primitive.
+
+    Two bounded-bucket shuffles, df computed IN the term bucket it
+    already lives in: batch pass emits one row per distinct (doc,
+    term) with its tf (docs never span batches) → term-hash buckets
+    hold every occurrence of a term, so df is a run length and rides
+    back attached to the same rows (no second scan, no driver dict) →
+    doc-hash buckets score and take the per-doc top-3 with ONE Arrow
+    sort + run-rank per bucket.  Floats: integer tf/df/N enter the
+    double expression in the oracle's exact tree shape."""
+    from ..functions.text import token_strings
+
+    NB = 64
+    DB = 32
+    TOPK = 3
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def term_rows(t: pa.Table) -> pa.Table:
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, parents = token_strings(t.column("text"))
+        tb = pa.table(
+            {"term": flat, "doc_id": pa.array(docs[parents], pa.int64())}
+        ).sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        term = tb.column("term").combine_chunks()
+        did = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(did)
+        if n == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "__b": pa.array([], pa.int64()),
+                }
+            )
+        neq = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        first = np.concatenate(([True], neq | (did[1:] != did[:-1])))
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.concatenate((starts, [n])))
+        out_term = term.take(pa.array(starts, pa.int64()))
+        h = key_hash64(out_term)
+        return pa.table(
+            {
+                "term": out_term,
+                "doc_id": pa.array(did[starts], pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+                "__b": pa.array(
+                    (h % np.uint64(NB)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        tb = group.sort_by([("term", "ascending")])
+        term = tb.column("term").combine_chunks()
+        n = len(term)
+        neq = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.flatnonzero(np.concatenate(([True], neq)))
+        run = np.diff(np.concatenate((starts, [n])))
+        df = np.repeat(run, run)  # (doc,term) rows are globally unique
+        did = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "term": term,
+                "doc_id": tb.column("doc_id"),
+                "tf": tb.column("tf"),
+                "df": pa.array(df, pa.int64()),
+                "__db": pa.array(did % DB, pa.int64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        tf = group.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = group.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        # mirrors the oracle tree: tf * (ln((N+1.0)/(df+1.0)) + 1.0)
+        score = tf * (np.log((n_docs + 1.0) / (df + 1.0)) + 1.0)
+        tb = group.append_column("score", pa.array(score, pa.float64())).sort_by(
+            [
+                ("doc_id", "ascending"),
+                ("score", "descending"),
+                ("term", "ascending"),
+            ]
+        )
+        did = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], did[1:] != did[:-1]))
+        idx = np.arange(len(did), dtype=np.int64)
+        rank = idx - np.maximum.accumulate(np.where(first, idx, 0)) + 1
+        keep = rank <= TOPK
+        tb = tb.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": tb.column("doc_id"),
+                "term": tb.column("term"),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "tf": tb.column("tf"),
+                "df": tb.column("df"),
+                "score": tb.column("score"),
+            }
+        )
+
+    return (
+        ds.map_batches(term_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda g: attach_df(g.drop_columns(["__b"])), batch_format="pyarrow"
+        )
+        .groupby("__db")
+        .map_groups(
+            lambda g: topk(g.drop_columns(["__db"])), batch_format="pyarrow"
+        )
+    )
+
+
+ORACLE_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (ln(((SELECT count(*) FROM documents) + 1.0) / (df.df + 1.0)) + 1.0)
+           AS score
+  FROM tf JOIN df USING (term)
+), r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term
+         ) AS rank
+  FROM sc
+)
+SELECT doc_id, term, rank::BIGINT AS rank, tf, df, score
+FROM r WHERE rank <= 3
+"""
+
+
+def q_pca_embeddings(sf_dir: str) -> pa.Table:
+    """Exact distributed PCA projection (top-2) of the embeddings
+    table — fit = ONE moment-partial scan (count/sum/Gram per block,
+    d×d driver eigh), project = one matmul pass. Eigendecomposition →
+    no SQL oracle (rows-only gate); exactness vs single-process numpy
+    PCA (same sign convention, 1e-9) is tested in test_functions.py."""
+    from ..functions.similarity import pca_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca_embeddings(ds, n_components=2)
+
+
 def q_kmeans_embeddings(sf_dir: str) -> pa.Table:
     """Distributed Lloyd's k-means assignment over the embeddings
     table (SemDeDup / cluster-balanced-sampling primitive) — see
@@ -5344,6 +5502,8 @@ QUERIES = {
     "remove_dup_spans_documents": q_remove_dup_spans_documents,
     "dedup_keep_best_documents": q_dedup_keep_best_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "pca_embeddings": q_pca_embeddings,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "semdedup_embeddings": q_semdedup_embeddings,
     "bm25_search": q_bm25_search,
     "boilerplate_prefixes": q_boilerplate_prefixes,
@@ -5456,6 +5616,7 @@ ORACLE_SQL = {
     "dup_ngrams_documents": ORACLE_DUP_NGRAMS,
     "remove_dup_spans_documents": ORACLE_REMOVE_DUP_SPANS,
     "dedup_keep_best_documents": ORACLE_DEDUP_KEEP_BEST,
+    "tfidf_top_terms": ORACLE_TFIDF,
     "bm25_search": ORACLE_BM25,
     "boilerplate_prefixes": ORACLE_BOILERPLATE,
     "chunk_documents": ORACLE_CHUNKS,
