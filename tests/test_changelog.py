@@ -229,3 +229,43 @@ def test_export_tick_refuses_gcd_cursor(tmp_path):
     gc_generations(lake, keep=1)
     with pytest.raises(RuntimeError, match="Re-bootstrap"):
         export_tick(lake, wire)
+
+
+def test_lakes_diff_source_vs_replica(tmp_path):
+    """Cross-lake consistency check: a freshly relayed replica diffs
+    empty against the source; after the source advances a generation
+    the diff reports exactly the changed keys (b relative to a)."""
+    from web3research_etl_ray.pipelines.replay import lakes_diff
+
+    stream = ensure_stream(2_000)
+    seqs = []
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(os.path.join(stream, "events-*.parquet"))):
+        seqs.extend(pq.read_table(f, columns=["commit_seq"]).column(0).to_pylist())
+    seqs.sort()
+    split = seqs[int(len(seqs) * 0.6)]
+
+    lake = str(tmp_path / "lake")
+    replay(stream, lake, num_partitions=4, upto_seq=split)
+    wire = str(tmp_path / "wire")
+    export_debezium_jsonl(lake, wire, gen_old=0, snapshot=True)
+    landed = str(tmp_path / "landed")
+    land_debezium_jsonl(wire, landed)
+    replica = str(tmp_path / "replica")
+    replay(landed, replica, num_partitions=4)
+    assert lakes_diff(lake, replica).count() == 0
+
+    # source advances; replica is now behind — diff must be exactly
+    # the lake's own generation diff
+    replay(stream, lake, num_partitions=4)
+    from web3research_etl_ray.pipelines.replay import lake_diff
+
+    cross = pa.Table.from_pylist(
+        lakes_diff(replica, lake).take_all()
+    ).sort_by([("repo", "ascending"), ("path", "ascending")])
+    own = pa.Table.from_pylist(
+        lake_diff(lake, 0, 1).take_all()
+    ).sort_by([("repo", "ascending"), ("path", "ascending")])
+    assert cross.num_rows > 0
+    assert cross.select(own.column_names).equals(own)

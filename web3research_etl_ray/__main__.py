@@ -197,6 +197,18 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--snapshot", action="store_true",
                     help="also emit the from-gen state as op 'r' envelopes")
 
+    df = sub.add_parser(
+        "diff",
+        help="cross-lake consistency check (source vs replica/backup): "
+             "rows whose winner differs, partition-aligned, no shuffle",
+    )
+    df.add_argument("--lake", required=True, help="lake A (old side)")
+    df.add_argument("--lake-b", required=True, dest="lake_b",
+                    help="lake B (new side)")
+    df.add_argument("--out", default=None,
+                    help="write differing rows here (parquet); else "
+                         "print the count")
+
     st = sub.add_parser("stats", help="lake lineage/watermark summary")
     st.add_argument("--lake", required=True)
     st.add_argument("--partitions", action="store_true",
@@ -257,6 +269,17 @@ def main(argv: list[str] | None = None) -> int:
         from .state.manifest import restore_lake
 
         print(json.dumps(restore_lake(args.backup, args.lake)))
+        return 0
+
+    if args.cmd == "diff":
+        from .pipelines.replay import lakes_diff
+
+        ds = lakes_diff(args.lake, args.lake_b)
+        if args.out:
+            ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+        else:
+            print(json.dumps({"differing_keys": ds.count()}))
         return 0
 
     if args.cmd == "export":

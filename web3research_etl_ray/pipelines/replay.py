@@ -995,6 +995,124 @@ def lake_diff(
     )
 
 
+def lakes_diff(
+    lake_a: str,
+    lake_b: str,
+    *,
+    generation_a: int | None = None,
+    generation_b: int | None = None,
+    spec: TableSpec = REPO_FILES,
+) -> ray.data.Dataset:
+    """Cross-LAKE consistency check: diff the converged states of two
+    lakes (source vs replica, primary vs backup restore, two relay
+    endpoints).  Same partition-aligned zero-shuffle shape as
+    lake_diff — requires both lakes to share the partition layout
+    (true for an export→land→replay replica built at the same P), one
+    task per differing partition pair, identical content-hash files
+    short-circuit without reading rows.  Output: one row per key whose
+    winner differs, change ∈ added|deleted|updated (b relative to a),
+    old_seq (a) / new_seq (b)."""
+    m_a = _manifest_at(lake_a, generation_a)
+    m_b = _manifest_at(lake_b, generation_b)
+    if (
+        m_a.num_partitions != m_b.num_partitions
+        or m_a.split_depths != m_b.split_depths
+    ):
+        raise ValueError(
+            "cross-lake diff needs both lakes on the same partition "
+            f"layout ({m_a.num_partitions}/{m_a.split_depths} vs "
+            f"{m_b.num_partitions}/{m_b.split_depths})"
+        )
+    pairs = []
+    for pid in sorted(set(m_a.extended_pids()) | set(m_b.extended_pids())):
+        fa = m_a.partitions.get(pid)
+        fb = m_b.partitions.get(pid)
+        fa = os.path.join(lake_a, fa.file) if fa and fa.file else None
+        fb = os.path.join(lake_b, fb.file) if fb and fb.file else None
+        if fa is None and fb is None:
+            continue
+        if (
+            fa is not None
+            and fb is not None
+            and os.path.getsize(fa) == os.path.getsize(fb)
+        ):
+            # cheap content short-circuit: identical bytes ⇒ no diff
+            import filecmp
+
+            if filecmp.cmp(fa, fb, shallow=False):
+                continue
+        pairs.append({"part_id": pid, "old_file": fa, "new_file": fb})
+    key_cols, order_col = list(spec.key), spec.order_col
+    key_types = [spec.schema.field(c).type for c in key_cols]
+
+    def diff_partition(batch: pa.Table) -> pa.Table:
+        out = []
+        cols = key_cols + [order_col]
+        for row in batch.to_pylist():
+            old_t = (
+                pq.read_table(row["old_file"], columns=cols)
+                if row["old_file"]
+                else None
+            )
+            new_t = (
+                pq.read_table(row["new_file"], columns=cols)
+                if row["new_file"]
+                else None
+            )
+
+            def ckey(t: pa.Table) -> pa.Array:
+                parts = [t.column(c).cast(pa.string()) for c in key_cols]
+                return pc.binary_join_element_wise(*parts, "\x00")
+
+            empty = pa.table(
+                {c: pa.array([], spec.schema.field(c).type) for c in cols}
+            )
+            old_t = old_t if old_t is not None else empty
+            new_t = new_t if new_t is not None else empty
+            ko, kn = ckey(old_t), ckey(new_t)
+            idx_no = pc.index_in(kn, ko)
+            deleted = old_t.filter(pc.is_null(pc.index_in(ko, kn)))
+            added = new_t.filter(pc.is_null(idx_no))
+            both = new_t.filter(pc.is_valid(idx_no))
+            old_seq_for_new = pc.take(
+                old_t.column(order_col), idx_no.filter(pc.is_valid(idx_no))
+            )
+            upd_mask = pc.not_equal(both.column(order_col), old_seq_for_new)
+            updated = both.filter(upd_mask)
+            upd_old = old_seq_for_new.filter(upd_mask)
+
+            def emit(t, change, old_seq, new_seq):
+                d = {c: t.column(c) for c in key_cols}
+                d["change"] = pa.array([change] * t.num_rows, pa.string())
+                d["old_seq"] = old_seq
+                d["new_seq"] = new_seq
+                out.append(pa.table(d))
+
+            nulls = lambda n: pa.nulls(n, pa.int64())  # noqa: E731
+            emit(deleted, "deleted",
+                 deleted.column(order_col).cast(pa.int64()),
+                 nulls(deleted.num_rows))
+            emit(added, "added", nulls(added.num_rows),
+                 added.column(order_col).cast(pa.int64()))
+            emit(updated, "updated", upd_old.cast(pa.int64()),
+                 updated.column(order_col).cast(pa.int64()))
+        if not out:
+            return pa.schema(
+                [(c, t) for c, t in zip(key_cols, key_types)]
+                + [("change", pa.string()), ("old_seq", pa.int64()),
+                   ("new_seq", pa.int64())]
+            ).empty_table()
+        return pa.concat_tables(out)
+
+    if not pairs:
+        return ray.data.from_items([]).map_batches(
+            diff_partition, batch_format="pyarrow"
+        )
+    return ray.data.from_items(pairs).map_batches(
+        diff_partition, batch_format="pyarrow", batch_size=1
+    )
+
+
 def lake_changelog(
     lake_dir: str,
     gen_old: int,
