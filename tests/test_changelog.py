@@ -269,3 +269,88 @@ def test_lakes_diff_source_vs_replica(tmp_path):
     ).sort_by([("repo", "ascending"), ("path", "ascending")])
     assert cross.num_rows > 0
     assert cross.select(own.column_names).equals(own)
+
+
+def test_export_fanout_tick_cross_table_consistent(tmp_path):
+    """Fan-out outbox: one cursor covers every table; folding each
+    table's exported envelopes (snapshot tick + changelog tick) by LWW
+    must reproduce that table's committed state exactly."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.fanout import (
+        FanoutTable,
+        fanout_table,
+        replay_fanout,
+    )
+    from web3research_etl_ray.schema import REPO_FILES, TableSpec
+    from web3research_etl_ray.sources.debezium import export_fanout_tick
+
+    heads_schema = pa.schema(
+        [
+            pa.field("repo", pa.string(), nullable=False),
+            pa.field("commit", pa.string(), nullable=False),
+            pa.field("commit_seq", pa.int64(), nullable=False),
+        ]
+    )
+    heads = TableSpec(
+        name="repo_heads",
+        schema=heads_schema,
+        key=("repo",),
+        event_schema=heads_schema.append(pa.field("op", pa.string())),
+    )
+
+    def derive_heads(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t.column("repo"),
+                "commit": t.column("commit"),
+                "commit_seq": t.column("commit_seq"),
+                "op": pa.array(["upsert"] * t.num_rows, pa.string()),
+            }
+        )
+
+    tables = [FanoutTable(REPO_FILES, None), FanoutTable(heads, derive_heads)]
+    stream = ensure_stream(2_000)
+    seqs = []
+    for f in sorted(glob.glob(os.path.join(stream, "events-*.parquet"))):
+        seqs.extend(pq.read_table(f, columns=["commit_seq"]).column(0).to_pylist())
+    seqs.sort()
+
+    lake = str(tmp_path / "mlake")
+    wire = str(tmp_path / "wire")
+    replay_fanout(stream, lake, tables, num_partitions=4,
+                  upto_seq=seqs[len(seqs) // 2])
+    s1 = export_fanout_tick(lake, wire, tables)
+    assert s1["mode"] == "snapshot"
+    replay_fanout(stream, lake, tables, num_partitions=4)
+    s2 = export_fanout_tick(lake, wire, tables)
+    assert s2["mode"] == "changelog"
+    assert s2["tables"]["repo_files"]["changelog_rows"] > 0
+
+    for ft in tables:
+        name = ft.spec.name
+        latest = {}
+        for f in sorted(glob.glob(os.path.join(wire, name, "*.jsonl"))):
+            with open(f) as fh:
+                for line in fh:
+                    env = json.loads(line)
+                    payload = env["after"] if env["op"] != "d" else env["before"]
+                    key = tuple(payload[k] for k in ft.spec.key)
+                    prev = latest.get(key)
+                    if prev is None or env["seq"] > prev[0]:
+                        latest[key] = (env["seq"], env["op"], payload)
+        want = {
+            k: (seq, payload)
+            for k, (seq, op, payload) in latest.items()
+            if op != "d"
+        }
+        got = fanout_table(lake, name)
+        assert got.num_rows == len(want), name
+        rows = got.to_pylist()
+        for r in rows:
+            k = tuple(r[c] for c in ft.spec.key)
+            seq, payload = want[k]
+            assert r["commit_seq"] == seq, (name, k)
+            assert r["commit"] == payload["commit"], (name, k)

@@ -240,6 +240,9 @@ def main(argv: list[str] | None = None) -> int:
         if name == "sync-fanout":
             f.add_argument("--ticks", type=int, default=1)
             f.add_argument("--check-every", type=int, default=0)
+            f.add_argument("--export-out", default=None,
+                           help="publish each tick as per-table Debezium "
+                                "JSONL feeds (one cross-table cursor)")
         if name == "check-fanout":
             f.add_argument("--repair", action="store_true")
 
@@ -546,6 +549,7 @@ def main(argv: list[str] | None = None) -> int:
                     args.stream, args.lake, tables,
                     max_ticks=args.ticks, check_every=args.check_every,
                     num_partitions=args.partitions,
+                    export_out=args.export_out,
                 )
                 # with check_every the loop returns (manifest, reports)
                 m, reports = out if isinstance(out, tuple) else (out, [])

@@ -1141,6 +1141,51 @@ def lake_changelog(
     lookup pass)."""
     m_old = _manifest_at(lake_dir, gen_old)
     m_new = _manifest_at(lake_dir, gen_new)
+    return _changelog_from_states(lake_dir, m_old, m_new, spec)
+
+
+def fanout_changelog(
+    lake_dir: str,
+    table: str,
+    gen_old: int,
+    gen_new: int | None = None,
+    *,
+    spec: TableSpec,
+) -> ray.data.Dataset:
+    """Change feed for ONE table of a multi-table fan-out lake between
+    two committed multi-manifest generations.  Because a single
+    multi-manifest pins every table's files together, feeds exported
+    for all tables at the same (gen_old, gen_new) are CROSS-TABLE
+    CONSISTENT — a downstream consumer applying them sees the same
+    atomic cut the lake committed."""
+    from ..state.manifest import multi_manifest_at
+
+    m_old = multi_manifest_at(lake_dir, gen_old)
+    m_new = multi_manifest_at(lake_dir, gen_new)
+    for m in (m_old, m_new):
+        if table not in m.tables:
+            raise FileNotFoundError(
+                f"no committed table {table} at generation {m.generation}"
+            )
+    # fan-out TableState partition files are relative to the table dir
+    return _changelog_from_states(
+        os.path.join(lake_dir, "tables", table),
+        m_old.tables[table],
+        m_new.tables[table],
+        spec,
+    )
+
+
+def _changelog_from_states(
+    lake_dir: str,
+    m_old,
+    m_new,
+    spec: TableSpec,
+) -> ray.data.Dataset:
+    """Shared core of lake_changelog / fanout_changelog: any two
+    states exposing (num_partitions, split_depths, partitions,
+    extended_pids) — a single-table Manifest or a fan-out
+    TableState."""
     if (
         m_old.num_partitions != m_new.num_partitions
         or m_old.split_depths != m_new.split_depths

@@ -165,6 +165,7 @@ def sync_fanout(
     gc_keep: int = 5,
     on_tick: Callable | None = None,
     wire=None,
+    export_out: str | None = None,
     **replay_kw,
 ):
     """Tail loop for the multi-table fan-out lake: each tick is one
@@ -172,7 +173,9 @@ def sync_fanout(
     together), with snapshot rotation and — like :func:`sync` — an
     optional trailing-window per-table conformance check + atomic
     repair every ``check_every`` ticks (reference cadence:
-    src/ch_eth/sync.rs:348,406)."""
+    src/ch_eth/sync.rs:348,406).  ``export_out`` publishes every tick
+    as per-table Debezium JSONL feeds under one cross-table-consistent
+    cursor (sources.debezium.export_fanout_tick)."""
     from ..state.manifest import gc_multi_generations, load_latest_multi
     from .check import check_and_repair_fanout
     from .fanout import replay_fanout
@@ -186,6 +189,10 @@ def sync_fanout(
         last = replay_fanout(stream_dir, lake_dir, tables, **replay_kw)
         if on_tick:
             on_tick(tick, last)
+        if export_out is not None:
+            from ..sources.debezium import export_fanout_tick
+
+            export_fanout_tick(lake_dir, export_out, tables)
         tick += 1
         if check_every and tick % check_every == 0:
             latest = load_latest_multi(lake_dir)

@@ -286,37 +286,62 @@ def land_debezium_jsonl(src: str | list[str], out_stream_dir: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _envelope_lines(t: "pa.Table", snapshot_op: str | None = None) -> list[str]:
+def _envelope_lines(
+    t: "pa.Table", snapshot_op: str | None = None, spec=None
+) -> list[str]:
     """One changelog/snapshot block → JSONL envelope lines.  Row-wise
     json.dumps is inherent at the wire-format boundary (the landing
     parser is the vectorized direction); blocks serialize in parallel,
-    one Ray task each."""
+    one Ray task each.  ``spec`` generalizes beyond REPO_FILES: payload
+    = every spec column except the order col and the merge-recomputed
+    hash col; delete envelopes carry the key plus empty strings for
+    the spec's required string fields (LWW consumers only need the
+    key + a winning seq)."""
     import json
 
-    key_or_payload = [
-        c for c in ("repo", "path", "commit", "lang", "content") if c in t.column_names
+    if spec is None:
+        from ..schema import REPO_FILES as spec  # noqa: N811
+
+    payload_cols = [
+        f.name
+        for f in spec.schema
+        if f.name != spec.order_col
+        and f.name != spec.hash_col
+        and f.name in t.column_names
     ]
+    del_payload = {k: None for k in spec.key}
+    for f in spec.schema:
+        if (
+            f.name not in spec.key
+            and not f.nullable
+            and pa.types.is_string(f.type)
+            and f.name != spec.order_col
+        ):
+            del_payload[f.name] = ""
     lines = []
     for r in t.to_pylist():
         op = snapshot_op if snapshot_op is not None else r["op"]
-        seq = r["commit_seq"] if snapshot_op is not None else r["seq"]
+        seq = r[spec.order_col] if snapshot_op is not None else r["seq"]
         if op == "d":
             # merge drops tombstones, so the deleting event's own seq is
             # not retained in lake state; any seq > the key's old winner
             # makes every LWW consumer converge, and within the exported
             # stream only the snapshot row (old_seq) competes for the key
-            payload = {
-                "repo": r["repo"], "path": r["path"],
-                "commit": "", "lang": "", "content": "",
-            }
+            payload = dict(del_payload)
+            for k in spec.key:
+                payload[k] = r[k]
             env = {"op": "d", "before": payload, "after": None,
                    "seq": r["old_seq"] + 1}
         else:
-            payload = {c: r[c] for c in key_or_payload}
-            if r.get("metadata") is not None:
-                payload["metadata"] = dict(r["metadata"])
-            if r.get("size_bytes") is not None:
-                payload["size_bytes"] = r["size_bytes"]
+            payload = {}
+            for c in payload_cols:
+                v = r[c]
+                if v is None:
+                    continue
+                # Arrow map values arrive as [(k, v), ...] tuples
+                payload[c] = (
+                    dict(v) if pa.types.is_map(spec.schema.field(c).type) else v
+                )
             env = {"op": op, "before": None, "after": payload, "seq": seq}
         lines.append(json.dumps(env, sort_keys=True))
     return lines
@@ -345,16 +370,25 @@ def export_debezium_jsonl(
     parallel (one Ray task per block, write-then-rename); file names
     are content-derived, so a re-export into the same dir overwrites
     rather than duplicates (idempotent, like the landing side)."""
-    import hashlib
-
     from ..pipelines.replay import lake_changelog, read_lake
     from ..schema import REPO_FILES
 
     spec = spec if spec is not None else REPO_FILES
+    snap_ds = read_lake(lake_dir, generation=gen_old) if snapshot else None
+    feed_ds = lake_changelog(lake_dir, gen_old, gen_new, spec=spec)
+    return _export_streams(snap_ds, feed_ds, out_dir, spec)
+
+
+def _export_streams(snap_ds, feed_ds, out_dir: str, spec) -> dict:
+    """Serialize snapshot/changelog Datasets into an envelope wire dir
+    — one Ray task per block, write-then-rename, content-derived names
+    (idempotent re-export)."""
+    import hashlib
+
     os.makedirs(out_dir, exist_ok=True)
 
     def _write_block(t: pa.Table, kind: str, snapshot_op: str | None) -> int:
-        lines = _envelope_lines(t, snapshot_op)
+        lines = _envelope_lines(t, snapshot_op, spec)
         if not lines:
             return 0
         body = "\n".join(lines) + "\n"
@@ -375,15 +409,13 @@ def export_debezium_jsonl(
         return pa.table({"n": pa.array([n], pa.int64())})
 
     n_snap = 0
-    if snapshot:
-        snap = read_lake(lake_dir, generation=gen_old).map_batches(
-            snap_block, batch_format="pyarrow"
-        )
+    if snap_ds is not None:
+        snap = snap_ds.map_batches(snap_block, batch_format="pyarrow")
         n_snap = sum(r["n"] for r in snap.take_all())
-    feed = lake_changelog(lake_dir, gen_old, gen_new, spec=spec).map_batches(
-        cl_block, batch_format="pyarrow"
-    )
-    n_feed = sum(r["n"] for r in feed.take_all())
+    n_feed = 0
+    if feed_ds is not None:
+        feed = feed_ds.map_batches(cl_block, batch_format="pyarrow")
+        n_feed = sum(r["n"] for r in feed.take_all())
     return {"snapshot_rows": n_snap, "changelog_rows": n_feed}
 
 
@@ -447,3 +479,66 @@ def export_tick(lake_dir: str, out_dir: str, *, spec=None) -> dict:
     stats["generation"] = latest.generation
     stats["since"] = cursor
     return stats
+
+
+def export_fanout_tick(lake_dir: str, out_dir: str, tables) -> dict:
+    """Cross-table-CONSISTENT outbox for a multi-table fan-out lake:
+    one cursor covers every table (a single multi-manifest pins all
+    tables' files together, so every per-table feed is cut at the same
+    committed generation).  Envelope streams land under
+    ``out_dir/<table>/``; first tick snapshots every table at the
+    cursor generation (op 'r'), later ticks export each table's
+    changelog cursor→latest.  Same idempotence story as
+    :func:`export_tick` (content-derived names, cursor advanced
+    tmp+rename only after every table's envelopes are on disk)."""
+    import json as _json
+
+    from ..pipelines.fanout import read_fanout_table
+    from ..pipelines.replay import fanout_changelog
+    from ..state.manifest import load_latest_multi
+
+    latest = load_latest_multi(lake_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed multi-manifest under {lake_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    cursor_path = os.path.join(out_dir, "export-cursor.json")
+    cursor = None
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            cursor = _json.load(fh)["generation"]
+    per_table: dict[str, dict] = {}
+    mode = "noop"
+    for ft in tables:
+        name = ft.spec.name
+        sub = os.path.join(out_dir, name)
+        if cursor is None:
+            mode = "snapshot"
+            snap = read_fanout_table(
+                lake_dir, name, generation=latest.generation
+            )
+            per_table[name] = _export_streams(snap, None, sub, ft.spec)
+        elif cursor == latest.generation:
+            per_table[name] = {"snapshot_rows": 0, "changelog_rows": 0}
+        else:
+            mode = "changelog"
+            try:
+                feed = fanout_changelog(
+                    lake_dir, name, cursor, latest.generation, spec=ft.spec
+                )
+            except (FileNotFoundError, ValueError) as e:
+                raise RuntimeError(
+                    f"fan-out export cursor at generation {cursor} can no "
+                    f"longer be diffed against {latest.generation} ({e}); "
+                    "re-bootstrap into a NEW wire dir."
+                ) from e
+            per_table[name] = _export_streams(None, feed, sub, ft.spec)
+    tmp = cursor_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump({"generation": latest.generation}, fh)
+    os.replace(tmp, cursor_path)
+    return {
+        "mode": mode,
+        "generation": latest.generation,
+        "since": cursor,
+        "tables": per_table,
+    }
