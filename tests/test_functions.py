@@ -1596,3 +1596,64 @@ def test_pca_matches_numpy_exactly():
     want = (x - mu) @ ref.T
     got = proj[["pc1", "pc2", "pc3"]].to_numpy()
     assert np.allclose(got, want, atol=1e-8)
+
+
+def test_remove_dup_spans_matches_bruteforce_on_random_corpora():
+    """Randomized equivalence: the distributed keep-first span removal
+    equals a tiny single-process reference (explicit dict over gram
+    occurrences) on small random corpora with forced collisions."""
+    import tempfile
+
+    from web3research_etl_ray.pipelines.queries import (
+        q_remove_dup_spans_documents,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab → many dup 4-grams
+
+    for trial in range(3):
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+            for _ in range(40)
+        ]
+
+        # reference: first occurrence of each gram (by doc, then pos)
+        # is kept, all other occurrences of >1-count grams cut
+        occ = {}
+        for d, tx in enumerate(texts):
+            ws = tx.split() if tx else []
+            for p in range(max(0, len(ws) - 3)):
+                occ.setdefault(tuple(ws[p : p + 4]), []).append((d, p))
+        removed = {}
+        for gram, places in occ.items():
+            if len(places) > 1:
+                for d, p in sorted(places)[1:]:
+                    for q in range(p, p + 4):
+                        removed.setdefault(d, set()).add(q)
+        want = {}
+        for d, tx in enumerate(texts):
+            ws = tx.split() if tx else []
+            kept = [w for i, w in enumerate(ws) if i not in removed.get(d, set())]
+            want[d] = (" ".join(kept), len(ws) - len(kept))
+
+        with tempfile.TemporaryDirectory() as tmp:
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts),
+                    }
+                ),
+                f"{tmp}/documents.parquet",
+            )
+            out = (
+                q_remove_dup_spans_documents(tmp)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+        for d in range(len(texts)):
+            assert out.loc[d, "text_dedup"] == want[d][0], (trial, d)
+            assert out.loc[d, "n_removed"] == want[d][1], (trial, d)
