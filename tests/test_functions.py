@@ -1657,3 +1657,51 @@ def test_remove_dup_spans_matches_bruteforce_on_random_corpora():
         for d in range(len(texts)):
             assert out.loc[d, "text_dedup"] == want[d][0], (trial, d)
             assert out.loc[d, "n_removed"] == want[d][1], (trial, d)
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[len(b)]
+
+
+def test_levenshtein_pairs_matches_python_dp():
+    """Batched prefix-min DP == textbook per-pair DP, on adversarial
+    strings: empties, unicode (fallback path), padded tails, slices."""
+    import random
+
+    from web3research_etl_ray.functions.text import (
+        codepoint_matrix,
+        levenshtein_pairs,
+    )
+
+    rng = random.Random(11)
+    strs = [
+        "".join(rng.choice("abcd _") for _ in range(rng.randrange(0, 25)))
+        for _ in range(50)
+    ]
+    strs += ["", "héllo wörld", "hello world", "日本語テスト", "日本語テヌト"]
+    L = 24  # shorter than some strings: distances are over the heads
+    codes, lens = codepoint_matrix(pa.array(strs), L)
+    ia, ib = np.triu_indices(len(strs), k=1)
+    got = levenshtein_pairs(codes, lens, ia, ib, chunk=97)
+    exp = np.array(
+        [_py_levenshtein(strs[a][:L], strs[b][:L]) for a, b in zip(ia, ib)]
+    )
+    assert (got == exp).all()
+
+
+def test_codepoint_matrix_sliced_array_offsets():
+    """A sliced StringArray views the parent buffers — the element
+    offset indexes into the offsets buffer, it is not added to them."""
+    from web3research_etl_ray.functions.text import codepoint_matrix
+
+    arr = pa.array(["alpha", "bravo", "charlie", "delta", "echo"])
+    full_c, full_l = codepoint_matrix(arr, 8)
+    c, l = codepoint_matrix(arr.slice(2, 2), 8)
+    assert (c == full_c[2:4]).all() and (l == full_l[2:4]).all()

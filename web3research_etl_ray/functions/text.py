@@ -206,3 +206,98 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         cnt += (x & np.uint64(1)).astype(np.int64)
         x = x >> np.uint64(1)
     return cnt
+
+
+def codepoint_matrix(
+    col: pa.Array | pa.ChunkedArray, max_len: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(int32 codes [n, max_len] padded with -1, lengths int64[n]) of
+    each string's first ``max_len`` codepoints.  Fast path: when every
+    byte of the (already truncated) flat UTF-8 buffer is ASCII — one
+    vectorized check — bytes ARE codepoints and the matrix fills with
+    two numpy scatters off the Arrow offsets, zero per-row Python.
+    Non-ASCII batches fall back to per-string UTF-32 decode (correct,
+    rare for code corpora)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.fill_null(arr, "")
+    head = pc.utf8_slice_codeunits(arr, start=0, stop=max_len)
+    if isinstance(head, pa.ChunkedArray):
+        head = head.combine_chunks()
+    n = len(head)
+    codes = np.full((n, max_len), -1, np.int32)
+    if n == 0:
+        return codes, np.zeros(0, np.int64)
+    buf = np.frombuffer(
+        head.buffers()[2] or b"", np.uint8
+    )
+    # a sliced array views the parent buffers: its offset indexes INTO
+    # the offsets buffer (4 bytes per entry), it is not added to them
+    offs = np.frombuffer(
+        head.buffers()[1], np.int32, count=n + 1, offset=head.offset * 4
+    ).astype(np.int64)
+    starts, ends = offs[:-1], offs[1:]
+    if buf.size == 0 or (buf[starts[0]:ends[-1]] < 128).all():
+        lens = ends - starts
+        # scatter: row r takes buf[starts[r] : starts[r]+lens[r]]
+        flat_rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos_in_row = np.arange(lens.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        src = np.concatenate(
+            [np.arange(s, e, dtype=np.int64) for s, e in zip(starts, ends)]
+        ) if n else np.zeros(0, np.int64)
+        codes[flat_rows, pos_in_row] = buf[src].astype(np.int32)
+        return codes, lens
+    lens = np.zeros(n, np.int64)
+    for r, s in enumerate(head.to_pylist()):
+        cp = np.frombuffer(s.encode("utf-32-le"), np.int32)
+        lens[r] = len(cp)
+        codes[r, : len(cp)] = cp
+    return codes, lens
+
+
+def levenshtein_pairs(
+    codes: np.ndarray,
+    lens: np.ndarray,
+    ia: np.ndarray,
+    ib: np.ndarray,
+    chunk: int = 4096,
+) -> np.ndarray:
+    """Exact Levenshtein distance for many string PAIRS at once.
+
+    The DP row recurrence's sequential insert chain
+    ``dp[j] = min(..., dp[j-1]+1)`` becomes a prefix minimum:
+    ``dp_new[j] = j + cummin_k<=j(m[k] - k)`` where
+    ``m[j] = min(dp_old[j]+1, dp_old[j-1]+cost_j)`` — so each DP row is
+    three vectorized ops + one ``np.minimum.accumulate``, batched
+    across all pairs of the chunk (extra leading axis).  Cost is
+    O(maxlen^2) per pair but with numpy constants; intended for
+    verify stages over CANDIDATE pairs (bounded groups), not all-pairs.
+    """
+    npairs = len(ia)
+    out = np.zeros(npairs, np.int64)
+    L = codes.shape[1]
+    ramp = np.arange(L + 1, dtype=np.int32)
+    for s0 in range(0, npairs, chunk):
+        sl = slice(s0, min(s0 + chunk, npairs))
+        A, B = codes[ia[sl]], codes[ib[sl]]
+        la, lb = lens[ia[sl]], lens[ib[sl]]
+        P = A.shape[0]
+        dp = np.broadcast_to(ramp, (P, L + 1)).copy()
+        res = np.where(la == 0, lb, 0).astype(np.int64)
+        maxa = int(la.max()) if P else 0
+        for i in range(1, maxa + 1):
+            act = la >= i
+            cost = (B[act] != A[act, i - 1][:, None]).astype(np.int32)
+            m = np.empty((int(act.sum()), L + 1), np.int32)
+            m[:, 0] = i
+            np.minimum(dp[act, :L] + cost, dp[act, 1:] + 1, out=m[:, 1:])
+            m -= ramp
+            np.minimum.accumulate(m, axis=1, out=m)
+            m += ramp
+            dp[act] = m
+            fin = act & (la == i)
+            if fin.any():
+                res[fin] = dp[fin, lb[fin]].astype(np.int64)
+        out[sl] = res
+    return out

@@ -4466,6 +4466,115 @@ FROM documents JOIN range(0, 64) t(i)
 """
 
 
+def q_edit_distance_pairs(sf_dir: str) -> pa.Table:
+    """Exact edit-distance VERIFY over template-candidate pairs: docs
+    sharing an 8-token prefix (the boilerplate signal) are compared by
+    Levenshtein distance of their 200-char heads; pairs within
+    MAXD=40 edits survive.  The near-dup pattern LSH schemes cannot
+    give exactly — an edit-metric guarantee on the emitted pairs.
+
+    Distributed shape: candidates never leave their prefix group, so
+    ONE keyed hash-bucket exchange on the prefix co-locates each
+    group; inside a bucket, pair generation is vectorized per group
+    SIZE (<= CAP distinct sizes, `np.triu_indices` broadcast over all
+    groups of that size) and the DP itself is `levenshtein_pairs` —
+    batched across pairs, one `np.minimum.accumulate` per DP row
+    (functions/text.py).  Group sizes are capped at CAP=64 (mirrored
+    in the oracle's HAVING, like the n-gram df cap) so a degenerate
+    template cannot go quadratic."""
+    W, NB, CAP, MAXD, HEAD = 8, 64, 64, 40, 200
+    from ..functions.text import codepoint_matrix, levenshtein_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")), pattern=r"\W+"
+        )
+        prefix = pc.binary_join(pc.list_slice(toks, 0, W), " ")
+        head = pc.utf8_slice_codeunits(
+            pc.fill_null(t.column("text"), ""), start=0, stop=HEAD
+        )
+        out = pa.table(
+            {"doc_id": t.column("doc_id"), "prefix": prefix, "head": head}
+        )
+        out = out.filter(pc.greater(pc.utf8_length(out.column("prefix")), 0))
+        h = (key_hash64(out.column("prefix")) % np.uint64(NB)).astype(np.int64)
+        return out.append_column("__b", pa.array(h, pa.int64()))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("edit_dist", pa.int64())]
+        ).empty_table()
+        if g.num_rows < 2:
+            return empty
+        g = g.sort_by([("prefix", "ascending"), ("doc_id", "ascending")])
+        prefix = g.column("prefix")
+        same = pc.equal(
+            prefix.slice(1), prefix.slice(0, len(prefix) - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], ~same)))
+        sizes = np.diff(np.append(starts, g.num_rows))
+        keep = (sizes >= 2) & (sizes <= CAP)
+        if not keep.any():
+            return empty
+        codes, lens = codepoint_matrix(g.column("head"), HEAD)
+        ia_all, ib_all = [], []
+        # vectorize pair generation per group SIZE: <= CAP distinct
+        # sizes, each expands every group of that size in one broadcast
+        for s in np.unique(sizes[keep]):
+            gs = starts[keep & (sizes == s)]          # [G] group starts
+            li, lj = np.triu_indices(int(s), k=1)     # local pair index
+            ia_all.append((gs[:, None] + li[None, :]).ravel())
+            ib_all.append((gs[:, None] + lj[None, :]).ravel())
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        dist = levenshtein_pairs(codes, lens, ia, ib)
+        ok = dist <= MAXD
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(did[ia[ok]], pa.int64()),
+                "id_b": pa.array(did[ib[ok]], pa.int64()),
+                "edit_dist": pa.array(dist[ok], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    t = _from_rows(
+        rows,
+        {"id_a": pa.int64(), "id_b": pa.int64(), "edit_dist": pa.int64()},
+    )
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+ORACLE_EDIT_DISTANCE = r"""
+WITH p AS (
+  SELECT doc_id,
+         substr(text, 1, 200) AS head,
+         array_to_string(
+           (regexp_extract_all(lower(text), '\w+'))[1:8], ' ') AS prefix
+  FROM documents
+),
+p2 AS (SELECT * FROM p WHERE length(prefix) > 0),
+g AS (SELECT prefix FROM p2
+      GROUP BY prefix HAVING count(*) BETWEEN 2 AND 64)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+FROM p2 a
+JOIN p2 b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+JOIN g ON g.prefix = a.prefix
+WHERE levenshtein(a.head, b.head) <= 40
+ORDER BY id_a, id_b
+"""
+
+
 def q_mix_char_budget(sf_dir: str) -> pa.Table:
     """Data mixing: per-source char budget — each source contributes
     docs in deterministic content-hash order until its cumulative
@@ -5507,6 +5616,7 @@ QUERIES = {
     "semdedup_embeddings": q_semdedup_embeddings,
     "bm25_search": q_bm25_search,
     "boilerplate_prefixes": q_boilerplate_prefixes,
+    "edit_distance_pairs": q_edit_distance_pairs,
     "chunk_documents": q_chunk_documents,
     "mix_char_budget": q_mix_char_budget,
     "contamination_documents": q_contamination_documents,
@@ -5619,6 +5729,7 @@ ORACLE_SQL = {
     "tfidf_top_terms": ORACLE_TFIDF,
     "bm25_search": ORACLE_BM25,
     "boilerplate_prefixes": ORACLE_BOILERPLATE,
+    "edit_distance_pairs": ORACLE_EDIT_DISTANCE,
     "chunk_documents": ORACLE_CHUNKS,
     "mix_char_budget": ORACLE_MIX,
     "contamination_documents": ORACLE_CONTAMINATION,
