@@ -4165,6 +4165,173 @@ FROM events GROUP BY user_id
 """
 
 
+def q_corr_value_ts_per_user(sf_dir: str) -> pa.Table:
+    """Grouped Pearson correlation of (time, value) per user — the
+    'is this user's spend trending' primitive — with EXACT integer
+    moments: x = whole minutes since the global min ts, y = cents.
+    Per-batch partials ship (n, Σx, Σy, Σx², Σy², Σxy) as BIGINTs —
+    associative, one row per (user, batch) crosses the exchange —
+    then the keyed hash-bucket fold sums them and the corr derives in
+    float64 with an expression tree mirrored token-for-token in the
+    oracle, so even the floats are bit-identical."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    # pass 1: global min ts (one scalar; the oracle's subquery twin)
+    min_us = ds.aggregate(Min("ts"))["min(ts)"]
+    min_us = pa.scalar(min_us).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        x = (
+            t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False) - min_us
+        ) // 60_000_000
+        y = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, x, y = uid[order], x[order], y[order]
+        keys, starts = np.unique(uid, return_index=True)
+        n = np.diff(np.append(starts, len(uid)))
+        cols = {
+            "user_id": pa.array(keys, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+        }
+        for name, v in (
+            ("sx", x), ("sy", y), ("sxx", x * x), ("syy", y * y),
+            ("sxy", x * y),
+        ):
+            cols[name] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(cols)
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        starts = np.flatnonzero(segment_starts(uid))
+        cols = {"user_id": pa.array(uid[starts], pa.int64())}
+        acc = {}
+        for c in ("n_events", "sx", "sy", "sxx", "syy", "sxy"):
+            v = g.column(c).to_numpy(zero_copy_only=False)[order]
+            acc[c] = np.add.reduceat(v, starts)
+        # float64 tail, op order mirrored in ORACLE_CORR exactly
+        n = acc["n_events"].astype(np.float64)
+        sx, sy = acc["sx"].astype(np.float64), acc["sy"].astype(np.float64)
+        sxx, syy = acc["sxx"].astype(np.float64), acc["syy"].astype(np.float64)
+        sxy = acc["sxy"].astype(np.float64)
+        cov = n * sxy - sx * sy
+        den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = cov / den
+        cols["n_events"] = pa.array(acc["n_events"], pa.int64())
+        # zero-variance groups are NULL (matches the oracle's CASE)
+        cols["corr_ts_value"] = pa.Array.from_pandas(
+            np.where(den == 0.0, np.nan, corr)
+        ).cast(pa.float64())
+        t = pa.table(cols)
+        return t.filter(pc.greater_equal(t.column("n_events"), 2))
+
+    return keyed_window(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        fold,
+    ).sort("user_id")
+
+
+ORACLE_CORR = """
+WITH m AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+b AS (
+  SELECT user_id,
+         (epoch_us(ts) - (SELECT t0 FROM m)) // 60000000 AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CASE WHEN sqrt(CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n_events AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+            THEN NULL
+            ELSE (CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_events AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr_ts_value
+FROM s WHERE n_events >= 2
+ORDER BY user_id
+"""
+
+
+def q_histogram_value(sf_dir: str) -> pa.Table:
+    """Equi-width histogram of event values over the observed [min,
+    max] cents range, NBINS=20 — exact integer bin edges so the oracle
+    mirrors bit-for-bit.  Distributed: one tiny min/max aggregate,
+    then per-batch bincount partials (each batch ships <= NBINS rows)
+    folded by a 20-key groupby-sum."""
+    NBINS = 20
+    ds = _read(sf_dir, "events", ["value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"c": _cents(t.column("value"))})
+
+    cents = ds.map_batches(
+        to_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mm = cents.aggregate(Min("c"), Max("c"))
+    lo, hi = int(mm["min(c)"]), int(mm["max(c)"])
+    width = int(np.ceil((hi - lo + 1) / float(NBINS)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        b = (c - lo) // width
+        counts = np.bincount(b, minlength=NBINS)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bin": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        cents.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    t = _from_rows(rows, {"bin": pa.int64(), "n": pa.int64()})
+    t = t.append_column(
+        "lo_cents",
+        pc.add(pc.multiply(t.column("bin"), pa.scalar(width, pa.int64())),
+               pa.scalar(lo, pa.int64())),
+    )
+    return t.select(["bin", "lo_cents", "n"]).sort_by([("bin", "ascending")])
+
+
+ORACLE_HISTOGRAM = """
+WITH b AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+mm AS (SELECT min(c) AS lo, max(c) AS hi FROM b),
+w AS (SELECT lo, CAST(ceil((hi - lo + 1) / 20.0) AS BIGINT) AS width FROM mm)
+SELECT (c - lo) // width AS bin,
+       lo + ((c - lo) // width) * width AS lo_cents,
+       count(*) AS n
+FROM b, w
+GROUP BY 1, 2
+ORDER BY bin
+"""
+
+
 ORACLE_WINDOW_TILES = """
 SELECT event_id, user_id,
        ntile(4) OVER w AS tile4,
@@ -5617,6 +5784,8 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "boilerplate_prefixes": q_boilerplate_prefixes,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "corr_value_ts_per_user": q_corr_value_ts_per_user,
+    "histogram_value": q_histogram_value,
     "chunk_documents": q_chunk_documents,
     "mix_char_budget": q_mix_char_budget,
     "contamination_documents": q_contamination_documents,
@@ -5730,6 +5899,8 @@ ORACLE_SQL = {
     "bm25_search": ORACLE_BM25,
     "boilerplate_prefixes": ORACLE_BOILERPLATE,
     "edit_distance_pairs": ORACLE_EDIT_DISTANCE,
+    "corr_value_ts_per_user": ORACLE_CORR,
+    "histogram_value": ORACLE_HISTOGRAM,
     "chunk_documents": ORACLE_CHUNKS,
     "mix_char_budget": ORACLE_MIX,
     "contamination_documents": ORACLE_CONTAMINATION,
