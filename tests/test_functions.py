@@ -1705,3 +1705,39 @@ def test_codepoint_matrix_sliced_array_offsets():
     full_c, full_l = codepoint_matrix(arr, 8)
     c, l = codepoint_matrix(arr.slice(2, 2), 8)
     assert (c == full_c[2:4]).all() and (l == full_l[2:4]).all()
+
+
+def test_compression_ratio_separates_repetitive_from_random(ray_session, tmp_path):
+    """Repetitive text must compress harder (lower ratio) than random
+    text; empty docs get a null ratio; counts survive the pipeline."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.queries import (
+        q_compression_ratio_documents,
+    )
+
+    rng = random.Random(3)
+    rand = " ".join(
+        "".join(rng.choice("abcdefghij") for _ in range(8)) for _ in range(60)
+    )
+    rep = "spam and eggs " * 40
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([rand, rep, ""]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_compression_ratio_documents(str(tmp_path))
+    if isinstance(out, ray.data.Dataset):
+        out = pa.Table.from_pylist(out.take_all())
+    by = {r["doc_id"]: r for r in out.to_pylist()}
+    assert len(by) == 3
+    assert by[2]["ratio"] < by[1]["ratio"] < 1.0
+    assert by[3]["ratio"] is None and by[3]["raw_bytes"] == 0
+    # determinism pin: same input, same bytes
+    import zlib
+
+    assert by[2]["gz_bytes"] == len(zlib.compress(rep.encode(), 6))

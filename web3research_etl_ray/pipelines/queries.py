@@ -5247,6 +5247,55 @@ FROM documents d LEFT JOIN (
 """
 
 
+def q_compression_ratio_documents(sf_dir: str) -> pa.Table:
+    """zlib compressibility (the Gopher/FineWeb repetitiveness
+    signal): highly repetitive or templated text compresses far below
+    natural prose, so `gz_bytes / raw_bytes` is a cheap quality score
+    that needs no tokenizer or model.  Per-doc compression is inherent
+    (zlib is a sequential codec) but runs at C speed over memoryview
+    slices of the Arrow flat buffer — no Python string materializes.
+    No SQL twin (DuckDB has no zlib scalar), so this entry is
+    rows-only at the gate; determinism is pinned by zlib level 6."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        n = len(txt)
+        offs = np.frombuffer(
+            txt.buffers()[1], np.int32, count=n + 1, offset=txt.offset * 4
+        ).astype(np.int64)
+        mv = memoryview(txt.buffers()[2] or b"")
+        gz = np.fromiter(
+            (
+                len(zlib.compress(mv[s:e], 6))
+                for s, e in zip(offs[:-1], offs[1:])
+            ),
+            np.int64,
+            count=n,
+        )
+        raw = offs[1:] - offs[:-1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = gz.astype(np.float64) / raw.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "raw_bytes": pa.array(raw, pa.int64()),
+                "gz_bytes": pa.array(gz, pa.int64()),
+                # empty docs: no bytes, no signal -> null
+                "ratio": pa.Array.from_pandas(
+                    np.where(raw == 0, np.nan, r)
+                ).cast(pa.float64()),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dup_ngrams_documents(sf_dir: str) -> pa.Table:
     """Cross-document duplicated-span signal (the core statistic of
     exact-substring training-data dedup, Lee et al. 2022 "Deduplicating
@@ -5786,6 +5835,7 @@ QUERIES = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "corr_value_ts_per_user": q_corr_value_ts_per_user,
     "histogram_value": q_histogram_value,
+    "compression_ratio_documents": q_compression_ratio_documents,
     "chunk_documents": q_chunk_documents,
     "mix_char_budget": q_mix_char_budget,
     "contamination_documents": q_contamination_documents,
