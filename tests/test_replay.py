@@ -251,3 +251,49 @@ def test_lake_scan_prunes_files_by_footer_stats(tmp_path):
     # no-match predicate: zero files read, typed empty result
     ds0, read0, _ = lake_scan(lake, predicate=("commit_seq", ">", hi + 1))
     assert read0 == 0 and ds0.count() == 0
+
+
+def test_retyped_column_mid_stream_unifies(tiny_stream, tmp_path):
+    """RETYPED columns (north-star: 'added/retyped columns ... handled
+    via Arrow schema unification'): a segment arriving with a narrower
+    int type (size_bytes int32, commit_seq int32) must unify to the
+    lake's declared widths, values intact — no rebuild, no error."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stream = str(tmp_path / "stream")
+    shutil.copytree(tiny_stream, stream)
+    last = sorted(_glob.glob(f"{stream}/events-*.parquet"))[-1]
+    t = pq.read_table(last)
+    max_seq = int(pc.max(t.column("commit_seq")).as_py())
+    row = t.slice(0, 1).to_pylist()[0]
+    row.update(commit_seq=max_seq + 1, op="upsert",
+               content="retyped segment", size_bytes=15)
+    narrow = pa.table(
+        {name: [row.get(name)] for name in t.column_names}
+    ).cast(t.schema)
+    # retype: int64 -> int32 on both the order col and the v3 extra
+    narrow = narrow.set_column(
+        narrow.schema.get_field_index("commit_seq"), "commit_seq",
+        narrow.column("commit_seq").cast(pa.int32()),
+    ).set_column(
+        narrow.schema.get_field_index("size_bytes"), "size_bytes",
+        narrow.column("size_bytes").cast(pa.int32()),
+    )
+    pq.write_table(narrow, f"{stream}/events-00009.parquet")
+
+    from web3research_etl_ray.pipelines.replay import lookup_key
+
+    lake = str(tmp_path / "lake")
+    replay(stream, lake, num_partitions=8)
+    got = lookup_key(lake, row["repo"], row["path"])
+    assert got is not None
+    assert got["commit_seq"] == max_seq + 1
+    assert got["size_bytes"] == 15
+    lt = lake_table(lake)
+    assert lt.schema.field("commit_seq").type == pa.int64()
+    assert lt.schema.field("size_bytes").type == pa.int64()

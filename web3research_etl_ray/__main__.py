@@ -98,6 +98,19 @@ def main(argv: list[str] | None = None) -> int:
                          "with a file over --threshold rows)")
     sp.add_argument("--threshold", type=int, default=4_000_000)
 
+    pg = sub.add_parser(
+        "purge",
+        help="GDPR erase: tombstone + rewrite the live partitions for the "
+             "given keys (watermarked — later re-upserts still apply); "
+             "compose with 'compact' to drop historical bytes",
+    )
+    pg.add_argument("--lake", required=True)
+    pg.add_argument("--keys", default=None,
+                    help="parquet file with the key columns (default spec: "
+                         "repo, path)")
+    pg.add_argument("--key", action="append", default=[],
+                    help="inline key as 'repo<TAB-or-comma>path'; repeatable")
+
     b = sub.add_parser("backup", help="snapshot the committed generation "
                                       "(scripts/backup_db.py analogue)")
     b.add_argument("--lake", required=True)
@@ -415,6 +428,29 @@ def main(argv: list[str] | None = None) -> int:
                 upto_seq=args.to_seq,
             )
             print(json.dumps({"generation": m.generation, **m.totals()}))
+        elif args.cmd == "purge":
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from .pipelines.purge import purge
+
+            tbls = []
+            if args.keys:
+                tbls.append(pq.read_table(args.keys))
+            if args.key:
+                pairs = [
+                    k.split("\t") if "\t" in k else k.split(",", 1)
+                    for k in args.key
+                ]
+                tbls.append(pa.table({
+                    "repo": [p[0] for p in pairs],
+                    "path": [p[1] for p in pairs],
+                }))
+            if not tbls:
+                print(json.dumps({"error": "need --keys or --key"}))
+                return 1
+            keys = pa.concat_tables(tbls, promote_options="permissive")
+            print(json.dumps(purge(args.lake, keys)))
         elif args.cmd == "split":
             from .pipelines.replay import split_partitions
             from .state.manifest import load_latest

@@ -267,7 +267,9 @@ def check(
     P = manifest.num_partitions
     ranges = load_rollback_ranges(stream_dir)
     files = event_files(stream_dir)
-    normalize = Normalize(P, ranges, spec)
+    from .purge import load_purge_list
+
+    normalize = Normalize(P, ranges, spec, purge=load_purge_list(lake_dir, spec))
     cmp_cols = list(spec.key) + [
         c for c in _value_cols(spec) if c not in spec.key
     ]

@@ -343,7 +343,12 @@ def _replay_impl(
                 salt_hot_pids = frozenset(
                     pid for pid, v in traffic.items() if v > max(1, 4 * median)
                 )
-    normalize = Normalize(num_partitions, ranges, spec, split_depths=split_depths)
+    from .purge import load_purge_list
+
+    normalize = Normalize(
+        num_partitions, ranges, spec, split_depths=split_depths,
+        purge=load_purge_list(lake_dir, spec),
+    )
     valid_pids = extended_pids(num_partitions, split_depths)
     # Exact per-PARTITION watermark routing on resumed ticks: the read
     # filter prunes at the global MIN watermark, so partitions whose own

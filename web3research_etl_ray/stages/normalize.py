@@ -90,11 +90,25 @@ class Normalize:
         orphan_ranges: list[tuple[int, int]],
         spec: TableSpec = REPO_FILES,
         split_depths: dict[int, int] | None = None,
+        purge: pa.Table | None = None,
     ):
         self.num_partitions = num_partitions
         self.ranges = sorted(orphan_ranges)
         self.spec = spec
         self.depth_vec = depth_vector(num_partitions, split_depths)
+        # watermarked tombstones (pipelines/purge.py): events at or
+        # below a purged key's purge_seq are dropped here, so EVERY
+        # rebuild path (tick, repair, full rebuild, conformance check)
+        # converges to the purged state.  O(erase requests) — broadcast
+        # by closure, zero cost when no purge exists.
+        self.purge_comp = None
+        if purge is not None and purge.num_rows:
+            from ..pipelines.purge import composite_key
+
+            self.purge_comp = composite_key(purge, list(spec.key))
+            self.purge_seq = purge.column("purge_seq").to_numpy(
+                zero_copy_only=False
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
@@ -106,6 +120,23 @@ class Normalize:
             batch = batch.set_column(
                 idx, spec.op_col, pc.fill_null(batch.column(spec.op_col), "upsert")
             )
+        if self.purge_comp is not None and batch.num_rows:
+            from ..pipelines.purge import composite_key
+
+            idx = pc.index_in(
+                composite_key(batch, list(spec.key)),
+                value_set=self.purge_comp,
+            )
+            idxf = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False)
+            hit = idxf >= 0
+            if hit.any():
+                s = batch.column(spec.order_col).to_numpy(
+                    zero_copy_only=False
+                )
+                drop = np.zeros(len(batch), dtype=bool)
+                drop[hit] = s[hit] <= self.purge_seq[idxf[hit]]
+                if drop.any():
+                    batch = batch.filter(pa.array(~drop))
         seqs = batch.column(spec.order_col).to_numpy(zero_copy_only=False)
         orphaned = orphan_mask(seqs, self.ranges)
         pid = route_pids(

@@ -328,21 +328,40 @@ def gc_generations(lake_dir: str, keep: int = 2) -> list[int]:
     )
     chain_keep = set(gens[-keep:]) | {latest.generation}
     # a kept manifest may reference files carried forward from older
-    # generations (untouched partitions) — their gen dirs must survive
+    # generations (untouched partitions) — those FILES must survive,
+    # but nothing else in an old gen dir may: file-level GC here is
+    # what makes a purge (pipelines/purge.py) physically erase the
+    # pre-purge copy of a rewritten partition once it leaves the keep
+    # window, instead of riding forever inside a dir kept for one
+    # carried-forward sibling.
     referenced = set()
     for g in chain_keep:
         m = load_manifest(lake_dir, g)
         for e in m.partitions.values():
             if e.file:
-                referenced.add(int(e.file.split("gen=")[1].split(os.sep)[0]))
-    chain_keep |= referenced
+                referenced.add(
+                    os.path.normpath(os.path.join(lake_dir, e.file))
+                )
     removed = []
     for g in gens:
         if g in chain_keep:
             continue
         d = gen_dir(lake_dir, g)
         if os.path.isdir(d):
-            shutil.rmtree(d)
+            kept_any = False
+            for root, _dirs, fnames in os.walk(d, topdown=False):
+                for fn in fnames:
+                    p = os.path.normpath(os.path.join(root, fn))
+                    if p in referenced:
+                        kept_any = True
+                    else:
+                        os.remove(p)
+                try:
+                    os.rmdir(root)  # drops empties bottom-up
+                except OSError:
+                    pass
+            if not kept_any and os.path.isdir(d):
+                shutil.rmtree(d)
         os.remove(_manifest_path(lake_dir, g))
         removed.append(g)
     return removed
