@@ -5816,11 +5816,64 @@ def q_semdedup_embeddings(sf_dir: str) -> pa.Table:
     return semdedup_pairs(ds, k=8, iters=6, tau=0.4)
 
 
+def q_sort_events(sf_dir: str) -> pa.Table:
+    """Global ORDER BY (value DESC, event_id) with exact 1-based ranks —
+    the reference delegates insert-time ORDER BY to ClickHouse
+    (reference src/ch_eth/sync.rs DDLs); here the engine owns it as a
+    sampled range-partitioned sort (functions/sort.py): one sample
+    pass, ONE row exchange, per-range numpy lexsort, ranks from a
+    driver-side R-int prefix.  Never `Dataset.sort` (full-table
+    all-to-all with no rank output)."""
+    from ..functions.sort import range_partitioned_sort
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    out = range_partitioned_sort(
+        ds, "value", descending=True, tiebreak_col="event_id"
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "value", "sort_rank"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ORACLE_SORT_EVENTS = """
+SELECT event_id, value,
+       row_number() OVER (ORDER BY value DESC, event_id) AS sort_rank
+FROM events
+"""
+
+
+def q_equidepth_bins_value(sf_dir: str) -> pa.Table:
+    """Exact equi-depth binning: ntile(16) over the global (value,
+    event_id) order — the quantile-bucket primitive behind balanced
+    range layouts and histogram-equalized features.  Rides the same
+    range sort; the bin is pure arithmetic on the exact global rank."""
+    from ..functions.sort import global_ntile
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    out = global_ntile(ds, "value", 16, tiebreak_col="event_id")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "bin"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ORACLE_EQUIDEPTH = """
+SELECT event_id,
+       ntile(16) OVER (ORDER BY value, event_id) AS bin
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "sort_events": q_sort_events,
+    "equidepth_bins_value": q_equidepth_bins_value,
     # Ordered so the entries without a CORRECTNESS_r02 driver row run
     # first (capstone + composites lead), per VERDICT r02 next-round #1.
     "dup_ngrams_documents": q_dup_ngrams_documents,
@@ -5942,6 +5995,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sort_events": ORACLE_SORT_EVENTS,
+    "equidepth_bins_value": ORACLE_EQUIDEPTH,
     "dup_ngrams_documents": ORACLE_DUP_NGRAMS,
     "remove_dup_spans_documents": ORACLE_REMOVE_DUP_SPANS,
     "dedup_keep_best_documents": ORACLE_DEDUP_KEEP_BEST,
