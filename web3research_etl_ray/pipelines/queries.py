@@ -5867,6 +5867,29 @@ FROM events
 """
 
 
+def q_dsir_sample_documents(sf_dir: str) -> pa.Table:
+    """DSIR data selection (Xie et al. 2023): pick the 500 docs whose
+    hashed-unigram distribution best matches the English subcorpus
+    (target = lang='en'), by importance log-ratio on 4096 hashed
+    features + Gumbel top-k (see functions/importance.py — two
+    streaming passes + a batches×k partial top-k; driver holds one
+    4096-float vector).  Hash-feature scoring is not SQL-expressible →
+    rows-only gate; exactness vs a single-process reference and
+    split-invariance are pinned in tests/test_importance.py."""
+    from ..functions.importance import dsir_select
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    flagged = ds.map_batches(
+        lambda t: t.append_column(
+            "is_target", pc.equal(t.column("lang"), "en")
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return dsir_select(flagged, target_col="is_target", k=500,
+                       buckets=4096)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5874,6 +5897,7 @@ FROM events
 QUERIES = {
     "sort_events": q_sort_events,
     "equidepth_bins_value": q_equidepth_bins_value,
+    "dsir_sample_documents": q_dsir_sample_documents,
     # Ordered so the entries without a CORRECTNESS_r02 driver row run
     # first (capstone + composites lead), per VERDICT r02 next-round #1.
     "dup_ngrams_documents": q_dup_ngrams_documents,
