@@ -5890,6 +5890,47 @@ def q_dsir_sample_documents(sf_dir: str) -> pa.Table:
                        buckets=4096)
 
 
+def q_zorder_scan_events(sf_dir: str) -> pa.Table:
+    """Multi-column zone-map scan over a Z-order-clustered copy of the
+    events table (functions/zorder.py): stage events once as Morton-
+    range files on (value, user_id), then answer a rectangle predicate
+    by pruning Parquet footer stats of BOTH columns before any task
+    runs, + an exact vectorized row filter.  The key-sorted lake files
+    can only zone-map ONE column; this is the layout for the other
+    access path.  Pruning effectiveness (vs a single-sorted layout) is
+    asserted in tests/test_zorder.py; this gate entry pins the exact
+    rectangle result against SQL."""
+    from ..functions.zorder import zorder_scan, zorder_write
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out_dir = f"/tmp/w3r_zorder/{tag}"
+    marker = os.path.join(out_dir, "z-00000.parquet")
+    if not os.path.exists(marker):
+        zorder_write(
+            _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+            out_dir,
+            ("value", "user_id"),
+        )
+    ds, _read_n, _tot = zorder_scan(
+        out_dir,
+        [
+            ("value", ">=", 25.0),
+            ("value", "<=", 75.0),
+            ("user_id", ">=", 3),
+            ("user_id", "<=", 40),
+        ],
+        columns=["event_id", "user_id", "value"],
+    )
+    return ds
+
+
+ORACLE_ZORDER_SCAN = """
+SELECT event_id, user_id, value FROM events
+WHERE value >= 25.0 AND value <= 75.0
+  AND user_id >= 3 AND user_id <= 40
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5898,6 +5939,7 @@ QUERIES = {
     "sort_events": q_sort_events,
     "equidepth_bins_value": q_equidepth_bins_value,
     "dsir_sample_documents": q_dsir_sample_documents,
+    "zorder_scan_events": q_zorder_scan_events,
     # Ordered so the entries without a CORRECTNESS_r02 driver row run
     # first (capstone + composites lead), per VERDICT r02 next-round #1.
     "dup_ngrams_documents": q_dup_ngrams_documents,
@@ -6021,6 +6063,7 @@ QUERIES = {
 ORACLE_SQL = {
     "sort_events": ORACLE_SORT_EVENTS,
     "equidepth_bins_value": ORACLE_EQUIDEPTH,
+    "zorder_scan_events": ORACLE_ZORDER_SCAN,
     "dup_ngrams_documents": ORACLE_DUP_NGRAMS,
     "remove_dup_spans_documents": ORACLE_REMOVE_DUP_SPANS,
     "dedup_keep_best_documents": ORACLE_DEDUP_KEEP_BEST,
