@@ -5931,6 +5931,46 @@ WHERE value >= 25.0 AND value <= 75.0
 """
 
 
+def q_quality_classifier_documents(sf_dir: str) -> pa.Table:
+    """Model-based quality filter trained INSIDE the engine (the
+    fastText-classifier stage of GPT-3/PaLM-style pipelines): hashed
+    256-dim token features (`hash_embed`, no vocab/model file),
+    full-batch logistic regression by synchronous exact gradient
+    aggregation (functions/classifier.py — driver holds 257 floats,
+    per-iteration exchange is O(partials × d), independent of corpus
+    size), then one streaming scoring pass.  Label here: lang='en'
+    (a stand-in for any editorial quality label).  Model training →
+    rows-only gate; reference-exactness, determinism and AUC are
+    pinned in tests/test_classifier.py."""
+    from ..functions.classifier import logreg_score, logreg_train
+    from ..functions.similarity import hash_embed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        t = hash_embed(t, dim=256)
+        return t.drop_columns(["text"]).append_column(
+            "label", pc.equal(t.column("lang"), "en")
+        )
+
+    feats = ds.map_batches(
+        featurize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # train loop re-reads features, not raw text
+    w = logreg_train(feats, label_col="label", iters=30, lr=2.0)
+    out = logreg_score(feats, w, keep_cols=("label",))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "is_en": t.column("label"),
+                "score": t.column("score"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5940,6 +5980,7 @@ QUERIES = {
     "equidepth_bins_value": q_equidepth_bins_value,
     "dsir_sample_documents": q_dsir_sample_documents,
     "zorder_scan_events": q_zorder_scan_events,
+    "quality_classifier_documents": q_quality_classifier_documents,
     # Ordered so the entries without a CORRECTNESS_r02 driver row run
     # first (capstone + composites lead), per VERDICT r02 next-round #1.
     "dup_ngrams_documents": q_dup_ngrams_documents,
