@@ -5931,6 +5931,20 @@ WHERE value >= 25.0 AND value <= 75.0
 """
 
 
+def q_bpe_vocab_documents(sf_dir: str) -> pa.Table:
+    """Tokenizer training inside the engine: learn 40 BPE merges from
+    the corpus (functions/bpe.py — one corpus pass folds the word-TYPE
+    table, then every merge round is O(types) map-only pair counting +
+    vectorized merge apply; the driver holds one (pair, count) row per
+    round).  Iterative argmax over corpus-global counts is not
+    SQL-expressible → rows-only gate; exact merge-sequence equality vs
+    the textbook algorithm is pinned in tests/test_bpe.py."""
+    from ..functions.bpe import bpe_learn
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_learn(ds, 40)
+
+
 def q_quality_classifier_documents(sf_dir: str) -> pa.Table:
     """Model-based quality filter trained INSIDE the engine (the
     fastText-classifier stage of GPT-3/PaLM-style pipelines): hashed
@@ -5981,6 +5995,7 @@ QUERIES = {
     "dsir_sample_documents": q_dsir_sample_documents,
     "zorder_scan_events": q_zorder_scan_events,
     "quality_classifier_documents": q_quality_classifier_documents,
+    "bpe_vocab_documents": q_bpe_vocab_documents,
     # Ordered so the entries without a CORRECTNESS_r02 driver row run
     # first (capstone + composites lead), per VERDICT r02 next-round #1.
     "dup_ngrams_documents": q_dup_ngrams_documents,
