@@ -263,3 +263,76 @@ def test_hash_join_bloom_prune_identical_and_prunes():
     for how in ("left", "anti", "full"):
         with pytest.raises(ValueError):
             hash_join(lds, rds, "k", how=how, bloom_prune=True)
+
+
+# ---------------------------------------------------------------------------
+# auto_join planner (broadcast vs bucketed by build-side size)
+# ---------------------------------------------------------------------------
+
+
+def _aj_fixture():
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 50, 3000), pa.int64()),
+            "lv": pa.array(np.arange(3000, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(np.arange(0, 40, dtype=np.int64)),
+            "rv": pa.array(np.arange(100, 140, dtype=np.int64)),
+        }
+    )
+    return left, right
+
+
+def test_auto_join_picks_broadcast_for_small_build_side():
+    from web3research_etl_ray.functions.joins import auto_join, hash_join
+
+    left_t, right_t = _aj_fixture()
+    left = ray.data.from_arrow(left_t).repartition(4)
+    right = ray.data.from_arrow(right_t)
+    out, plan = auto_join(left, right, "k", explain=True)
+    assert plan["strategy"] == "broadcast" and plan["right_rows"] == 40
+    got = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in out.take_all()
+    )
+    ref = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in hash_join(
+            ray.data.from_arrow(left_t), ray.data.from_arrow(right_t), "k"
+        ).take_all()
+    )
+    assert got == ref
+
+
+def test_auto_join_switches_to_bucketed_past_threshold():
+    from web3research_etl_ray.functions.joins import auto_join
+
+    left_t, right_t = _aj_fixture()
+    left = ray.data.from_arrow(left_t).repartition(4)
+    right = ray.data.from_arrow(right_t)
+    out, plan = auto_join(
+        left, right, "k", broadcast_max_rows=10, explain=True
+    )
+    assert plan["strategy"] == "bucketed"
+    b_out = auto_join(left, right, "k")  # default: broadcast
+    assert sorted(
+        (r["k"], r["lv"], r["rv"]) for r in out.take_all()
+    ) == sorted((r["k"], r["lv"], r["rv"]) for r in b_out.take_all())
+
+
+def test_auto_join_left_keeps_unmatched_probe_rows():
+    from web3research_etl_ray.functions.joins import auto_join
+
+    left_t, right_t = _aj_fixture()  # keys 40..49 unmatched
+    out = auto_join(
+        ray.data.from_arrow(left_t), ray.data.from_arrow(right_t),
+        "k", how="left",
+    )
+    rows = out.take_all()
+    assert len(rows) == 3000
+    assert any(r["rv"] is None for r in rows)

@@ -490,3 +490,78 @@ def range_join(
         return pa.table(cols)
 
     return ds.groupby("__chunk").map_groups(join_chunk, batch_format="pyarrow")
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right_tbl: pa.Table,
+    key: str | list[str],
+    *,
+    how: str = "inner",
+    right_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Zero-shuffle join against a SMALL materialized right table: the
+    build side goes to the object store once (``ray.put``) and every
+    batch Acero-joins against it locally — no exchange at all.  The
+    generalization of the reference's block-header broadcast (SURVEY
+    §2.4).  right/full are not offered: an unmatched-right audit needs
+    the bucketed join."""
+    import ray as _ray
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("broadcast_join supports inner/left/semi/anti")
+    keys = [key] if isinstance(key, str) else list(key)
+    if right_cols is not None:
+        right_tbl = right_tbl.select(sorted(set(right_cols + keys)))
+    r_ref = _ray.put(right_tbl.combine_chunks())
+    join_type = _JOIN_TYPES[how]
+
+    def jb(t: pa.Table) -> pa.Table:
+        rt = _ray.get(r_ref)
+        return t.join(
+            rt, keys=keys, join_type=join_type, right_suffix="_r"
+        ).combine_chunks()
+
+    return left.map_batches(jb, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def auto_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str | list[str],
+    *,
+    how: str = "inner",
+    broadcast_max_rows: int = 2_000_000,
+    num_buckets: int = 32,
+    salt: int = 1,
+    bloom_prune: bool | int = False,
+    explain: bool = False,
+):
+    """Size-adaptive join planner: count the build (right) side — a
+    metadata-cheap operation for Parquet-backed datasets — and pick
+    the zero-shuffle broadcast join when it fits the object store
+    comfortably, else the bucketed salted hash join.  ``explain=True``
+    additionally returns the chosen plan ({strategy, right_rows}).
+
+    The same decision the CDC pipeline makes statically (dimension
+    broadcasts vs the spool exchange), exposed as a general operator
+    so composed pipelines don't hand-tune every join at every scale."""
+    n_right = right.count()
+    can_bcast = how in ("inner", "left", "semi", "anti")
+    if n_right <= broadcast_max_rows and can_bcast:
+        rt = pa.Table.from_pylist(right.take_all())
+        if rt.num_rows == 0:
+            schema = right.schema()
+            base = getattr(schema, "base_schema", None)
+            if base is not None:
+                rt = base.empty_table()
+        out = broadcast_join(left, rt, key, how=how)
+        plan = {"strategy": "broadcast", "right_rows": n_right}
+    else:
+        out = hash_join(
+            left, right, key,
+            how=how, num_buckets=num_buckets, salt=salt,
+            bloom_prune=bloom_prune,
+        )
+        plan = {"strategy": "bucketed", "right_rows": n_right}
+    return (out, plan) if explain else out
