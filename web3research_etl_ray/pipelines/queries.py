@@ -5931,6 +5931,37 @@ WHERE value >= 25.0 AND value <= 75.0
 """
 
 
+def q_spelling_variants_part(sf_dir: str) -> pa.Table:
+    """Fuzzy token matching: all vocabulary pairs of the part-name
+    corpus at edit distance exactly 1 — SymSpell symmetric-delete
+    blocking (complete for d=1: equal / deletion / shared-deletion
+    covers sub+ins+del) + the batched prefix-min Levenshtein verify
+    (functions/fuzzy.py).  3-shuffle shape: type fold → deletion-key
+    hash-bucket exchange (groups = B buckets, never O(keys)) →
+    pair-hash dedup + verify.  Oracle: DuckDB levenshtein() self-join
+    over the same length/df-bounded vocabulary."""
+    from ..functions.fuzzy import spelling_variant_pairs
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    return spelling_variant_pairs(
+        ds, text_col="p_name", min_len=3, max_len=14, df_min=1
+    )
+
+
+ORACLE_SPELLING = r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(p_name), '\w+')) AS token
+  FROM part
+), v AS (
+  SELECT token FROM tok GROUP BY token
+  HAVING count(*) >= 1 AND length(token) BETWEEN 3 AND 14
+)
+SELECT a.token AS tok_a, b.token AS tok_b
+FROM v a JOIN v b
+  ON a.token < b.token AND levenshtein(a.token, b.token) = 1
+"""
+
+
 def q_bpe_vocab_documents(sf_dir: str) -> pa.Table:
     """Tokenizer training inside the engine: learn 40 BPE merges from
     the corpus (functions/bpe.py — one corpus pass folds the word-TYPE
@@ -5996,6 +6027,7 @@ QUERIES = {
     "zorder_scan_events": q_zorder_scan_events,
     "quality_classifier_documents": q_quality_classifier_documents,
     "bpe_vocab_documents": q_bpe_vocab_documents,
+    "spelling_variants_part": q_spelling_variants_part,
     # Ordered so the entries without a CORRECTNESS_r02 driver row run
     # first (capstone + composites lead), per VERDICT r02 next-round #1.
     "dup_ngrams_documents": q_dup_ngrams_documents,
@@ -6120,6 +6152,7 @@ ORACLE_SQL = {
     "sort_events": ORACLE_SORT_EVENTS,
     "equidepth_bins_value": ORACLE_EQUIDEPTH,
     "zorder_scan_events": ORACLE_ZORDER_SCAN,
+    "spelling_variants_part": ORACLE_SPELLING,
     "dup_ngrams_documents": ORACLE_DUP_NGRAMS,
     "remove_dup_spans_documents": ORACLE_REMOVE_DUP_SPANS,
     "dedup_keep_best_documents": ORACLE_DEDUP_KEEP_BEST,
