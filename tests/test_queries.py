@@ -76,7 +76,7 @@ def test_entry_smoke():
         "repetition_stats_documents",
         "dup_ngrams_documents", "remove_dup_spans_documents",
         "changelog_export", "dedup_keep_best_documents",
-        "tfidf_top_terms",
+        "tfidf_top_terms", "lm_bigram_documents",
     ],
 )
 def test_query(results, name):
@@ -104,6 +104,40 @@ def test_exact_dedup_keep_drops_planted_duplicates(tmp_path):
     )
     out = q_exact_dedup_keep(str(tmp_path))
     assert out["doc_id"].to_pylist() == [1, 3, 5]
+
+
+def test_lm_bigram_scores_fluent_above_gibberish(tmp_path):
+    """The corpus bigram LM must rank text made of corpus-frequent
+    bigrams above a doc of bigrams seen nowhere else (the CCNet
+    filtering direction), and count bigrams exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.queries import q_lm_bigram_documents
+
+    common = "the model trains the model on the data"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [common, common, "the model trains well",
+                     "zq xv qj kk pp zz"]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_lm_bigram_documents(str(tmp_path))
+    import pandas as pd
+
+    df = pa.Table.from_pylist(out.take_all()).to_pandas().set_index("doc_id")
+    assert df.loc[1, "n_bigrams"] == 7  # 8 tokens -> 7 bigrams
+    assert df.loc[4, "n_bigrams"] == 5
+    # fluent (corpus-repeated) docs beat the gibberish doc on both stats
+    assert df.loc[1, "p50_lp"] > df.loc[4, "p50_lp"]
+    assert df.loc[1, "min_lp"] > df.loc[4, "min_lp"]
+    assert df.loc[3, "p50_lp"] > df.loc[4, "p50_lp"]
 
 
 def test_grouped_order_stats_fuzz_vs_duckdb(tmp_path):

@@ -159,6 +159,79 @@ def _apply_merge(t: pa.Table, a: str, b: str) -> pa.Table:
     )
 
 
+class BpeEncoder:
+    """Apply a learned merge table to documents — the tokenizer-APPLY
+    stage that follows `bpe_learn` in an LLM data pipeline (count the
+    real post-BPE sequence lengths before packing/mixing decisions).
+
+    Stateful actor-pool shape: the merge list (tiny — one (left,
+    right) pair per rank) binds ONCE per worker in ``__init__``; each
+    ``__call__`` encodes one Arrow batch fully vectorized:
+
+    1. tokenize the batch to its flat word stream (Arrow RE2);
+    2. reduce to the batch's DISTINCT word types (types ≪ tokens) and
+       run the same `_apply_merge` kernel the trainer uses, once per
+       merge rank, over the type symbol table — so encode semantics
+       are bit-identical to training (greedy left-to-right, even
+       offsets in overlap runs);
+    3. gather each occurrence's post-merge symbol count back through
+       an `index_in` lookup and fold per document with one reduceat.
+
+    Per-batch cost is O(merges × type symbols + tokens); no Python
+    loops over tokens or documents."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.merges = list(merges)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .text import token_strings
+
+        docs = t.column("doc_id").combine_chunks()
+        flat, parents = token_strings(t.column("text"))
+        n_rows = t.num_rows
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": docs,
+                    "n_tokens": pa.array(np.zeros(n_rows, np.int64)),
+                    "n_bpe_tokens": pa.array(np.zeros(n_rows, np.int64)),
+                }
+            )
+        types = pc.unique(flat)
+        sym_tbl = _to_symbols(
+            pa.table(
+                {
+                    "word": types,
+                    "n": pa.array(np.ones(len(types), np.int64)),
+                }
+            )
+        )
+        for a, b in self.merges:
+            sym_tbl = _apply_merge(sym_tbl, a, b)
+        n_syms = pc.list_value_length(
+            sym_tbl.column("symbols").combine_chunks()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.index_in(flat, value_set=types).to_numpy(
+            zero_copy_only=False
+        )
+        per_tok = n_syms[idx]
+        # parents is nondecreasing; docs with zero tokens need 0 rows
+        counts = np.bincount(parents, minlength=n_rows)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        bpe = np.zeros(n_rows, np.int64)
+        nz = counts > 0
+        if nz.any():
+            sums = np.add.reduceat(per_tok, starts[nz])
+            bpe[nz] = sums
+        return pa.table(
+            {
+                "doc_id": docs,
+                "n_tokens": pa.array(counts.astype(np.int64)),
+                "n_bpe_tokens": pa.array(bpe),
+            }
+        )
+
+
 def bpe_learn(
     ds: ray.data.Dataset,
     num_merges: int,

@@ -6016,11 +6016,197 @@ def q_quality_classifier_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def q_lm_bigram_documents(sf_dir: str):
+    """Corpus bigram language-model quality score (the CCNet/KenLM
+    filtering signal, Wenzek et al. 2020): train a Laplace-smoothed
+    bigram LM on the corpus itself, then score every document by its
+    per-bigram log-probabilities ln((c2+1)/(c1+V)) — c2 = corpus count
+    of the bigram, c1 = corpus count of the prefix token, V = corpus
+    vocabulary size.  Low-probability documents are boilerplate-free
+    gibberish; high-probability ones are fluent (or duplicated) text.
+
+    Per doc we emit ORDER-FREE float aggregates so oracle parity is
+    bit-exact without caring about float summation order: min_lp (the
+    most surprising bigram) and p50_lp (quantile_disc median, an exact
+    element pick like `quantiles_value_per_user`).  Each lp itself is
+    bit-equal to the SQL expression tree: integer counts -> one double
+    divide -> one ln, matching `bm25_search`'s determinism argument.
+
+    Fully distributed, 3 bounded-bucket shuffles over O(tokens) rows
+    (the `dup_ngrams_documents` exchange shape): batch pass explodes
+    hashed bigram occurrences (64-bit token hashes stand in for
+    strings, collision odds (#tokens)^2/2^64 ~= 0) -> prefix-hash
+    bucket attaches c1 by in-bucket value_counts (a bucket holds ALL
+    occurrences of its prefix tokens, so the in-bucket count IS the
+    global count) -> bigram-hash bucket attaches c2 and computes lp ->
+    doc-hash bucket folds per-doc order statistics in one lexsort per
+    bucket.  V is a distinct-count fold over the same materialized
+    occurrence stream (sentinel rows), never a driver-side set.  No
+    stage holds more than one bucket; counts travel with rows."""
+    from ..functions.text import token_hash_stream
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    B1 = 64   # prefix-token hash buckets
+    B2 = 64   # bigram hash buckets
+    DB = 32   # doc buckets
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h, parents = token_hash_stream(t.column("text"))
+        K = np.uint64(1099511628211)
+        if len(h) >= 2:
+            valid = parents[:-1] == parents[1:]
+            h1 = h[:-1][valid]
+            h2 = h[1:][valid]
+            w1 = (h1 >> np.uint64(1)).astype(np.int64)
+            bg = ((h1 * K + h2) >> np.uint64(1)).astype(np.int64)
+            doc = docs[parents[:-1][valid]]
+        else:
+            w1 = bg = doc = np.zeros(0, np.int64)
+        # sentinel vocab rows: one per DISTINCT token hash in the batch
+        # (bg = -1); keyed by the token hash so every occurrence of a
+        # token lands in one bucket and the per-bucket distinct is exact
+        toks = np.unique((h >> np.uint64(1)).astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate((doc, np.full(len(toks), -1, np.int64))),
+                    pa.int64(),
+                ),
+                "w1": pa.array(np.concatenate((w1, toks)), pa.int64()),
+                "bg": pa.array(
+                    np.concatenate((bg, np.full(len(toks), -1, np.int64))),
+                    pa.int64(),
+                ),
+                "__b": pa.array(
+                    np.concatenate((w1 % B1, toks % B1)), pa.int64()
+                ),
+            }
+        )
+
+    occ = ds.map_batches(
+        occ_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # tokenize once; V and the scoring chain both read it
+
+    def vocab_partial(g: pa.Table) -> pa.Table:
+        bg = g.column("bg").to_numpy(zero_copy_only=False)
+        toks = g.column("w1").to_numpy(zero_copy_only=False)[bg == -1]
+        return pa.table({"n": pa.array([len(np.unique(toks))], pa.int64())})
+
+    V = int(
+        occ.groupby("__b")
+        .map_groups(vocab_partial, batch_format="pyarrow")
+        .sum("n")
+    )
+
+    def attach_c1(g: pa.Table) -> pa.Table:
+        bg = g.column("bg").to_numpy(zero_copy_only=False)
+        real = bg != -1
+        w1 = g.column("w1").to_numpy(zero_copy_only=False)[real]
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)[real]
+        bgr = bg[real]
+        if len(w1):
+            uniq, inv, cnt = np.unique(w1, return_inverse=True,
+                                       return_counts=True)
+            c1 = cnt[inv]
+        else:
+            c1 = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "bg": pa.array(bgr, pa.int64()),
+                "c1": pa.array(c1.astype(np.int64), pa.int64()),
+                "__b2": pa.array(bgr % B2, pa.int64()),
+            }
+        )
+
+    vocab_f = float(V)
+
+    def attach_c2(g: pa.Table) -> pa.Table:
+        bg = g.column("bg").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        c1 = g.column("c1").to_numpy(zero_copy_only=False)
+        if len(bg):
+            uniq, inv, cnt = np.unique(bg, return_inverse=True,
+                                       return_counts=True)
+            c2 = cnt[inv].astype(np.float64)
+        else:
+            c2 = np.zeros(0, np.float64)
+        # expression tree mirrors the oracle: (c2 + 1.0) / (c1 + V)
+        # with the denominator an exact integer sum, then one ln
+        lp = np.log((c2 + 1.0) / (c1 + np.int64(V)).astype(np.float64))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "lp": pa.array(lp, pa.float64()),
+                "__db": pa.array(doc % DB, pa.int64()),
+            }
+        )
+
+    def doc_fold(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        lp = g.column("lp").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lp, doc))
+        doc, lp = doc[order], lp[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], doc[1:] != doc[:-1]))
+        ) if len(doc) else np.zeros(0, np.int64)
+        counts = np.diff(np.append(starts, len(doc)))
+        # quantile_disc(0.5): element at ceil(n/2)-1 of the sorted run
+        p50 = lp[starts + np.ceil(0.5 * counts).astype(np.int64) - 1]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "n_bigrams": pa.array(counts.astype(np.int64), pa.int64()),
+                "min_lp": pa.array(lp[starts], pa.float64()),
+                "p50_lp": pa.array(p50, pa.float64()),
+            }
+        )
+
+    return (
+        occ.groupby("__b")
+        .map_groups(attach_c1, batch_format="pyarrow")
+        .groupby("__b2")
+        .map_groups(attach_c2, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(doc_fold, batch_format="pyarrow")
+    )
+
+
+ORACLE_LM_BIGRAM = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+), occ AS (
+  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg
+        FROM toks WHERE len(w) >= 2)
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM occ GROUP BY w1
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY w1, w2
+), v AS (
+  SELECT count(DISTINCT tok) AS vocab
+  FROM (SELECT unnest(w) AS tok FROM toks)
+), scored AS (
+  SELECT o.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v.vocab)) AS lp
+  FROM occ o
+  JOIN c1 USING (w1)
+  JOIN c2 ON o.w1 = c2.w1 AND o.w2 = c2.w2
+  CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams, min(lp) AS min_lp,
+       quantile_disc(lp, 0.5) AS p50_lp
+FROM scored GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "lm_bigram_documents": q_lm_bigram_documents,
     "sort_events": q_sort_events,
     "equidepth_bins_value": q_equidepth_bins_value,
     "dsir_sample_documents": q_dsir_sample_documents,
@@ -6149,6 +6335,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "lm_bigram_documents": ORACLE_LM_BIGRAM,
     "sort_events": ORACLE_SORT_EVENTS,
     "equidepth_bins_value": ORACLE_EQUIDEPTH,
     "zorder_scan_events": ORACLE_ZORDER_SCAN,
