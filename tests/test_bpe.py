@@ -90,3 +90,73 @@ def test_bpe_learns_common_subwords():
     # 'low</w>' and 'new' are high-frequency units in the fixture
     assert any("low" in m for m in merged)
     assert any("ne" in m for m in merged)
+
+
+def _reference_encode_len(texts, merges):
+    """Apply merges in rank order (greedy left-to-right, the trainer's
+    own overlap semantics) to each text; per-doc BPE token count."""
+    import re
+
+    out = []
+    for txt in texts:
+        total = 0
+        words = re.findall(r"\w+", txt.lower())
+        for w in words:
+            syms = list(w)
+            syms[-1] += "</w>"
+            for _, a, b, _ in merges:
+                new, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                syms = new
+            total += len(syms)
+        out.append((len(words), total))
+    return out
+
+
+def test_bpe_encode_matches_reference():
+    from web3research_etl_ray.functions.bpe import BpeEncoder
+
+    ref_merges = _reference_bpe(TEXTS, 12)
+    enc = BpeEncoder([(a, b) for _, a, b, _ in ref_merges])
+    got = (
+        _ds(TEXTS, 3)
+        .map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"]) for r in got}
+    ref = _reference_encode_len(TEXTS, ref_merges)
+    assert got == {i: ref[i] for i in range(len(TEXTS))}
+    # merges strictly compress: fewer BPE tokens than characters,
+    # never fewer than words
+    for n_tok, n_bpe in got.values():
+        assert n_bpe >= n_tok
+
+
+def test_bpe_encode_empty_and_no_token_docs():
+    from web3research_etl_ray.functions.bpe import BpeEncoder
+
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["", "...!!!", "low lower"]),
+        }
+    )
+    enc = BpeEncoder([("l", "o"), ("lo", "w")])
+    out = enc(t)
+    assert out.column("n_tokens").to_pylist() == [0, 0, 2]
+    # 'low</w>' -> lo|w</w> (merge ('lo','w') does NOT apply: the
+    # final symbol is 'w</w>', not 'w') => 2 symbols; 'lower</w>' ->
+    # lo|w|e|r</w> -> low|e|r</w> (mid-word 'w' DOES merge) => 3
+    assert out.column("n_bpe_tokens").to_pylist() == [0, 0, 5]

@@ -76,7 +76,7 @@ def test_entry_smoke():
         "repetition_stats_documents",
         "dup_ngrams_documents", "remove_dup_spans_documents",
         "changelog_export", "dedup_keep_best_documents",
-        "tfidf_top_terms", "lm_bigram_documents",
+        "tfidf_top_terms", "lm_bigram_documents", "bpe_encode_documents",
     ],
 )
 def test_query(results, name):

@@ -5976,6 +5976,36 @@ def q_bpe_vocab_documents(sf_dir: str) -> pa.Table:
     return bpe_learn(ds, 40)
 
 
+def q_bpe_encode_documents(sf_dir: str):
+    """Tokenizer APPLY: learn 40 BPE merges (same trainer as
+    `bpe_vocab_documents`), then encode every document with the merge
+    table and emit its real post-BPE sequence length — the statistic
+    packing/mixing decisions need.  The merge table is tiny (one pair
+    per rank) and binds once per actor via `BpeEncoder.__init__`
+    (stateful actor-pool stage); each batch encodes its DISTINCT word
+    types with the trainer's own vectorized merge kernel and gathers
+    counts back per document.  Iterative BPE is not SQL-expressible →
+    rows-only gate; encode-vs-reference equality is pinned in
+    tests/test_bpe.py."""
+    from ..functions.bpe import BpeEncoder, bpe_learn
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges_tbl = bpe_learn(ds, 40)
+    merges = list(
+        zip(
+            merges_tbl.column("left").to_pylist(),
+            merges_tbl.column("right").to_pylist(),
+        )
+    )
+    return ds.map_batches(
+        BpeEncoder,
+        fn_constructor_args=(merges,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_quality_classifier_documents(sf_dir: str) -> pa.Table:
     """Model-based quality filter trained INSIDE the engine (the
     fastText-classifier stage of GPT-3/PaLM-style pipelines): hashed
@@ -6207,6 +6237,7 @@ FROM scored GROUP BY doc_id
 
 QUERIES = {
     "lm_bigram_documents": q_lm_bigram_documents,
+    "bpe_encode_documents": q_bpe_encode_documents,
     "sort_events": q_sort_events,
     "equidepth_bins_value": q_equidepth_bins_value,
     "dsir_sample_documents": q_dsir_sample_documents,
