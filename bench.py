@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "pca_embeddings",
     "semdedup_embeddings",
+    "lm_bigram_documents",
+    "sort_events",
+    "dsir_sample_documents",
 ]
 
 

@@ -140,6 +140,50 @@ def test_lm_bigram_scores_fluent_above_gibberish(tmp_path):
     assert df.loc[3, "p50_lp"] > df.loc[4, "p50_lp"]
 
 
+def test_lm_bigram_adversarial_vs_duckdb(tmp_path):
+    """lm_bigram edge fuzz: empty / punctuation-only / 1-token docs
+    (no bigrams -> no row), heavy repetition (tied lps exercise the
+    quantile_disc pick), unicode tokens, plus a randomized tail —
+    engine vs the registered oracle, dtype-strict."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.queries import (
+        ORACLE_LM_BIGRAM,
+        q_lm_bigram_documents,
+    )
+    from . import parity
+
+    rng = np.random.default_rng(23)
+    vocab = ["a", "b", "να", "δ3", "the", "of", "x9"]
+    texts = [
+        "", "...!!!", "one", "a a a a a a a a", "a b a b a b",
+        "να δ3 να δ3 να", "  spaced   out\ttabs\nnewlines  ",
+    ] + [
+        " ".join(rng.choice(vocab, rng.integers(0, 12)))
+        for _ in range(200)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    out = q_lm_bigram_documents(str(tmp_path))
+    ok, msg = parity.compare("lm_bigram", out, ORACLE_LM_BIGRAM, con)
+    assert ok, msg
+
+
 def test_grouped_order_stats_fuzz_vs_duckdb(tmp_path):
     """Randomized exactness fuzz for the keyed-exchange order
     statistics (quantiles / median / mode / topk): heavy ties, single-
