@@ -6062,23 +6062,61 @@ def q_lm_bigram_documents(sf_dir: str):
     bit-equal to the SQL expression tree: integer counts -> one double
     divide -> one ln, matching `bm25_search`'s determinism argument.
 
-    Fully distributed, 3 bounded-bucket shuffles over O(tokens) rows
-    (the `dup_ngrams_documents` exchange shape): batch pass explodes
-    hashed bigram occurrences (64-bit token hashes stand in for
-    strings, collision odds (#tokens)^2/2^64 ~= 0) -> prefix-hash
-    bucket attaches c1 by in-bucket value_counts (a bucket holds ALL
-    occurrences of its prefix tokens, so the in-bucket count IS the
-    global count) -> bigram-hash bucket attaches c2 and computes lp ->
-    doc-hash bucket folds per-doc order statistics in one lexsort per
-    bucket.  V is a distinct-count fold over the same materialized
-    occurrence stream (sentinel rows), never a driver-side set.  No
-    stage holds more than one bucket; counts travel with rows."""
+    Fully distributed, 3 bounded-bucket shuffles, all over PRE-FOLDED
+    rows: the batch pass explodes hashed bigram occurrences (64-bit
+    token hashes stand in for strings, collision odds
+    (#tokens)^2/2^64 ~= 0) and immediately folds batch-local
+    (doc, bigram) duplicates into one row with multiplicity `m` — on
+    repetitive corpora every later exchange moves a fraction of the
+    token count.  Then: prefix-hash bucket attaches c1 by an
+    m-weighted in-bucket reduceat (a bucket holds ALL occurrences of
+    its prefix tokens, so the in-bucket sum IS the global count) ->
+    bigram-hash bucket attaches c2 the same way and computes lp ->
+    doc-hash bucket folds per-doc WEIGHTED order statistics (segment
+    cumsum + searchsorted — never expanding multiplicities).  V is a
+    distinct-count fold over a separate tiny per-batch-distinct token
+    stream (vocab-bounded rows per batch), NOT a shuffle of the
+    occurrence stream, and never a driver-side set.
+
+    Perf ledger on the 1M-doc soak (32 CPUs): 262 s for v1 (3 shuffles
+    of raw occurrences + sentinel vocab rows, materialized) -> 177 s
+    for this shape (multiplicity fold + vocab side-stream).  A
+    broadcast-c1 variant (partial-fold the vocab-sized unigram table,
+    ray.put it, skip the w1 exchange) MEASURED SLOWER (340 s): its
+    pre-pass re-tokenizes the corpus and sort-aggregates ~30M partial
+    rows, costing more than the one bucketed exchange it saves — the
+    exchange stays."""
+    from ray.data.aggregate import Sum
+
     from ..functions.text import token_hash_stream
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     B1 = 64   # prefix-token hash buckets
     B2 = 64   # bigram hash buckets
     DB = 32   # doc buckets
+    TB = 32   # vocab distinct buckets
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        # batch-local distinct token hashes: O(min(batch tokens, vocab))
+        h, _ = token_hash_stream(t.column("text"))
+        toks = np.unique((h >> np.uint64(1)).astype(np.int64))
+        return pa.table(
+            {
+                "tok": pa.array(toks, pa.int64()),
+                "__tb": pa.array(toks % TB, pa.int64()),
+            }
+        )
+
+    def vocab_partial(g: pa.Table) -> pa.Table:
+        toks = g.column("tok").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(np.unique(toks))], pa.int64())})
+
+    V = int(
+        ds.map_batches(tok_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__tb")
+        .map_groups(vocab_partial, batch_format="pyarrow")
+        .sum("n")
+    )
 
     def occ_rows(t: pa.Table) -> pa.Table:
         docs = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -6093,108 +6131,120 @@ def q_lm_bigram_documents(sf_dir: str):
             doc = docs[parents[:-1][valid]]
         else:
             w1 = bg = doc = np.zeros(0, np.int64)
-        # sentinel vocab rows: one per DISTINCT token hash in the batch
-        # (bg = -1); keyed by the token hash so every occurrence of a
-        # token lands in one bucket and the per-bucket distinct is exact
-        toks = np.unique((h >> np.uint64(1)).astype(np.int64))
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    np.concatenate((doc, np.full(len(toks), -1, np.int64))),
-                    pa.int64(),
-                ),
-                "w1": pa.array(np.concatenate((w1, toks)), pa.int64()),
-                "bg": pa.array(
-                    np.concatenate((bg, np.full(len(toks), -1, np.int64))),
-                    pa.int64(),
-                ),
-                "__b": pa.array(
-                    np.concatenate((w1 % B1, toks % B1)), pa.int64()
-                ),
-            }
-        )
-
-    occ = ds.map_batches(
-        occ_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # tokenize once; V and the scoring chain both read it
-
-    def vocab_partial(g: pa.Table) -> pa.Table:
-        bg = g.column("bg").to_numpy(zero_copy_only=False)
-        toks = g.column("w1").to_numpy(zero_copy_only=False)[bg == -1]
-        return pa.table({"n": pa.array([len(np.unique(toks))], pa.int64())})
-
-    V = int(
-        occ.groupby("__b")
-        .map_groups(vocab_partial, batch_format="pyarrow")
-        .sum("n")
-    )
-
-    def attach_c1(g: pa.Table) -> pa.Table:
-        bg = g.column("bg").to_numpy(zero_copy_only=False)
-        real = bg != -1
-        w1 = g.column("w1").to_numpy(zero_copy_only=False)[real]
-        doc = g.column("doc_id").to_numpy(zero_copy_only=False)[real]
-        bgr = bg[real]
-        if len(w1):
-            uniq, inv, cnt = np.unique(w1, return_inverse=True,
-                                       return_counts=True)
-            c1 = cnt[inv]
+        # batch-local (doc, bigram) multiplicity fold (docs never span
+        # batches, so m is complete): one lexsort + run-length count
+        if len(bg):
+            order = np.lexsort((bg, doc))
+            doc, w1, bg = doc[order], w1[order], bg[order]
+            starts = np.flatnonzero(
+                np.concatenate(
+                    ([True], (doc[1:] != doc[:-1]) | (bg[1:] != bg[:-1]))
+                )
+            )
+            m = np.diff(np.append(starts, len(bg)))
+            doc, w1, bg = doc[starts], w1[starts], bg[starts]
         else:
-            c1 = np.zeros(0, np.int64)
+            m = np.zeros(0, np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(doc, pa.int64()),
-                "bg": pa.array(bgr, pa.int64()),
-                "c1": pa.array(c1.astype(np.int64), pa.int64()),
-                "__b2": pa.array(bgr % B2, pa.int64()),
+                "w1": pa.array(w1, pa.int64()),
+                "bg": pa.array(bg, pa.int64()),
+                "m": pa.array(m.astype(np.int64), pa.int64()),
+                "__b": pa.array(w1 % B1, pa.int64()),
             }
         )
 
-    vocab_f = float(V)
+    def _weighted_counts(keys: np.ndarray, m: np.ndarray) -> np.ndarray:
+        """sum of m per distinct key, broadcast back to each row."""
+        order = np.argsort(keys, kind="stable")
+        ks, ms = keys[order], m[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1]))
+        )
+        sums = np.add.reduceat(ms, starts)
+        out = np.empty(len(keys), np.int64)
+        out[order] = np.repeat(sums, np.diff(np.append(starts, len(ks))))
+        return out
+
+    def attach_c1(g: pa.Table) -> pa.Table:
+        w1 = g.column("w1").to_numpy(zero_copy_only=False)
+        m = g.column("m").to_numpy(zero_copy_only=False)
+        c1 = (
+            _weighted_counts(w1, m) if len(w1) else np.zeros(0, np.int64)
+        )
+        bg = g.column("bg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "bg": g.column("bg"),
+                "m": g.column("m"),
+                "c1": pa.array(c1, pa.int64()),
+                "__b2": pa.array(bg % B2, pa.int64()),
+            }
+        )
 
     def attach_c2(g: pa.Table) -> pa.Table:
         bg = g.column("bg").to_numpy(zero_copy_only=False)
-        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        m = g.column("m").to_numpy(zero_copy_only=False)
         c1 = g.column("c1").to_numpy(zero_copy_only=False)
-        if len(bg):
-            uniq, inv, cnt = np.unique(bg, return_inverse=True,
-                                       return_counts=True)
-            c2 = cnt[inv].astype(np.float64)
-        else:
-            c2 = np.zeros(0, np.float64)
+        c2 = (
+            _weighted_counts(bg, m).astype(np.float64)
+            if len(bg)
+            else np.zeros(0, np.float64)
+        )
         # expression tree mirrors the oracle: (c2 + 1.0) / (c1 + V)
         # with the denominator an exact integer sum, then one ln
         lp = np.log((c2 + 1.0) / (c1 + np.int64(V)).astype(np.float64))
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(doc, pa.int64()),
+                "doc_id": g.column("doc_id"),
                 "lp": pa.array(lp, pa.float64()),
+                "m": g.column("m"),
                 "__db": pa.array(doc % DB, pa.int64()),
             }
         )
 
     def doc_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "min_lp": pa.array([], pa.float64()),
+                    "p50_lp": pa.array([], pa.float64()),
+                }
+            )
         doc = g.column("doc_id").to_numpy(zero_copy_only=False)
         lp = g.column("lp").to_numpy(zero_copy_only=False)
+        m = g.column("m").to_numpy(zero_copy_only=False)
         order = np.lexsort((lp, doc))
-        doc, lp = doc[order], lp[order]
+        doc, lp, m = doc[order], lp[order], m[order]
         starts = np.flatnonzero(
             np.concatenate(([True], doc[1:] != doc[:-1]))
         ) if len(doc) else np.zeros(0, np.int64)
-        counts = np.diff(np.append(starts, len(doc)))
-        # quantile_disc(0.5): element at ceil(n/2)-1 of the sorted run
-        p50 = lp[starts + np.ceil(0.5 * counts).astype(np.int64) - 1]
+        cs = np.cumsum(m)  # strictly increasing (m >= 1)
+        ends = np.append(starts[1:], len(doc)) - 1
+        total = cs[ends] - np.where(starts > 0, cs[starts - 1], 0)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        # weighted quantile_disc(0.5): first row whose expanded-run
+        # cumulative count reaches ceil(n/2) — searchsorted on the
+        # global cumsum with absolute per-segment targets
+        target = base + (total + 1) // 2
+        p50 = lp[np.searchsorted(cs, target, side="left")]
         return pa.table(
             {
                 "doc_id": pa.array(doc[starts], pa.int64()),
-                "n_bigrams": pa.array(counts.astype(np.int64), pa.int64()),
+                "n_bigrams": pa.array(total.astype(np.int64), pa.int64()),
                 "min_lp": pa.array(lp[starts], pa.float64()),
                 "p50_lp": pa.array(p50, pa.float64()),
             }
         )
 
     return (
-        occ.groupby("__b")
+        ds.map_batches(occ_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
         .map_groups(attach_c1, batch_format="pyarrow")
         .groupby("__b2")
         .map_groups(attach_c2, batch_format="pyarrow")
