@@ -6086,8 +6086,6 @@ def q_lm_bigram_documents(sf_dir: str):
     pre-pass re-tokenizes the corpus and sort-aggregates ~30M partial
     rows, costing more than the one bucketed exchange it saves — the
     exchange stays."""
-    from ray.data.aggregate import Sum
-
     from ..functions.text import token_hash_stream
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
