@@ -77,6 +77,7 @@ def test_entry_smoke():
         "dup_ngrams_documents", "remove_dup_spans_documents",
         "changelog_export", "dedup_keep_best_documents",
         "tfidf_top_terms", "lm_bigram_documents", "bpe_encode_documents",
+        "ngram_containment_pairs",
     ],
 )
 def test_query(results, name):
@@ -182,6 +183,41 @@ def test_lm_bigram_adversarial_vs_duckdb(tmp_path):
     out = q_lm_bigram_documents(str(tmp_path))
     ok, msg = parity.compare("lm_bigram", out, ORACLE_LM_BIGRAM, con)
     assert ok, msg
+
+
+def test_containment_catches_short_in_long_jaccard_misses(tmp_path):
+    """The asymmetric-criterion differentiator: a short doc whose
+    shingles are fully embedded in a much longer doc has containment
+    1.0 but Jaccard << 0.5, so only `ngram_containment_pairs` reports
+    the pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.queries import (
+        q_ngram_containment_pairs,
+        q_ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"tok{i} mid{i} end{i}" for i in range(40))
+    long_doc = short + " " + filler
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([short, long_doc, "unrelated words only here"]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    cont = q_ngram_containment_pairs(str(tmp_path))
+    jac = q_ngram_jaccard_pairs(str(tmp_path))
+    assert (cont.column("id_a").to_pylist(),
+            cont.column("id_b").to_pylist()) == ([1], [2])
+    # all 4 of the short doc's shingles are inside the long doc
+    assert cont.column("n_inter").to_pylist() == [4]
+    assert cont.column("n_small").to_pylist() == [4]
+    assert jac.num_rows == 0  # Jaccard ~ 4/124 — far below 0.5
 
 
 def test_grouped_order_stats_fuzz_vs_duckdb(tmp_path):

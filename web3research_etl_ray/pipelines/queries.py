@@ -1722,19 +1722,14 @@ def _doc_shingles(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return (sh >> np.uint64(1)).astype(np.int64), docs[shp]
 
 
-def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
-    """Exact word-3-shingle Jaccard >= 0.5 pairs, fully distributed in
-    TWO shuffles: hashed-shingle explode (each row carrying its doc's
-    distinct-shingle count — sizes are batch-local, so they travel
-    WITH the data instead of through a join) → per-bucket run pairs
-    with a df cap → pair-bucket regroup where a vectorized run count
-    yields n_inter and the sizes riding the pair rows yield n_union.
-    No driver-side size dict, no composite-key aggregate (measured 8x
-    slower than the bucketed vectorized count).  Integer counts only →
-    exact SQL parity."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    NB = 64
-    PB = 32
+def _shingle_pair_rows(ds, NB: int, PB: int):
+    """Shared first two stages of the exact set-overlap family
+    (`ngram_jaccard_pairs`, `ngram_containment_pairs`): hashed-shingle
+    explode (each row carrying its doc's distinct-shingle count —
+    sizes are batch-local, so they travel WITH the data instead of
+    through a join) → per-bucket run pairs with a df cap.  Returns the
+    pair-bucket-keyed Dataset (id_a, id_b, na, nb, __pb); callers
+    regroup by __pb and apply their own overlap criterion."""
 
     def shingle_rows(t: pa.Table) -> pa.Table:
         sh, ids = _doc_shingles(t)
@@ -1798,24 +1793,50 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
             }
         )
 
+    return (
+        ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+
+def _pair_overlap_counts(group: pa.Table):
+    """Vectorized run count over one pair bucket: one row per distinct
+    (id_a, id_b) with n_inter and the size columns; None for an empty
+    bucket."""
+    if group.num_rows == 0:
+        return None
+    a = group.column("id_a").to_numpy(zero_copy_only=False)
+    b = group.column("id_b").to_numpy(zero_copy_only=False)
+    na = group.column("na").to_numpy(zero_copy_only=False)
+    nb = group.column("nb").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b, na, nb = a[order], b[order], na[order], nb[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    )
+    ni = np.diff(np.concatenate((starts, [len(a)])))
+    return a[starts], b[starts], na[starts], nb[starts], ni
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact word-3-shingle Jaccard >= 0.5 pairs, fully distributed in
+    TWO shuffles (`_shingle_pair_rows`) + a pair-bucket regroup where a
+    vectorized run count yields n_inter and the sizes riding the pair
+    rows yield n_union.  No driver-side size dict, no composite-key
+    aggregate (measured 8x slower than the bucketed vectorized count).
+    Integer counts only → exact SQL parity."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
     def count_and_filter(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "n_inter": pa.array([], pa.int64()), "n_union": pa.array([], pa.int64())}
         )
-        if group.num_rows == 0:
+        counts = _pair_overlap_counts(group)
+        if counts is None:
             return empty
-        a = group.column("id_a").to_numpy(zero_copy_only=False)
-        b = group.column("id_b").to_numpy(zero_copy_only=False)
-        na = group.column("na").to_numpy(zero_copy_only=False)
-        nb = group.column("nb").to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b, na, nb = a[order], b[order], na[order], nb[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
-        )
-        ni = np.diff(np.concatenate((starts, [len(a)])))
-        a, b, na, nb = a[starts], b[starts], na[starts], nb[starts]
+        a, b, na, nb, ni = counts
         nu = na + nb - ni
         keep = 2 * ni >= nu
         if not keep.any():
@@ -1830,9 +1851,7 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
         )
 
     rows = (
-        ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__b")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        _shingle_pair_rows(ds, 64, 32)
         .groupby("__pb")
         .map_groups(count_and_filter, batch_format="pyarrow")
         .take_all()
@@ -1872,6 +1891,80 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE 2 * n_inter >= sa.n + sb.n - n_inter
+"""
+
+
+def q_ngram_containment_pairs(sf_dir: str) -> pa.Table:
+    """Exact word-3-shingle CONTAINMENT >= 0.9 pairs (Broder's
+    asymmetric resemblance): n_inter / min(|A|, |B|) — the dedup
+    criterion that catches a short document embedded inside a long one
+    (quote pages, chunked mirrors), which symmetric Jaccard misses
+    because the union is dominated by the long side.  Same two-shuffle
+    exchange as `ngram_jaccard_pairs` (`_shingle_pair_rows`); only the
+    per-pair-bucket criterion differs, in integer math (10*ni >=
+    9*min).  Integer outputs → exact SQL parity."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_and_filter(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "n_inter": pa.array([], pa.int64()), "n_small": pa.array([], pa.int64())}
+        )
+        counts = _pair_overlap_counts(group)
+        if counts is None:
+            return empty
+        a, b, na, nb, ni = counts
+        n_small = np.minimum(na, nb)
+        keep = 10 * ni >= 9 * n_small
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "n_inter": pa.array(ni[keep], pa.int64()),
+                "n_small": pa.array(n_small[keep], pa.int64()),
+            }
+        )
+
+    rows = (
+        _shingle_pair_rows(ds, 64, 32)
+        .groupby("__pb")
+        .map_groups(count_and_filter, batch_format="pyarrow")
+        .take_all()
+    )
+    return pa.Table.from_pylist(rows).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    ) if rows else pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "n_inter": pa.array([], pa.int64()), "n_small": pa.array([], pa.int64())}
+    )
+
+
+ORACLE_NGRAM_CONTAIN = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+live AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM live)
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, least(sa.n, sb.n) AS n_small
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 10 * n_inter >= 9 * least(sa.n, sb.n)
 """
 
 
@@ -6286,6 +6379,7 @@ FROM scored GROUP BY doc_id
 QUERIES = {
     "lm_bigram_documents": q_lm_bigram_documents,
     "bpe_encode_documents": q_bpe_encode_documents,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
     "sort_events": q_sort_events,
     "equidepth_bins_value": q_equidepth_bins_value,
     "dsir_sample_documents": q_dsir_sample_documents,
@@ -6415,6 +6509,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "lm_bigram_documents": ORACLE_LM_BIGRAM,
+    "ngram_containment_pairs": ORACLE_NGRAM_CONTAIN,
     "sort_events": ORACLE_SORT_EVENTS,
     "equidepth_bins_value": ORACLE_EQUIDEPTH,
     "zorder_scan_events": ORACLE_ZORDER_SCAN,
