@@ -162,3 +162,28 @@ def test_cli_fanout_verbs(tmp_path):
     got = {r: c for r, c in zip(heads["repo"].to_pylist(),
                                 heads["commit"].to_pylist())}
     assert got == _heads_oracle(stream)
+
+
+def test_query_cli_verb(tmp_path, capsys):
+    """`query` runs any registry entry from the CLI: --list enumerates
+    with oracle flags, a run prints rows + total, --out writes parquet."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    listing = json.loads(capsys.readouterr().out.strip())
+    assert listing["distinct_langs"] == "o"
+    assert listing["bpe_encode_documents"] == "rows-only"
+
+    assert main(["query", "distinct_langs",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[-1])["rows_total"] == 5
+
+    out = str(tmp_path / "wm.parquet")
+    assert main(["query", "watermark_events",
+                 "--sf-dir", "/root/testdata/sf0.001", "--out", out]) == 0
+    assert pq.read_table(out).num_rows == 1

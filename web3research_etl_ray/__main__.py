@@ -227,6 +227,24 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--partitions", action="store_true",
                     help="include per-partition entries")
 
+    qr = sub.add_parser(
+        "query",
+        help="run any registered pipeline by name over a table dir "
+             "(the queries() registry); print rows or write parquet",
+    )
+    qr.add_argument("name", nargs="?", help="registry name; omit with "
+                    "--list to enumerate")
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="directory holding the input parquet tables")
+    qr.add_argument("--out", default=None,
+                    help="write the full result as parquet (a directory "
+                         "for Dataset results — resumable partitioned "
+                         "files — or one file for driver-side tables)")
+    qr.add_argument("--limit", type=int, default=20,
+                    help="rows to print when --out is not given")
+    qr.add_argument("--list", action="store_true",
+                    help="list registered query names (o = exact oracle)")
+
     # multi-table fan-out verbs: the table set comes from a user module
     # ("pkg.mod:fn" returning list[FanoutTable]) — the CLI analogue of
     # the reference's per-chain module registry (src/main.rs:104-112)
@@ -416,8 +434,46 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(doc))
         return 0
 
+    if args.cmd == "query" and (args.list or not args.name):
+        from .pipelines.queries import ORACLE_SQL, QUERIES
+
+        print(json.dumps(
+            {n: ("o" if n in ORACLE_SQL else "rows-only")
+             for n in sorted(QUERIES)}
+        ))
+        return 0
+
     ray, owns_session = _ray_session()
     try:
+        if args.cmd == "query":
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            import ray.data as rd
+
+            from .pipelines.queries import QUERIES
+
+            if args.name not in QUERIES:
+                p.error(f"unknown query {args.name!r} (see query --list)")
+            res = QUERIES[args.name](args.sf_dir)
+            if args.out:
+                if isinstance(res, rd.Dataset):
+                    res.write_parquet(args.out)
+                    print(json.dumps({"out": args.out, "format": "dir"}))
+                else:
+                    pq.write_table(res, args.out)
+                    print(json.dumps({"out": args.out, "rows": res.num_rows}))
+                return 0
+            if isinstance(res, rd.Dataset):
+                rows = res.take(args.limit)
+                n = res.count()
+            else:
+                rows = res.slice(0, args.limit).to_pylist()
+                n = res.num_rows
+            for r in rows:
+                print(json.dumps(r, default=str))
+            print(json.dumps({"rows_total": n, "shown": len(rows)}))
+            return 0
+
         if args.cmd == "init":
             from .pipelines.replay import replay
 
