@@ -160,3 +160,37 @@ def test_bpe_encode_empty_and_no_token_docs():
     # final symbol is 'w</w>', not 'w') => 2 symbols; 'lower</w>' ->
     # lo|w|e|r</w> -> low|e|r</w> (mid-word 'w' DOES merge) => 3
     assert out.column("n_bpe_tokens").to_pylist() == [0, 0, 5]
+
+
+def test_pack_bpe_matches_reference_bins(tmp_path):
+    """pack_bpe_documents == single-process reference: learn merges,
+    encode each doc, pack by the doc_id-ordered prefix sum of BPE
+    lengths."""
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.queries import (
+        _PACK_BUDGET,
+        q_pack_bpe_documents,
+    )
+
+    texts = TEXTS * 20  # 300 docs (~2k BPE tokens) so several bins fill
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["bin_id"])
+        for r in q_pack_bpe_documents(str(tmp_path)).take_all()
+    }
+    ref_merges = _reference_bpe(texts, 40)
+    lens = [n_bpe for _, n_bpe in _reference_encode_len(texts, ref_merges)]
+    running = 0
+    for i, n in enumerate(lens):
+        assert got[i] == (n, running // _PACK_BUDGET), i
+        running += n
+    assert len({b for _, b in got.values()}) >= 2  # multiple bins used

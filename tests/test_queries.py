@@ -77,7 +77,7 @@ def test_entry_smoke():
         "dup_ngrams_documents", "remove_dup_spans_documents",
         "changelog_export", "dedup_keep_best_documents",
         "tfidf_top_terms", "lm_bigram_documents", "bpe_encode_documents",
-        "ngram_containment_pairs",
+        "ngram_containment_pairs", "pack_bpe_documents",
     ],
 )
 def test_query(results, name):

@@ -6099,6 +6099,53 @@ def q_bpe_encode_documents(sf_dir: str):
     )
 
 
+def q_pack_bpe_documents(sf_dir: str):
+    """Sequence packing with REAL tokenizer lengths — the production
+    form of `seq_pack_documents`: whitespace token counts misestimate
+    post-BPE sequence lengths, so packing bins drift from the actual
+    context budget.  Pipeline: learn the merge table (`bpe_learn`),
+    encode every doc's true post-BPE length (`BpeEncoder` actor pool),
+    then assign bin floor(bpe_tokens_before / budget) via the same
+    distributed range-partitioned two-pass prefix scan
+    (`ordered_prefix_sum`) — no driver loop, no global sort.  BPE is
+    not SQL-expressible → rows-only gate; bin equivalence vs a
+    reference single-process encode+pack is pinned in tests."""
+    from ..functions.bpe import BpeEncoder, bpe_learn
+    from ..functions.window import ordered_prefix_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges_tbl = bpe_learn(ds, 40)
+    merges = list(
+        zip(
+            merges_tbl.column("left").to_pylist(),
+            merges_tbl.column("right").to_pylist(),
+        )
+    )
+    counted = ds.map_batches(
+        BpeEncoder,
+        fn_constructor_args=(merges,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    scanned = ordered_prefix_sum(counted, "doc_id", "n_bpe_tokens")
+
+    def binify(t: pa.Table) -> pa.Table:
+        run = t.column("running").to_numpy(zero_copy_only=False)
+        n = t.column("n_bpe_tokens").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bpe_tokens": t.column("n_bpe_tokens"),
+                "bin_id": pa.array((run - n) // _PACK_BUDGET, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(
+        binify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_quality_classifier_documents(sf_dir: str) -> pa.Table:
     """Model-based quality filter trained INSIDE the engine (the
     fastText-classifier stage of GPT-3/PaLM-style pipelines): hashed
@@ -6380,6 +6427,7 @@ QUERIES = {
     "lm_bigram_documents": q_lm_bigram_documents,
     "bpe_encode_documents": q_bpe_encode_documents,
     "ngram_containment_pairs": q_ngram_containment_pairs,
+    "pack_bpe_documents": q_pack_bpe_documents,
     "sort_events": q_sort_events,
     "equidepth_bins_value": q_equidepth_bins_value,
     "dsir_sample_documents": q_dsir_sample_documents,
