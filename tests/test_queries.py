@@ -78,6 +78,7 @@ def test_entry_smoke():
         "changelog_export", "dedup_keep_best_documents",
         "tfidf_top_terms", "lm_bigram_documents", "bpe_encode_documents",
         "ngram_containment_pairs", "pack_bpe_documents",
+        "token_diversity_documents",
     ],
 )
 def test_query(results, name):

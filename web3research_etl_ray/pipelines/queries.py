@@ -6099,6 +6099,72 @@ def q_bpe_encode_documents(sf_dir: str):
     )
 
 
+def q_token_diversity_documents(sf_dir: str):
+    """Per-document lexical diversity via the Simpson/repeat-rate
+    index (the text-degeneracy signal complementary to
+    `repetition_stats_documents`' shingle ratio): for each doc emit
+    n_tokens, n_distinct and sum_c2 = Σ c_i² over its unigram counts —
+    repeat rate = sum_c2/n², type-token ratio = n_distinct/n, both
+    derivable from the exact INTEGER outputs, so oracle parity never
+    touches float summation order.  Zero shuffle: docs never span
+    batches, so the whole statistic is one batch-local pass — tokenize
+    (Arrow RE2), one lexsort over (doc, token-hash), run-length counts,
+    three bincounts.  64-bit token hashes stand in for strings
+    (collision odds ~0, the `dup_ngrams` convention)."""
+    from ..functions.text import token_hash_stream
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h, parents = token_hash_stream(t.column("text"))
+        if not len(h):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "sum_c2": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((h, parents))
+        hs, ps = h[order], parents[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])))
+        )
+        c = np.diff(np.append(starts, len(hs))).astype(np.int64)
+        run_parent = ps[starts]
+        n_rows = t.num_rows
+        n_tok = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        n_dis = np.bincount(run_parent, minlength=n_rows).astype(np.int64)
+        s_c2 = np.bincount(run_parent, weights=(c * c).astype(np.float64),
+                           minlength=n_rows).astype(np.int64)
+        keep = n_tok > 0  # zero-token docs absent, like the SQL side
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[keep], pa.int64()),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+                "n_distinct": pa.array(n_dis[keep], pa.int64()),
+                "sum_c2": pa.array(s_c2[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_TOKEN_DIVERSITY = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+       sum(c * c)::BIGINT AS sum_c2
+FROM c GROUP BY doc_id
+"""
+
+
 def q_pack_bpe_documents(sf_dir: str):
     """Sequence packing with REAL tokenizer lengths — the production
     form of `seq_pack_documents`: whitespace token counts misestimate
@@ -6428,6 +6494,7 @@ QUERIES = {
     "bpe_encode_documents": q_bpe_encode_documents,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "pack_bpe_documents": q_pack_bpe_documents,
+    "token_diversity_documents": q_token_diversity_documents,
     "sort_events": q_sort_events,
     "equidepth_bins_value": q_equidepth_bins_value,
     "dsir_sample_documents": q_dsir_sample_documents,
@@ -6558,6 +6625,7 @@ QUERIES = {
 ORACLE_SQL = {
     "lm_bigram_documents": ORACLE_LM_BIGRAM,
     "ngram_containment_pairs": ORACLE_NGRAM_CONTAIN,
+    "token_diversity_documents": ORACLE_TOKEN_DIVERSITY,
     "sort_events": ORACLE_SORT_EVENTS,
     "equidepth_bins_value": ORACLE_EQUIDEPTH,
     "zorder_scan_events": ORACLE_ZORDER_SCAN,
