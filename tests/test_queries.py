@@ -362,3 +362,35 @@ def test_new_operators_on_degenerate_tables(tmp_path, n_rows):
                 assert n == 1, name
             if name == "outlier_events_per_user":
                 assert n == 0, name  # n<2 excluded
+
+
+def test_token_diversity_flags_degenerate_repetition(tmp_path):
+    """Repeat-rate must separate a degenerate looping doc from a
+    diverse one, with exact integer counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.queries import (
+        q_token_diversity_documents,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["spam spam spam spam", "one two three four", ""]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in q_token_diversity_documents(str(tmp_path)).take_all()
+    }
+    assert set(rows) == {1, 2}  # the empty doc emits no row (SQL twin)
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_distinct"] == 1
+    assert rows[1]["sum_c2"] == 16  # 4^2 — repeat rate 1.0
+    assert rows[2]["n_tokens"] == 4 and rows[2]["n_distinct"] == 4
+    assert rows[2]["sum_c2"] == 4   # 4×1^2 — repeat rate 0.25
