@@ -203,3 +203,73 @@ def test_sigkill_mid_additive_fanout_then_resume(tmp_path):
     # post-crash re-tick: still no double counting
     replay_fanout(stream, lake, tables, num_partitions=8)
     assert _activity_rows(lake) == _activity_oracle(stream)
+
+
+_CHILD_SPLIT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from web3research_etl_ray.pipelines.replay import replay, split_partitions
+replay({stream!r}, {lake!r}, num_partitions=2)
+print("SPLIT", flush=True)
+split_partitions({lake!r}, [0, 1])
+print("DONE", flush=True)
+"""
+
+
+def test_sigkill_mid_split_then_converge(tmp_path):
+    """Crash safety of partition splitting: SIGKILL while a split
+    generation is being staged must leave the lake readable at the
+    pre-split generation (or fully split — never half), reads must be
+    byte-identical to the oracle either way, and a fresh split + tick
+    converges."""
+    from web3research_etl_ray.gen import ensure_stream
+    from web3research_etl_ray.oracle import oracle_fold, tables_equal
+    from web3research_etl_ray.pipelines.replay import (
+        lake_table,
+        replay,
+        split_partitions,
+    )
+    from web3research_etl_ray.state.manifest import load_latest
+
+    stream = ensure_stream(60_000)
+    lake = str(tmp_path / "slake")
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         _CHILD_SPLIT.format(repo=REPO, stream=stream, lake=lake)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,
+    )
+    line = child.stdout.readline()
+    assert "SPLIT" in line  # gen 0 committed; split staging begins
+    time.sleep(0.4)
+    if child.poll() is None:
+        try:
+            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        child.wait()
+
+    # whatever the kill point: a committed manifest exists and the
+    # lake reads exactly (split half-work must be invisible)
+    m = load_latest(lake)
+    assert m is not None
+    oracle = oracle_fold(stream)
+    assert tables_equal(lake_table(lake), oracle)
+
+    # converge: finish the split in this process (idempotent if the
+    # child already committed it), then a re-tick stays exact
+    depth = max(m.split_depths.values()) if m.split_depths else 0
+    if depth == 0:
+        split_partitions(lake, [0, 1])
+    m2 = load_latest(lake)
+    assert sum(1 for e in m2.partitions.values() if e.file) == 4
+    assert tables_equal(lake_table(lake), oracle)
+    replay(stream, lake, num_partitions=2)
+    assert tables_equal(lake_table(lake), oracle)
