@@ -273,3 +273,96 @@ def test_sigkill_mid_split_then_converge(tmp_path):
     assert tables_equal(lake_table(lake), oracle)
     replay(stream, lake, num_partitions=2)
     assert tables_equal(lake_table(lake), oracle)
+
+
+_CHILD_PURGE = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import pyarrow as pa
+from web3research_etl_ray.pipelines.replay import replay, lake_table
+from web3research_etl_ray.pipelines.purge import purge
+replay({stream!r}, {lake!r}, num_partitions=8)
+t = lake_table({lake!r})
+keys = pa.table({{"repo": t.column("repo").slice(0, 5),
+                 "path": t.column("path").slice(0, 5)}})
+import pyarrow.parquet as pq
+pq.write_table(keys, {keys_out!r})
+print("PURGE", flush=True)
+purge({lake!r}, keys)
+print("DONE", flush=True)
+"""
+
+
+def test_sigkill_mid_purge_then_converge(tmp_path):
+    """Crash safety of the GDPR purge: SIGKILL while the purge
+    generation is staging leaves the lake readable and exactly
+    all-or-nothing; re-running the purge in a fresh process converges
+    (tombstones monotone, keys gone, re-tick does not resurrect)."""
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.gen import ensure_stream
+    from web3research_etl_ray.oracle import oracle_fold, tables_equal
+    from web3research_etl_ray.pipelines.purge import purge
+    from web3research_etl_ray.pipelines.replay import lake_table, replay
+    from web3research_etl_ray.state.manifest import load_latest
+
+    stream = ensure_stream(60_000)
+    lake = str(tmp_path / "plake")
+    keys_out = str(tmp_path / "purged_keys.parquet")
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         _CHILD_PURGE.format(repo=REPO, stream=stream, lake=lake,
+                             keys_out=keys_out)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,
+    )
+    line = child.stdout.readline()
+    assert "PURGE" in line  # gen 0 committed; purge staging begins
+    time.sleep(0.3)
+    if child.poll() is None:
+        try:
+            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        child.wait()
+
+    assert load_latest(lake) is not None  # always readable
+    keys = pq.read_table(keys_out)
+    key_set = set(zip(keys.column("repo").to_pylist(),
+                      keys.column("path").to_pylist()))
+
+    # lake is EITHER pre-purge exact OR post-purge exact — never mixed
+    t = lake_table(lake)
+    live = set(zip(t.column("repo").to_pylist(),
+                   t.column("path").to_pylist()))
+    assert key_set <= live or not (key_set & live)
+
+    # converge: re-purge (idempotent if the child committed), then the
+    # keys are gone and a re-tick cannot resurrect them
+    purge(lake, keys)
+    t = lake_table(lake)
+    live = set(zip(t.column("repo").to_pylist(),
+                   t.column("path").to_pylist()))
+    assert not (key_set & live)
+    replay(stream, lake, num_partitions=8)
+    t = lake_table(lake)
+    live = set(zip(t.column("repo").to_pylist(),
+                   t.column("path").to_pylist()))
+    assert not (key_set & live)
+    # and the surviving rows still match the oracle minus purged keys
+    oracle = oracle_fold(stream)
+    mask = [
+        (r, p) not in key_set
+        for r, p in zip(oracle.column("repo").to_pylist(),
+                        oracle.column("path").to_pylist())
+    ]
+    import pyarrow as pa
+
+    assert tables_equal(lake_table(lake), oracle.filter(pa.array(mask)))
