@@ -78,7 +78,7 @@ def test_entry_smoke():
         "changelog_export", "dedup_keep_best_documents",
         "tfidf_top_terms", "lm_bigram_documents", "bpe_encode_documents",
         "ngram_containment_pairs", "pack_bpe_documents",
-        "token_diversity_documents",
+        "token_diversity_documents", "event_transitions",
     ],
 )
 def test_query(results, name):

@@ -6099,6 +6099,74 @@ def q_bpe_encode_documents(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov next-event transition matrix (the user-journey /
+    clickstream-path primitive): per user order events by (ts,
+    event_id) and count every (prev_type → event_type) transition
+    corpus-wide.  One keyed bucket exchange co-locates each user's
+    rows (`keyed_window`), then per bucket ONE lexsort + a shifted
+    compare produces the pairs and a batch-local value_counts folds
+    them — the cross-bucket fold is over ≤|types|² tiny rows, so the
+    driver never touches event-sized data.  Integer outputs → exact
+    SQL parity (the oracle is the lag() window twin, same tiebreak)."""
+    from ..functions.window import keyed_window
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = g.column("event_type")
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        et = pc.take(et, pa.array(order, pa.int64())).combine_chunks()
+        same_user = uid[1:] == uid[:-1]
+        if not len(same_user) or not same_user.any():
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        m = len(uid)
+        mask = pa.array(same_user)
+        prev = et.slice(0, m - 1).filter(mask)
+        cur = et.slice(1, m - 1).filter(mask)
+        return (
+            pa.table({"prev_type": prev, "event_type": cur})
+            .group_by(["prev_type", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["prev_type", "event_type", "n"])
+        )
+
+    return (
+        keyed_window(ds, "user_id", fn)
+        .groupby(["prev_type", "event_type"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["prev_type", "event_type", "n"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, count(*)::BIGINT AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 def q_token_diversity_documents(sf_dir: str):
     """Per-document lexical diversity via the Simpson/repeat-rate
     index (the text-degeneracy signal complementary to
@@ -6495,6 +6563,7 @@ QUERIES = {
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "pack_bpe_documents": q_pack_bpe_documents,
     "token_diversity_documents": q_token_diversity_documents,
+    "event_transitions": q_event_transitions,
     "sort_events": q_sort_events,
     "equidepth_bins_value": q_equidepth_bins_value,
     "dsir_sample_documents": q_dsir_sample_documents,
@@ -6626,6 +6695,7 @@ ORACLE_SQL = {
     "lm_bigram_documents": ORACLE_LM_BIGRAM,
     "ngram_containment_pairs": ORACLE_NGRAM_CONTAIN,
     "token_diversity_documents": ORACLE_TOKEN_DIVERSITY,
+    "event_transitions": ORACLE_TRANSITIONS,
     "sort_events": ORACLE_SORT_EVENTS,
     "equidepth_bins_value": ORACLE_EQUIDEPTH,
     "zorder_scan_events": ORACLE_ZORDER_SCAN,
