@@ -79,6 +79,8 @@ def test_entry_smoke():
         "tfidf_top_terms", "lm_bigram_documents", "bpe_encode_documents",
         "ngram_containment_pairs", "pack_bpe_documents",
         "token_diversity_documents", "event_transitions",
+        "jaccard_clusters", "triangle_count", "gopher_quality_documents",
+        "winsorize_value_events", "pareto_events",
     ],
 )
 def test_query(results, name):
