@@ -81,6 +81,8 @@ def test_entry_smoke():
         "token_diversity_documents", "event_transitions",
         "jaccard_clusters", "triangle_count", "gopher_quality_documents",
         "winsorize_value_events", "pareto_events",
+        "full_outer_join_customer_orders", "mad_value_per_user",
+        "degree_histogram",
     ],
 )
 def test_query(results, name):
