@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "lm_bigram_documents",
     "sort_events",
     "dsir_sample_documents",
+    "gopher_quality_documents",
+    "pareto_events",
+    "jaccard_clusters",
+    "winsorize_value_events",
 ]
 
 

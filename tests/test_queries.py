@@ -82,7 +82,8 @@ def test_entry_smoke():
         "jaccard_clusters", "triangle_count", "gopher_quality_documents",
         "winsorize_value_events", "pareto_events",
         "full_outer_join_customer_orders", "mad_value_per_user",
-        "degree_histogram",
+        "degree_histogram", "trimmed_sum_per_user",
+        "throttle_dedup_events",
     ],
 )
 def test_query(results, name):

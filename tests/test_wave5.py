@@ -129,6 +129,48 @@ def test_winsorize_small_group_indices(tmp_path):
     assert cents_w == [100, 100, 200, 300, 400, 500, 600, 700, 700]
 
 
+def test_trimmed_sum_drops_exactly_the_tail_ranks(tmp_path):
+    """n=9 -> k=1: exactly the min and max rank drop; duplicates of
+    the min value keep all-but-one copy (rank-trimming, not
+    value-trimming)."""
+    from web3research_etl_ray.pipelines.queries import q_trimmed_sum_per_user
+
+    vals = [1.00, 1.00, 2.00, 3.00, 4.00, 5.00, 6.00, 7.00, 99.00]
+    rows = [(i, 1, i, vals[i], "click") for i in range(9)]
+    _write_events(tmp_path, rows)
+    out = pa.Table.from_pylist(
+        q_trimmed_sum_per_user(str(tmp_path)).take_all()
+    )
+    assert out["n_mid"].to_pylist() == [7]
+    # drops one 1.00 (rank 1) and the 99.00 (rank 9)
+    assert out["sum_mid_cents"].to_pylist() == [
+        100 + 200 + 300 + 400 + 500 + 600 + 700
+    ]
+
+
+def test_throttle_dedup_window_semantics(tmp_path):
+    """Same (user, type, cents) tuple: kept when the PREVIOUS firing
+    is >1h earlier, dropped otherwise; different cents never throttle
+    each other."""
+    from web3research_etl_ray.pipelines.queries import q_throttle_dedup_events
+
+    rows = [
+        (1, 1, 0, 5.00, "click"),      # kept (first)
+        (2, 1, 1800, 5.00, "click"),   # +30min -> dropped
+        (3, 1, 3600, 5.00, "click"),   # 30min after #2 (lag compare
+                                       # is vs previous EVENT) -> dropped
+        (4, 1, 7300, 5.00, "click"),   # >1h after #3 -> kept
+        (5, 1, 1800, 6.00, "click"),   # different cents -> kept
+        (6, 2, 1800, 5.00, "click"),   # different user -> kept
+        (7, 1, 1900, 5.00, "view"),    # different type -> kept
+    ]
+    _write_events(tmp_path, rows)
+    out = pa.Table.from_pylist(
+        q_throttle_dedup_events(str(tmp_path)).take_all()
+    ).sort_by("event_id")
+    assert out["event_id"].to_pylist() == [1, 4, 5, 6, 7]
+
+
 def test_gopher_zero_word_and_digit_docs(tmp_path):
     """Empty / punctuation-only / digit-only docs: integer counters
     stay well-defined and the verdict is reject."""

@@ -7150,6 +7150,154 @@ def q_degree_histogram(sf_dir: str) -> pa.Table:
     )
 
 
+def q_trimmed_sum_per_user(sf_dir: str) -> pa.Table:
+    """Per-user trimmed sum: drop the bottom and top floor(n/8) events
+    by (cents, event_id) rank, sum the middle — the robust aggregate
+    that survives sensor spikes and fat-finger values.  One keyed
+    exchange, one lexsort per bucket, then a padded prefix-sum gives
+    every user's middle-slice sum with two gathers (no masks, no
+    second pass).  Integer in, integer out → exact SQL parity against
+    the window-function oracle."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, cents, uid))
+        uid_s, cents_s = uid[order], cents[order]
+        starts = np.flatnonzero(segment_starts(uid_s))
+        counts = np.diff(np.append(starts, len(uid_s)))
+        k = counts // 8
+        cs = np.concatenate(([0], np.cumsum(cents_s)))
+        ends = starts + counts
+        s_mid = cs[ends - k] - cs[starts + k]
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[starts], pa.int64()),
+                "n_mid": pa.array(counts - 2 * k, pa.int64()),
+                "sum_mid_cents": pa.array(s_mid, pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_TRIMMED = """
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT user_id, cents,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM c
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_mid,
+       CAST(sum(cents) AS BIGINT) AS sum_mid_cents
+FROM r WHERE rn > n // 8 AND rn <= n - n // 8
+GROUP BY user_id
+"""
+
+
+def q_throttle_dedup_events(sf_dir: str) -> pa.Table:
+    """CDC debounce: drop an event if the SAME (user, type, cents)
+    tuple fired within the previous hour — the at-least-once-delivery
+    / double-click suppressor that runs at ingest in a change-data
+    pipeline.  Rows co-locate on a 64-bit composite key hash (one
+    exchange); inside each bucket the TRUE key columns are re-compared
+    (hash collisions only co-locate, never merge), a single lexsort
+    orders each key's events by (ts, event_id), and the lag compare is
+    one shifted subtraction."""
+    from ..functions.hashing import key_hash64
+    from ..functions.window import keyed_window
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value"))
+        h = key_hash64(
+            t.column("user_id"), t.column("event_type"), cents
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_type": t.column("event_type"),
+                "cents": cents,
+                "__key": pa.array(h, pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    _HOUR_US = 3_600_000_000
+
+    def fn(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "event_type": pa.array([], pa.string()),
+                 "cents": pa.array([], pa.int64())}
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = g.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        code = np.asarray(et.dictionary_encode().indices).astype(np.int64)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, cents, code, uid))
+        uid_s, code_s, cents_s, ts_s = (
+            uid[order], code[order], cents[order], ts[order]
+        )
+        new_key = np.concatenate(
+            ([True],
+             (uid_s[1:] != uid_s[:-1]) | (code_s[1:] != code_s[:-1])
+             | (cents_s[1:] != cents_s[:-1]))
+        )
+        gap_ok = np.concatenate(([True], ts_s[1:] - ts_s[:-1] > _HOUR_US))
+        keep = new_key | gap_ok
+        sel = order[keep]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[sel], pa.int64()),
+                "user_id": pa.array(uid[sel], pa.int64()),
+                "event_type": et.take(pa.array(sel, pa.int64())),
+                "cents": pa.array(cents[sel], pa.int64()),
+            }
+        )
+
+    return keyed_window(keyed, "__key", fn)
+
+
+ORACLE_THROTTLE = """
+WITH c AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+l AS (
+  SELECT *, lag(ts) OVER (
+      PARTITION BY user_id, event_type, cents
+      ORDER BY ts, event_id) AS prev_ts
+  FROM c
+)
+SELECT event_id, user_id, event_type, cents FROM l
+WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR
+"""
+
+
 ORACLE_DEGREES = r"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
@@ -7194,6 +7342,8 @@ QUERIES = {
     "full_outer_join_customer_orders": q_full_outer_join_customer_orders,
     "mad_value_per_user": q_mad_value_per_user,
     "degree_histogram": q_degree_histogram,
+    "trimmed_sum_per_user": q_trimmed_sum_per_user,
+    "throttle_dedup_events": q_throttle_dedup_events,
     "lm_bigram_documents": q_lm_bigram_documents,
     "bpe_encode_documents": q_bpe_encode_documents,
     "ngram_containment_pairs": q_ngram_containment_pairs,
@@ -7360,6 +7510,8 @@ ORACLE_SQL = {
     "full_outer_join_customer_orders": ORACLE_FULL_JOIN,
     "mad_value_per_user": ORACLE_MAD,
     "degree_histogram": ORACLE_DEGREES,
+    "trimmed_sum_per_user": ORACLE_TRIMMED,
+    "throttle_dedup_events": ORACLE_THROTTLE,
     "scd2_history": ORACLE_SCD2,
     "cdc_scan_recent": ORACLE_SCAN_RECENT,
     "time_travel_diff": ORACLE_TT_DIFF,
