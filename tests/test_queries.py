@@ -83,7 +83,7 @@ def test_entry_smoke():
         "winsorize_value_events", "pareto_events",
         "full_outer_join_customer_orders", "mad_value_per_user",
         "degree_histogram", "trimmed_sum_per_user",
-        "throttle_dedup_events",
+        "throttle_dedup_events", "knn_ivf_incremental",
     ],
 )
 def test_query(results, name):

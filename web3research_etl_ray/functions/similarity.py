@@ -198,7 +198,9 @@ def knn_lsh(
             if not len(sel):
                 continue
             sims = mat[sel] @ q["mat"][qi]
-            order = np.argsort(-sims)[:k]
+            # k+1: a self-match inside the batch top-k must not crowd
+            # out a real neighbor (the driver merge re-cuts to k)
+            order = np.argsort(-sims)[:k + 1]
             for j in order:
                 nid = int(ids[sel[j]])
                 if nid == int(q["ids"][qi]):
@@ -590,7 +592,9 @@ def knn_pq(
         for qi in range(nq):
             sel = cand[qi]
             sims = mat[sel] @ q["mat"][qi]  # exact refine
-            order = np.argsort(-sims)[:k]
+            # k+1: a self-match inside the batch top-k must not crowd
+            # out a real neighbor (the driver merge re-cuts to k)
+            order = np.argsort(-sims)[:k + 1]
             for j in order:
                 nid = int(ids[sel[j]])
                 if nid == int(q["ids"][qi]):
@@ -659,7 +663,9 @@ def knn_ivf(
             if not len(sel):
                 continue
             sims = mat[sel] @ q["mat"][qi]
-            order = np.argsort(-sims)[:k]
+            # k+1: a self-match inside the batch top-k must not crowd
+            # out a real neighbor (the driver merge re-cuts to k)
+            order = np.argsort(-sims)[:k + 1]
             for j in order:
                 nid = int(ids[sel[j]])
                 if nid == int(q["ids"][qi]):

@@ -7150,6 +7150,45 @@ def q_degree_histogram(sf_dir: str) -> pa.Table:
     )
 
 
+def q_knn_ivf_incremental(sf_dir: str) -> pa.Table:
+    """Incremental ANN at ingest: the embeddings table arrives in two
+    doc-id-ordered ticks into a persistent `IvfIndex` (frozen coarse
+    quantizer, one file per cell per tick), then the standard fixture
+    queries probe only their cells' directories.  Exactness-within-
+    probe, incremental==one-shot, dir-pruning and frozen-quantizer
+    contracts are pinned in tests/test_ann_index.py; rows-only at the
+    driver gate (ANN results are probe-dependent)."""
+    import shutil
+    import tempfile
+
+    from .ann_index import IvfIndex
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def half(lo: int, hi: int):
+        return ds.map_batches(
+            lambda t, _lo=lo, _hi=hi: t.filter(
+                pc.and_(
+                    pc.greater_equal(t.column("vec_id"), pa.scalar(_lo)),
+                    pc.less(t.column("vec_id"), pa.scalar(_hi)),
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    ids, mat = _load_queries(sf_dir)
+    root = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        idx = IvfIndex(root, n_centroids=16)
+        idx.add_tick(half(0, 500))
+        idx.add_tick(half(500, 10**9))
+        out = idx.query(ids, mat, k=10, n_probe=4)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
 def q_trimmed_sum_per_user(sf_dir: str) -> pa.Table:
     """Per-user trimmed sum: drop the bottom and top floor(n/8) events
     by (cents, event_id) rank, sum the middle — the robust aggregate
@@ -7344,6 +7383,7 @@ QUERIES = {
     "degree_histogram": q_degree_histogram,
     "trimmed_sum_per_user": q_trimmed_sum_per_user,
     "throttle_dedup_events": q_throttle_dedup_events,
+    "knn_ivf_incremental": q_knn_ivf_incremental,
     "lm_bigram_documents": q_lm_bigram_documents,
     "bpe_encode_documents": q_bpe_encode_documents,
     "ngram_containment_pairs": q_ngram_containment_pairs,
