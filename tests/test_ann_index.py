@@ -139,6 +139,39 @@ def test_frozen_quantizer_and_config_guard(tmp_path):
         IvfIndex(str(tmp_path / "ivf"), n_centroids=8)
 
 
+def test_cli_ann_tick_and_query(tmp_path):
+    """ann-tick / ann-query round trip: two ticks, a query file, and a
+    parquet result with (query_id, neighbor_id, cos_sim, rank)."""
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.__main__ import main
+
+    mat = _mk(n=120)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(120), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(t.slice(0, 60), str(tmp_path / "t1.parquet"))
+    pq.write_table(t.slice(60), str(tmp_path / "t2.parquet"))
+    pq.write_table(t.slice(0, 3), str(tmp_path / "q.parquet"))
+    idx = str(tmp_path / "ivf")
+    assert main(["ann-tick", "--vectors", str(tmp_path / "t1.parquet"),
+                 "--index", idx, "--centroids", "8"]) == 0
+    assert main(["ann-tick", "--vectors", str(tmp_path / "t2.parquet"),
+                 "--index", idx, "--centroids", "8"]) == 0
+    out = str(tmp_path / "res.parquet")
+    assert main(["ann-query", "--queries", str(tmp_path / "q.parquet"),
+                 "--index", idx, "--k", "5", "--out", out]) == 0
+    res = pq.read_table(out)
+    assert res.column_names == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    assert set(res["query_id"].to_pylist()) == {0, 1, 2}
+    assert res.num_rows == 15  # 3 queries x k=5
+
+
 def test_recall_on_clustered_fixture(tmp_path):
     """Planted twin vectors: with enough probes, every twin is found
     at rank 1."""

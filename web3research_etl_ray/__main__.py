@@ -9,6 +9,8 @@ init / sync / check per chain; plus our gen / compact / bench helpers).
     python -m web3research_etl_ray backup  --lake DIR --out DIR
     python -m web3research_etl_ray restore --backup DIR --lake DIR
     python -m web3research_etl_ray dedup-tick --docs PARQUET --index DIR [--out F --compact]
+    python -m web3research_etl_ray ann-tick  --vectors PARQUET --index DIR [--centroids K]
+    python -m web3research_etl_ray ann-query --queries PARQUET --index DIR [--k N --n-probe P --out F]
     python -m web3research_etl_ray land    --format debezium|wal --src DIR --out DIR [--offsets F]
 
 This entry point owns the Ray session (guarded init; library code never
@@ -133,6 +135,30 @@ def main(argv: list[str] | None = None) -> int:
                     help="write pairs parquet here (else print count only)")
     dd.add_argument("--compact", action="store_true",
                     help="merge each bucket's tick files after the tick")
+
+    at = sub.add_parser(
+        "ann-tick",
+        help="incremental ANN tick: assign new embedding vectors to the "
+             "persistent IVF index's cells (first tick trains the frozen "
+             "coarse quantizer)",
+    )
+    at.add_argument("--vectors", required=True,
+                    help="parquet file/dir with (vec_id, embedding)")
+    at.add_argument("--index", required=True, help="index root dir")
+    at.add_argument("--centroids", type=int, default=16)
+
+    aq = sub.add_parser(
+        "ann-query",
+        help="top-k cosine search against the IVF index: query vectors "
+             "come from a parquet file; only probed cell dirs are read",
+    )
+    aq.add_argument("--queries", required=True,
+                    help="parquet file with (vec_id, embedding) query rows")
+    aq.add_argument("--index", required=True, help="index root dir")
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--n-probe", type=int, default=4)
+    aq.add_argument("--out", default=None,
+                    help="write result parquet here (else print count only)")
 
     ld = sub.add_parser(
         "land",
@@ -596,6 +622,34 @@ def main(argv: list[str] | None = None) -> int:
                 idx.compact()
             print(json.dumps({"pairs": pairs.num_rows,
                               "out": args.out, "compacted": args.compact}))
+        elif args.cmd == "ann-tick":
+            import ray.data
+
+            from .pipelines.ann_index import IvfIndex
+
+            idx = IvfIndex(args.index, n_centroids=args.centroids)
+            vecs = ray.data.read_parquet(
+                args.vectors, columns=["vec_id", "embedding"]
+            )
+            n = idx.add_tick(vecs)
+            print(json.dumps({"added": n, "trained": idx.trained}))
+        elif args.cmd == "ann-query":
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            from .pipelines.ann_index import IvfIndex
+
+            idx = IvfIndex(args.index)  # params come from the index config
+            qt = pq.read_table(args.queries, columns=["vec_id", "embedding"])
+            qids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+            qmat = np.stack(
+                [np.asarray(v, np.float64)
+                 for v in qt.column("embedding").to_pylist()]
+            )
+            out = idx.query(qids, qmat, k=args.k, n_probe=args.n_probe)
+            if args.out:
+                pq.write_table(out, args.out)
+            print(json.dumps({"rows": out.num_rows, "out": args.out}))
         elif args.cmd == "land":
             if args.format == "debezium":
                 from .sources.debezium import land_debezium_jsonl

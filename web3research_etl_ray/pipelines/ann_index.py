@@ -59,20 +59,33 @@ _CENTROIDS = "centroids.parquet"
 
 
 class IvfIndex:
-    def __init__(self, root: str, *, n_centroids: int = 16, seed: int = 42):
+    def __init__(
+        self,
+        root: str,
+        *,
+        n_centroids: int | None = None,
+        seed: int | None = None,
+    ):
+        """Open or create an index root.  On an existing index the
+        persisted config wins; explicit arguments that CONFLICT with it
+        raise (an index silently reopened with different params would
+        re-home queries, not vectors).  On a fresh root, unset params
+        default to 16 centroids / seed 42."""
         self.root = root
         os.makedirs(root, exist_ok=True)
         cfg_path = os.path.join(root, _CONFIG)
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 cfg = json.load(f)
-            if cfg["n_centroids"] != n_centroids or cfg["seed"] != seed:
+            if (n_centroids is not None and cfg["n_centroids"] != n_centroids) \
+                    or (seed is not None and cfg["seed"] != seed):
                 raise ValueError(
                     f"index at {root} was built with {cfg}; "
                     f"got n_centroids={n_centroids} seed={seed}"
                 )
-        self.n_centroids = n_centroids
-        self.seed = seed
+            n_centroids, seed = cfg["n_centroids"], cfg["seed"]
+        self.n_centroids = 16 if n_centroids is None else n_centroids
+        self.seed = 42 if seed is None else seed
 
     # -- quantizer ---------------------------------------------------------
 
