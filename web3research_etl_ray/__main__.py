@@ -145,7 +145,9 @@ def main(argv: list[str] | None = None) -> int:
     at.add_argument("--vectors", required=True,
                     help="parquet file/dir with (vec_id, embedding)")
     at.add_argument("--index", required=True, help="index root dir")
-    at.add_argument("--centroids", type=int, default=16)
+    at.add_argument("--centroids", type=int, default=None,
+                    help="coarse-quantizer size for a NEW index (an "
+                         "existing index reopens with its own config)")
 
     aq = sub.add_parser(
         "ann-query",
