@@ -171,6 +171,76 @@ def test_throttle_dedup_window_semantics(tmp_path):
     assert out["event_id"].to_pylist() == [1, 4, 5, 6, 7]
 
 
+def test_funnel3_exists_not_greedy(tmp_path):
+    """The chain click -> view -> purchase must use EXISTS semantics:
+    the FIRST view after a click has no purchase, a LATER view (still
+    inside the click's window) does — greedy first-match would miss
+    the funnel."""
+    from web3research_etl_ray.pipelines.queries import (
+        q_funnel3_click_view_purchase,
+    )
+
+    rows = [
+        (1, 1, 0, 1.0, "click"),
+        (2, 1, 60, 1.0, "view"),       # no purchase within 1h of this
+        (3, 1, 1800, 1.0, "view"),     # qualifying view
+        (4, 1, 3000, 1.0, "purchase"), # within 1h of view #3
+        # user 2: purchase BEFORE the view -> no funnel
+        (5, 2, 0, 1.0, "click"),
+        (6, 2, 100, 1.0, "purchase"),
+        (7, 2, 200, 1.0, "view"),
+        # user 3: view outside the click's 1h window -> no funnel
+        (8, 3, 0, 1.0, "click"),
+        (9, 3, 4000, 1.0, "view"),
+        (10, 3, 4100, 1.0, "purchase"),
+    ]
+    _write_events(tmp_path, rows)
+    out = pa.Table.from_pylist(
+        q_funnel3_click_view_purchase(str(tmp_path)).take_all()
+    )
+    assert out["user_id"].to_pylist() == [1]
+    assert out["n_funnels"].to_pylist() == [1]
+
+
+def test_funnel3_fallback_equals_lifted(tmp_path):
+    """The per-user overflow fallback and the lifted vectorized path
+    must agree on a random instance."""
+    from web3research_etl_ray.pipelines.queries import (
+        _funnel3_per_user,
+        q_funnel3_click_view_purchase,
+    )
+
+    rng = np.random.default_rng(9)
+    types = ["click", "view", "purchase"]
+    rows = [
+        (i, int(rng.integers(0, 6)), int(rng.integers(0, 10_000)),
+         1.0, types[int(rng.integers(0, 3))])
+        for i in range(400)
+    ]
+    _write_events(tmp_path, rows)
+    out = pa.Table.from_pylist(
+        q_funnel3_click_view_purchase(str(tmp_path)).take_all()
+    ).sort_by("user_id")
+
+    arr = {t: ([], []) for t in types}
+    for _eid, u, sec, _v, t in rows:
+        arr[t][0].append(u)
+        arr[t][1].append(sec * 1_000_000 + 1_767_225_600_000_000)
+
+    def sorted_uv(t):
+        u = np.array(arr[t][0], np.int64)
+        s = np.array(arr[t][1], np.int64)
+        o = np.lexsort((s, u))
+        return u[o], s[o]
+
+    cu, ct = sorted_uv("click")
+    vu, vt = sorted_uv("view")
+    pu, pt = sorted_uv("purchase")
+    want = _funnel3_per_user(cu, ct, vu, vt, pu, pt)
+    assert out["user_id"].to_pylist() == want["user_id"].to_pylist()
+    assert out["n_funnels"].to_pylist() == want["n_funnels"].to_pylist()
+
+
 def test_gopher_zero_word_and_digit_docs(tmp_path):
     """Empty / punctuation-only / digit-only docs: integer counters
     stay well-defined and the verdict is reject."""

@@ -7150,6 +7150,141 @@ def q_degree_histogram(sf_dir: str) -> pa.Table:
     )
 
 
+def q_funnel3_click_view_purchase(sf_dir: str) -> pa.Table:
+    """Three-step windowed funnel with EXISTS semantics: a click
+    qualifies iff SOME view follows it within 1h that itself has SOME
+    purchase within 1h — NOT greedy first-match, which misses chains
+    where the first view has no purchase but a later one does.
+
+    One keyed exchange; inside each bucket everything is loop-free:
+    the three type streams are split once, each lifted by
+    uid_index × (global ts range + 2h) so ONE global searchsorted per
+    boundary answers every user's window query at once (windows can't
+    cross users — the lift exceeds any in-user window), views carry a
+    has-purchase flag counted by prefix sums, and clicks test
+    flag-count > 0 over their view window.  Falls back to a per-user
+    loop only if the lift could overflow int64."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    _HOUR_US = 3_600_000_000
+
+    def fn(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n_funnels": pa.array([], pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = g.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        vals = enc.dictionary.to_pylist()
+        code = np.asarray(enc.indices).astype(np.int64)
+
+        def stream(name: str):
+            try:
+                c = vals.index(name)
+            except ValueError:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            m = code == c
+            u, t = uid[m], ts[m]
+            order = np.lexsort((t, u))
+            return u[order], t[order]
+
+        cu, ct = stream("click")
+        vu, vt = stream("view")
+        pu, pt = stream("purchase")
+        if not (len(cu) and len(vu) and len(pu)):
+            return empty
+
+        # dense uid index shared by the three streams
+        all_u = np.unique(np.concatenate([cu, vu, pu]))
+        lo_ts = int(min(ct.min(), vt.min(), pt.min()))
+        hi_ts = int(max(ct.max(), vt.max(), pt.max()))
+        lift = (hi_ts - lo_ts) + 2 * _HOUR_US + 1
+        if lift * len(all_u) >= 2**62:
+            return _funnel3_per_user(cu, ct, vu, vt, pu, pt)
+
+        def lifted(u, t):
+            seg = np.searchsorted(all_u, u)
+            return (t - lo_ts) + seg * lift
+
+        cl, vl, pl = lifted(cu, ct), lifted(vu, vt), lifted(pu, pt)
+        # view qualifies iff a purchase lands in (vl, vl + 1h]
+        v_has_p = (
+            np.searchsorted(pl, vl + _HOUR_US, side="right")
+            - np.searchsorted(pl, vl, side="right")
+        ) > 0
+        flags = np.concatenate(([0], np.cumsum(v_has_p.astype(np.int64))))
+        # click qualifies iff a qualifying view lands in (cl, cl + 1h]
+        n_q = (
+            flags[np.searchsorted(vl, cl + _HOUR_US, side="right")]
+            - flags[np.searchsorted(vl, cl, side="right")]
+        )
+        keep = n_q > 0
+        if not keep.any():
+            return empty
+        ku = cu[keep]
+        starts = np.flatnonzero(segment_starts(ku))
+        counts = np.diff(np.append(starts, len(ku)))
+        return pa.table(
+            {
+                "user_id": pa.array(ku[starts], pa.int64()),
+                "n_funnels": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+def _funnel3_per_user(cu, ct, vu, vt, pu, pt):
+    """Overflow fallback: same semantics, per-user slices."""
+    _HOUR_US = 3_600_000_000
+    out_u, out_n = [], []
+    for u in np.unique(cu):
+        c = ct[cu == u]
+        v = np.sort(vt[vu == u])
+        p = np.sort(pt[pu == u])
+        if not (len(c) and len(v) and len(p)):
+            continue
+        v_has = (np.searchsorted(p, v + _HOUR_US, side="right")
+                 - np.searchsorted(p, v, side="right")) > 0
+        f = np.concatenate(([0], np.cumsum(v_has.astype(np.int64))))
+        nq = (f[np.searchsorted(v, c + _HOUR_US, side="right")]
+              - f[np.searchsorted(v, c, side="right")])
+        n = int((nq > 0).sum())
+        if n:
+            out_u.append(int(u))
+            out_n.append(n)
+    return pa.table(
+        {"user_id": pa.array(out_u, pa.int64()),
+         "n_funnels": pa.array(out_n, pa.int64())}
+    )
+
+
+ORACLE_FUNNEL3 = """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+vq AS (
+  SELECT v.user_id, v.ts FROM v WHERE EXISTS (
+    SELECT 1 FROM p WHERE p.user_id = v.user_id
+      AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+),
+cq AS (
+  SELECT c.user_id FROM c WHERE EXISTS (
+    SELECT 1 FROM vq WHERE vq.user_id = c.user_id
+      AND vq.ts > c.ts AND vq.ts <= c.ts + INTERVAL 1 HOUR)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_funnels
+FROM cq GROUP BY user_id
+"""
+
+
 def q_knn_ivf_incremental(sf_dir: str) -> pa.Table:
     """Incremental ANN at ingest: the embeddings table arrives in two
     doc-id-ordered ticks into a persistent `IvfIndex` (frozen coarse
@@ -7384,6 +7519,7 @@ QUERIES = {
     "trimmed_sum_per_user": q_trimmed_sum_per_user,
     "throttle_dedup_events": q_throttle_dedup_events,
     "knn_ivf_incremental": q_knn_ivf_incremental,
+    "funnel3_click_view_purchase": q_funnel3_click_view_purchase,
     "lm_bigram_documents": q_lm_bigram_documents,
     "bpe_encode_documents": q_bpe_encode_documents,
     "ngram_containment_pairs": q_ngram_containment_pairs,
@@ -7552,6 +7688,7 @@ ORACLE_SQL = {
     "degree_histogram": ORACLE_DEGREES,
     "trimmed_sum_per_user": ORACLE_TRIMMED,
     "throttle_dedup_events": ORACLE_THROTTLE,
+    "funnel3_click_view_purchase": ORACLE_FUNNEL3,
     "scd2_history": ORACLE_SCD2,
     "cdc_scan_recent": ORACLE_SCAN_RECENT,
     "time_travel_diff": ORACLE_TT_DIFF,
