@@ -84,7 +84,7 @@ def test_entry_smoke():
         "full_outer_join_customer_orders", "mad_value_per_user",
         "degree_histogram", "trimmed_sum_per_user",
         "throttle_dedup_events", "knn_ivf_incremental",
-        "funnel3_click_view_purchase",
+        "funnel3_click_view_purchase", "cohort_retention_matrix",
     ],
 )
 def test_query(results, name):

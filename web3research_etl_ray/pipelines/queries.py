@@ -7266,6 +7266,93 @@ def _funnel3_per_user(cu, ct, vu, vt, pu, pt):
     )
 
 
+def q_cohort_retention_matrix(sf_dir: str) -> pa.Table:
+    """Full cohort × activity-hour retention matrix (the triangle
+    chart behind `hourly_retention`'s single diagonal): users grouped
+    by their FIRST active hour, distinct-user counts for every later
+    hour they return.  One user-keyed exchange emits exact partial
+    counts — inside a bucket each user's distinct (hour) set and
+    cohort are both complete, so a kept (user, hour) row IS one
+    distinct user of its (cohort, hour) cell — then a second tiny
+    exchange on the packed cell key folds partials.  Cell count is
+    bounded by hours², independent of corpus size."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    _HOUR_US = 3_600_000_000
+    _EMPTY = pa.table(
+        {"__k": pa.array([], pa.int64()),
+         "n_users": pa.array([], pa.int64())}
+    )
+
+    def partial(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _EMPTY
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // _HOUR_US
+        order = np.lexsort((hr, uid))
+        u, h = uid[order], hr[order]
+        new_u = segment_starts(u)
+        sidx = np.flatnonzero(new_u)
+        counts = np.diff(np.append(sidx, len(u)))
+        cohort = h[sidx]  # min hour per user (h sorted within user)
+        seg_of = np.repeat(np.arange(len(sidx)), counts)
+        keep = new_u | np.concatenate(([True], h[1:] != h[:-1]))
+        packed = (cohort[seg_of][keep] << np.int64(32)) | h[keep]
+        key, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {"__k": pa.array(key, pa.int64()),
+             "n_users": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g.column("__k").to_numpy(zero_copy_only=False)
+        n = g.column("n_users").to_numpy(zero_copy_only=False)
+        key, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table(
+            {"__k": pa.array(key, pa.int64()),
+             "n_users": pa.array(tot, pa.int64())}
+        )
+
+    parts = keyed_window(ds, "user_id", partial)
+    folded = keyed_window(parts, "__k", fold).take_all()
+    if not folded:
+        return pa.table(
+            {"cohort_hour": pa.array([], pa.timestamp("us")),
+             "hour": pa.array([], pa.timestamp("us")),
+             "n_users": pa.array([], pa.int64())}
+        )
+    k = np.array([r["__k"] for r in folded], np.int64)
+    n = np.array([r["n_users"] for r in folded], np.int64)
+    order = np.argsort(k)
+    k, n = k[order], n[order]
+    return pa.table(
+        {
+            "cohort_hour": pa.array(
+                (k >> np.int64(32)) * _HOUR_US, pa.int64()
+            ).cast(pa.timestamp("us")),
+            "hour": pa.array(
+                (k & np.int64(0xFFFFFFFF)) * _HOUR_US, pa.int64()
+            ).cast(pa.timestamp("us")),
+            "n_users": pa.array(n, pa.int64()),
+        }
+    )
+
+
+ORACLE_COHORT_MATRIX = """
+WITH uh AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events
+),
+c AS (SELECT user_id, min(hour) AS cohort_hour FROM uh GROUP BY user_id)
+SELECT cohort_hour, hour, CAST(count(*) AS BIGINT) AS n_users
+FROM uh JOIN c USING (user_id)
+GROUP BY cohort_hour, hour
+"""
+
+
 ORACLE_FUNNEL3 = """
 WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
 v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
@@ -7520,6 +7607,7 @@ QUERIES = {
     "throttle_dedup_events": q_throttle_dedup_events,
     "knn_ivf_incremental": q_knn_ivf_incremental,
     "funnel3_click_view_purchase": q_funnel3_click_view_purchase,
+    "cohort_retention_matrix": q_cohort_retention_matrix,
     "lm_bigram_documents": q_lm_bigram_documents,
     "bpe_encode_documents": q_bpe_encode_documents,
     "ngram_containment_pairs": q_ngram_containment_pairs,
@@ -7689,6 +7777,7 @@ ORACLE_SQL = {
     "trimmed_sum_per_user": ORACLE_TRIMMED,
     "throttle_dedup_events": ORACLE_THROTTLE,
     "funnel3_click_view_purchase": ORACLE_FUNNEL3,
+    "cohort_retention_matrix": ORACLE_COHORT_MATRIX,
     "scd2_history": ORACLE_SCD2,
     "cdc_scan_recent": ORACLE_SCAN_RECENT,
     "time_travel_diff": ORACLE_TT_DIFF,
