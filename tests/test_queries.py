@@ -85,6 +85,9 @@ def test_entry_smoke():
         "degree_histogram", "trimmed_sum_per_user",
         "throttle_dedup_events", "knn_ivf_incremental",
         "funnel3_click_view_purchase", "cohort_retention_matrix",
+        "regr_value_on_ts_per_user", "entropy_types_per_user",
+        "cumulative_distinct_users", "type_cooccurrence",
+        "activity_gaps_per_user", "khop2_reachability",
     ],
 )
 def test_query(results, name):

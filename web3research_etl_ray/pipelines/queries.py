@@ -7591,10 +7591,582 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
 
 
 # ---------------------------------------------------------------------------
+# wave 6: grouped regression, entropy, first-seen cumulative distinct,
+#         co-occurrence, gap stats, 2-hop reachability
+# ---------------------------------------------------------------------------
+
+
+def q_regr_value_on_ts_per_user(sf_dir: str) -> pa.Table:
+    """Grouped least-squares line value ~ time per user — the trend
+    primitive behind drift monitors.  Shares q_corr_value_ts_per_user's
+    integer-moment design: per-batch partials ship exact BIGINTs
+    (n, Σx, Σy, Σx², Σxy) with x = whole minutes since the global min
+    ts and y = cents, the keyed hash-bucket fold sums them, and the
+    float64 tail (slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx),
+    intercept = (Σy − slope·Σx)/n) is mirrored token-for-token in the
+    oracle so even the floats are bit-identical."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    min_us = ds.aggregate(Min("ts"))["min(ts)"]
+    min_us = pa.scalar(min_us).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        x = (
+            t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False) - min_us
+        ) // 60_000_000
+        y = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, x, y = uid[order], x[order], y[order]
+        keys, starts = np.unique(uid, return_index=True)
+        n = np.diff(np.append(starts, len(uid)))
+        cols = {
+            "user_id": pa.array(keys, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+        }
+        for name, v in (("sx", x), ("sy", y), ("sxx", x * x), ("sxy", x * y)):
+            cols[name] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(cols)
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        starts = np.flatnonzero(segment_starts(uid))
+        cols = {"user_id": pa.array(uid[starts], pa.int64())}
+        acc = {}
+        for c in ("n_events", "sx", "sy", "sxx", "sxy"):
+            v = g.column(c).to_numpy(zero_copy_only=False)[order]
+            acc[c] = np.add.reduceat(v, starts)
+        # float64 tail, op order mirrored in ORACLE_REGR exactly
+        n = acc["n_events"].astype(np.float64)
+        sx, sy = acc["sx"].astype(np.float64), acc["sy"].astype(np.float64)
+        sxx = acc["sxx"].astype(np.float64)
+        sxy = acc["sxy"].astype(np.float64)
+        den = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (n * sxy - sx * sy) / den
+            intercept = (sy - slope * sx) / n
+        cols["n_events"] = pa.array(acc["n_events"], pa.int64())
+        # zero-time-variance groups are NULL (matches the oracle CASE)
+        cols["slope_cents_per_min"] = pa.Array.from_pandas(
+            np.where(den == 0.0, np.nan, slope)
+        ).cast(pa.float64())
+        cols["intercept_cents"] = pa.Array.from_pandas(
+            np.where(den == 0.0, np.nan, intercept)
+        ).cast(pa.float64())
+        t = pa.table(cols)
+        return t.filter(pc.greater_equal(t.column("n_events"), 2))
+
+    return keyed_window(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        fold,
+    ).sort("user_id")
+
+
+ORACLE_REGR = """
+WITH m AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+b AS (
+  SELECT user_id,
+         (epoch_us(ts) - (SELECT t0 FROM m)) // 60000000 AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY user_id
+),
+d AS (
+  SELECT user_id, n_events, sx, sy, sxx, sxy,
+         CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+         CASE WHEN CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+              THEN NULL
+              ELSE (CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         END AS slope
+  FROM s
+)
+SELECT user_id, n_events, slope AS slope_cents_per_min,
+       CASE WHEN den = 0 THEN NULL
+            ELSE (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                 / CAST(n_events AS DOUBLE)
+       END AS intercept_cents
+FROM d WHERE n_events >= 2
+ORDER BY user_id
+"""
+
+
+def q_entropy_types_per_user(sf_dir: str) -> pa.Table:
+    """Shannon entropy (bits) of each user's event-type distribution —
+    the behavioral-diversity feature.  Integer (user, type) counts fold
+    exactly across the keyed exchange; the float tail
+    H = log2(N) − (Σ cᵢ·log2 cᵢ)/N sums the per-type terms
+    SEQUENTIALLY in event_type order (padded column-walk across users,
+    not np pairwise reduction) so it is bit-identical to the oracle's
+    ``list_sum(list(term ORDER BY event_type))`` — verified: numpy's
+    pairwise ``add.reduce`` diverges from DuckDB in the last ulp even
+    at 8 terms, sequential accumulation does not.  log2 itself goes
+    through libm (``math.log2``, what DuckDB calls) over the DISTINCT
+    integer counts only — ``np.log2``'s SIMD path is 1 ulp off libm on
+    some inputs (e.g. 75, 52)."""
+    import math
+
+    from ..functions.window import keyed_window, segment_starts
+
+    def log2_libm(ints: np.ndarray) -> np.ndarray:
+        # O(distinct integer values) libm calls, vectorized map-back
+        uniq, inv = np.unique(ints, return_inverse=True)
+        vals = np.array([math.log2(float(x)) for x in uniq], np.float64)
+        return vals[inv]
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "user_id": t.column("user_id").cast(pa.int64()),
+                    "event_type": t.column("event_type"),
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("user_id", "count")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        typ = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((typ, uid))
+        uid, typ, n = uid[order], typ[order], n[order]
+        # combine partial counts for the same (user, type)
+        new = np.ones(len(uid), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (typ[1:] != typ[:-1])
+        starts = np.flatnonzero(new)
+        c = np.add.reduceat(n, starts)
+        uid, typ = uid[starts], typ[starts]
+        ustarts = np.flatnonzero(segment_starts(uid))
+        useg = np.cumsum(segment_starts(uid)) - 1  # user ordinal per row
+        pos = np.arange(len(uid)) - ustarts[useg]  # rank of type in user
+        N = np.add.reduceat(c, ustarts)
+        n_types = np.diff(np.append(ustarts, len(uid)))
+        terms = c.astype(np.float64) * log2_libm(c)
+        s = np.zeros(len(ustarts), dtype=np.float64)
+        for k in range(int(pos.max()) + 1 if len(pos) else 0):
+            rows = pos == k  # k-th type of every user, in type order
+            s[useg[rows]] += terms[rows]
+        nf = N.astype(np.float64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[ustarts], pa.int64()),
+                "n_events": pa.array(N, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "entropy_bits": pa.array(
+                    log2_libm(N) - s / nf, pa.float64()
+                ),
+            }
+        )
+
+    return keyed_window(partials, "user_id", fold).sort("user_id")
+
+
+ORACLE_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         count(*) AS n_types,
+         list_sum(list(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))
+                       ORDER BY event_type)) AS sl
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       log2(CAST(n_events AS DOUBLE)) - sl / CAST(n_events AS DOUBLE)
+         AS entropy_bits
+FROM s ORDER BY user_id
+"""
+
+
+def q_cumulative_distinct_users(sf_dir: str) -> pa.Table:
+    """Audience-growth curve: per event-hour the number of NEVER-
+    before-seen users plus the running cumulative total.  Each user's
+    first-seen timestamp folds as an integer min across the keyed
+    exchange (per-batch partial mins, one row per (user, batch)); only
+    per-hour new-user counts reach the driver, which carries the
+    running total over O(hours) rows — the first-occurrence trick that
+    turns a windowed COUNT(DISTINCT) into an ordinary sum."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = (
+            t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((us, uid))
+        uid, us = uid[order], us[order]
+        starts = np.flatnonzero(segment_starts(uid))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "first_us": pa.array(us[starts], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        us = g.column("first_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, uid))
+        uid, us = uid[order], us[order]
+        starts = np.flatnonzero(segment_starts(uid))
+        first = us[starts]
+        hour = first // 3_600_000_000 * 3_600_000_000
+        hours, cnt = np.unique(hour, return_counts=True)
+        return pa.table(
+            {
+                "hour_us": pa.array(hours, pa.int64()),
+                "n_new": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    rows = (
+        keyed_window(partials, "user_id", fold)
+        .groupby("hour_us")
+        .aggregate(Sum("n_new", alias_name="n_new"))
+        .take_all()
+    )  # O(distinct hours) — the only driver-side state
+    t = _from_rows(rows, {"hour_us": pa.int64(), "n_new": pa.int64()})
+    t = t.sort_by("hour_us")
+    n_new = t.column("n_new").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "hour": t.column("hour_us").cast(pa.timestamp("us")),
+            "n_new": t.column("n_new"),
+            "cum_users": pa.array(np.cumsum(n_new), pa.int64()),
+        }
+    )
+
+
+ORACLE_CUM_DISTINCT = """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+h AS (
+  SELECT date_trunc('hour', first_ts) AS hour, count(*) AS n_new
+  FROM f GROUP BY 1
+)
+SELECT hour, n_new,
+       CAST(sum(n_new) OVER (ORDER BY hour) AS BIGINT) AS cum_users
+FROM h ORDER BY hour
+"""
+
+
+def q_type_cooccurrence(sf_dir: str) -> pa.Table:
+    """Market-basket support: for every unordered pair of event types,
+    how many users did both — the co-occurrence matrix behind lift /
+    association rules.  Per-batch distinct (user, type) partials fold
+    to global distinct in the user's bucket, per-user pairs are
+    generated by looping over distinct SEGMENT LENGTHS (≤ #types, not
+    #users: all users with k types pair up in one (m, k) matrix op),
+    and only (type_a, type_b, count) rows — at most |types|² of them —
+    leave each bucket."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "user_id": t.column("user_id").cast(pa.int64()),
+                    "event_type": t.column("event_type"),
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        typ = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((typ, uid))
+        uid, typ = uid[order], typ[order]
+        new = np.ones(len(uid), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (typ[1:] != typ[:-1])
+        uid, typ = uid[new], typ[new]  # global distinct (bucket owns user)
+        starts = np.flatnonzero(segment_starts(uid))
+        sizes = np.diff(np.append(starts, len(uid)))
+        a_parts, b_parts = [], []
+        for L in np.unique(sizes):
+            if L < 2:
+                continue
+            seg = starts[sizes == L]
+            mat = typ[seg[:, None] + np.arange(L)[None, :]]  # (m, L) sorted
+            for i in range(int(L) - 1):
+                for j in range(i + 1, int(L)):
+                    a_parts.append(mat[:, i])
+                    b_parts.append(mat[:, j])
+        if not a_parts:
+            return pa.table(
+                {
+                    "type_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        pairs = pa.table(
+            {
+                "type_a": pa.array(np.concatenate(a_parts), pa.string()),
+                "type_b": pa.array(np.concatenate(b_parts), pa.string()),
+            }
+        )
+        out = pairs.group_by(["type_a", "type_b"]).aggregate(
+            [("type_a", "count")]
+        )
+        return out.rename_columns(["type_a", "type_b", "n_users"])
+
+    rows = (
+        keyed_window(partials, "user_id", fold)
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .take_all()
+    )  # ≤ |types|² rows
+    return _from_rows(
+        rows,
+        {"type_a": pa.string(), "type_b": pa.string(), "n_users": pa.int64()},
+    ).sort_by([("type_a", "ascending"), ("type_b", "ascending")])
+
+
+ORACLE_COOCCUR = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_activity_gaps_per_user(sf_dir: str) -> pa.Table:
+    """Per-user inactivity profile: event count, largest gap between
+    consecutive events (µs, exact integer), and how many gaps exceeded
+    one hour — the churn-risk features.  One keyed exchange, one
+    lexsort per bucket, vectorized diffs; single-event users get a
+    NULL max gap, matching SQL max() over an empty lag set."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, us, uid))
+        uid, us = uid[order], us[order]
+        starts = segment_starts(uid)
+        start_idx = np.flatnonzero(starts)
+        d = np.empty(len(us), dtype=np.int64)
+        d[0] = -1
+        d[1:] = us[1:] - us[:-1]
+        d[starts] = -1  # first row of each user has no gap
+        gmax = np.maximum.reduceat(d, start_idx)
+        n_events = np.diff(np.append(start_idx, len(uid)))
+        n_gaps = np.add.reduceat(
+            (d > 3_600_000_000).astype(np.int64), start_idx
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid[start_idx], pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "max_gap_us": pc.if_else(
+                    pa.array(gmax < 0),
+                    pa.nulls(len(gmax), pa.int64()),
+                    pa.array(gmax, pa.int64()),
+                ),
+                "n_gaps_1h": pa.array(n_gaps, pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fold).sort("user_id")
+
+
+ORACLE_GAPS = """
+WITH l AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       max(gap) AS max_gap_us,
+       CAST(count(*) FILTER (WHERE gap > 3600000000) AS BIGINT)
+         AS n_gaps_1h
+FROM l GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_khop2_reachability(sf_dir: str) -> pa.Table:
+    """2-hop neighborhood size per node of the exact-Jaccard dedup
+    graph — how big each doc's transitive-duplicate blast radius is
+    before full closure.  Three bounded keyed exchanges: (1) middle-
+    node buckets turn each neighbor list into i<j wedge pairs (looped
+    over segment LENGTHS like q_type_cooccurrence, so a degree-d node
+    costs d² rows but no Python per-node work), (2) pair buckets
+    dedup wedges ∪ direct edges vectorized, (3) node buckets count
+    distinct partners.  Degree is bounded by the dedup graph's df cap
+    upstream, so d² stays small — same assumption q_triangle_count
+    documents."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _exact_jaccard_pairs_ds(ds)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wedges(g: pa.Table) -> pa.Table:
+        # bucket key = u (middle node): neighbors of each u pair up
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(segment_starts(u))
+        sizes = np.diff(np.append(starts, len(u)))
+        a_parts, b_parts = [], []
+        for L in np.unique(sizes):
+            if L < 2:
+                continue
+            seg = starts[sizes == L]
+            mat = v[seg[:, None] + np.arange(L)[None, :]]  # sorted rows
+            for i in range(int(L) - 1):
+                for j in range(i + 1, int(L)):
+                    a_parts.append(mat[:, i])
+                    b_parts.append(mat[:, j])
+        # wedge endpoints plus the direct edges themselves (a < b)
+        keep = u < v
+        a_parts.append(u[keep])
+        b_parts.append(v[keep])
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_parts), pa.int64()),
+                "b": pa.array(np.concatenate(b_parts), pa.int64()),
+            }
+        )
+
+    cand = keyed_window(edges, "u", wedges)
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        # bucket key = a: every copy of an (a, b) pair lands here
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[new], b[new]
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b]), pa.int64())}
+        )
+
+    reach = keyed_window(cand, "a", dedup_pairs)
+    rows = (
+        reach.groupby("node")
+        .aggregate(Count(alias_name="n_within_2"))
+        .take_all()
+    )
+    return _from_rows(
+        rows, {"node": pa.int64(), "n_within_2": pa.int64()}
+    ).sort_by("node")
+
+
+ORACLE_KHOP2 = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+live AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM live)
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_inter >= sa.n + sb.n - n_inter
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+two AS (
+  SELECT a.u AS u, b.v AS v FROM sym a JOIN sym b
+  ON a.v = b.u WHERE b.v <> a.u
+),
+reach AS (SELECT u, v FROM sym UNION SELECT u, v FROM two)
+SELECT u AS node, count(*) AS n_within_2 FROM reach
+GROUP BY u ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "regr_value_on_ts_per_user": q_regr_value_on_ts_per_user,
+    "entropy_types_per_user": q_entropy_types_per_user,
+    "cumulative_distinct_users": q_cumulative_distinct_users,
+    "type_cooccurrence": q_type_cooccurrence,
+    "activity_gaps_per_user": q_activity_gaps_per_user,
+    "khop2_reachability": q_khop2_reachability,
     "jaccard_clusters": q_jaccard_clusters,
     "triangle_count": q_triangle_count,
     "gopher_quality_documents": q_gopher_quality_documents,
@@ -7758,6 +8330,12 @@ ORACLE_SQL = {
     "boilerplate_prefixes": ORACLE_BOILERPLATE,
     "edit_distance_pairs": ORACLE_EDIT_DISTANCE,
     "corr_value_ts_per_user": ORACLE_CORR,
+    "regr_value_on_ts_per_user": ORACLE_REGR,
+    "entropy_types_per_user": ORACLE_ENTROPY,
+    "cumulative_distinct_users": ORACLE_CUM_DISTINCT,
+    "type_cooccurrence": ORACLE_COOCCUR,
+    "activity_gaps_per_user": ORACLE_GAPS,
+    "khop2_reachability": ORACLE_KHOP2,
     "histogram_value": ORACLE_HISTOGRAM,
     "chunk_documents": ORACLE_CHUNKS,
     "mix_char_budget": ORACLE_MIX,
