@@ -88,6 +88,8 @@ def test_entry_smoke():
         "regr_value_on_ts_per_user", "entropy_types_per_user",
         "cumulative_distinct_users", "type_cooccurrence",
         "activity_gaps_per_user", "khop2_reachability",
+        "twap_value_per_user", "interarrival_quantiles_per_type",
+        "cluster_size_histogram", "kl_unigram_documents",
     ],
 )
 def test_query(results, name):

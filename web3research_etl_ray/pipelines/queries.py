@@ -8157,10 +8157,406 @@ GROUP BY u ORDER BY node
 
 
 # ---------------------------------------------------------------------------
+# wave 7: time-weighted average, inter-arrival quantiles, cluster-size
+#         histogram, per-doc unigram KL divergence
+# ---------------------------------------------------------------------------
+
+
+def q_twap_value_per_user(sf_dir: str) -> pa.Table:
+    """Time-weighted average value per user (trapezoidal): the metric
+    that doesn't overweight burst periods.  One keyed exchange; per
+    consecutive pair the term (cᵢ + cᵢ₊₁)·Δµs is an EXACT int64
+    (cents × span < 2⁶³ holds through ~10⁶× the fixture range; a
+    100 TB deployment with wider spans would split hi/lo words), so
+    the numerator folds order-independently and only the final
+    division is float — mirrored in the oracle, bit-identical."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, us, cents = uid[order], us[order], cents[order]
+        starts = segment_starts(uid)
+        start_idx = np.flatnonzero(starts)
+        end_idx = np.append(start_idx[1:], len(uid)) - 1
+        term = np.zeros(len(uid), dtype=np.int64)
+        if len(uid) > 1:
+            term[:-1] = (cents[:-1] + cents[1:]) * (us[1:] - us[:-1])
+        term[end_idx] = 0  # no pair crosses a user boundary
+        num = np.add.reduceat(term, start_idx)
+        den = us[end_idx] - us[start_idx]
+        n_events = np.diff(np.append(start_idx, len(uid)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            twap = num.astype(np.float64) / (2.0 * den.astype(np.float64))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[start_idx], pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "twap_cents": pa.Array.from_pandas(
+                    np.where(den == 0, np.nan, twap)
+                ).cast(pa.float64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fold).sort("user_id")
+
+
+ORACLE_TWAP = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+l AS (
+  SELECT user_id, us, cents,
+         lead(us) OVER w AS us2, lead(cents) OVER w AS c2
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum((cents + c2) * (us2 - us)) AS BIGINT) AS num,
+         max(us) - min(us) AS den
+  FROM l GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CASE WHEN den = 0 THEN NULL
+            ELSE CAST(num AS DOUBLE) / (2 * CAST(den AS DOUBLE))
+       END AS twap_cents
+FROM s ORDER BY user_id
+"""
+
+
+def q_interarrival_quantiles_per_type(sf_dir: str) -> pa.Table:
+    """Per event-type inter-arrival profile: exact p50/p90 (DuckDB
+    ``quantile_disc`` semantics, index ⌈q·n⌉−1 of the sorted gaps)
+    and max gap in µs.  Keyed exchange on event_type, two lexsorts per
+    bucket (arrival order for diffs, gap order for the order
+    statistics), all-integer output."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def with_type_h(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "type_h",
+            pa.array(
+                (key_hash64(t.column("event_type")) % np.uint64(1 << 62))
+                .astype(np.int64),
+                pa.int64(),
+            ),
+        )
+
+    keyed = ds.map_batches(
+        with_type_h, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        typ = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, us, typ))
+        typ, us = typ[order], us[order]
+        starts = segment_starts(typ)
+        gap = np.empty(len(us), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = us[1:] - us[:-1]
+        gap[starts] = -1
+        keep = gap >= 0
+        tseg, gap = typ[keep], gap[keep]
+        if not len(gap):
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "p50_gap_us": pa.array([], pa.int64()),
+                    "p90_gap_us": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        order2 = np.lexsort((gap, tseg))
+        tseg, gap = tseg[order2], gap[order2]
+        s2 = np.flatnonzero(segment_starts(tseg))
+        n = np.diff(np.append(s2, len(gap)))
+        i50 = s2 + np.ceil(0.5 * n).astype(np.int64) - 1
+        i90 = s2 + np.ceil(0.9 * n).astype(np.int64) - 1
+        return pa.table(
+            {
+                "event_type": pa.array(tseg[s2], pa.string()),
+                "n_gaps": pa.array(n, pa.int64()),
+                "p50_gap_us": pa.array(gap[i50], pa.int64()),
+                "p90_gap_us": pa.array(gap[i90], pa.int64()),
+                "max_gap_us": pa.array(
+                    gap[np.append(s2[1:], len(gap)) - 1], pa.int64()
+                ),
+            }
+        )
+
+    return keyed_window(keyed, "type_h", fold).sort("event_type")
+
+
+ORACLE_INTERARRIVAL = """
+WITH l AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       quantile_disc(gap, 0.5) AS p50_gap_us,
+       quantile_disc(gap, 0.9) AS p90_gap_us,
+       max(gap) AS max_gap_us
+FROM l WHERE gap IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_cluster_size_histogram(sf_dir: str) -> pa.Table:
+    """Size distribution of the exact-Jaccard duplicate clusters — the
+    one-table answer to 'is my near-dup corpus mirrors (many 2s) or
+    template spam (few giants)?'.  Rides q_jaccard_clusters' machinery
+    (2-shuffle pair generation + O(log diameter) label propagation)
+    and folds to O(distinct sizes) rows."""
+    from ray.data.aggregate import Count as _Count
+
+    from ..functions.dedup import connected_components_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _exact_jaccard_pairs_ds(ds).map_batches(
+        lambda t: t.select(["id_a", "id_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    comp = connected_components_ds(pairs)
+    rows = (
+        comp.groupby("cluster_id")
+        .aggregate(_Count(alias_name="cluster_size"))
+        .groupby("cluster_size")
+        .aggregate(_Count(alias_name="n_clusters"))
+        .take_all()
+    )
+    return _from_rows(
+        rows, {"cluster_size": pa.int64(), "n_clusters": pa.int64()}
+    ).sort_by("cluster_size")
+
+
+ORACLE_CLUSTER_SIZES = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+live AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM live)
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_inter >= sa.n + sb.n - n_inter
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, k.comp FROM walk k JOIN edges e ON e.u = k.id
+  WHERE k.comp < e.v
+),
+cm AS (SELECT id, min(comp) AS cluster_id FROM walk GROUP BY id),
+cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cm GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters
+FROM cs GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_kl_unigram_documents(sf_dir: str) -> pa.Table:
+    """Per-document unigram KL divergence vs the corpus distribution —
+    the CCNet/DSIR-style domain-shift signal.  Shape: per-batch
+    (doc, token, c) counts (docs arrive whole, so counts are final),
+    one token-keyed exchange attaches the corpus count C per token,
+    one doc-keyed exchange folds Σ (c/N)·(((log2 c + log2 T) − log2 N)
+    − log2 C) with the terms summed SEQUENTIALLY in token order
+    (contiguous pos-slice walk, O(rows) total) and every log2 routed
+    through libm over DISTINCT integers — bit-identical to the
+    oracle's ordered list_sum.  T (corpus token total) is one extra
+    streaming count pass; a production lake would persist it as a
+    corpus statistic."""
+    import math
+
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_term(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")), pattern=r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        doc = pc.list_parent_indices(toks)
+        doc = pc.take(t.column("doc_id"), doc)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        return (
+            pa.table({"doc_id": doc.cast(pa.int64()), "token": flat})
+            .filter(keep)
+            .group_by(["doc_id", "token"])
+            .aggregate([("token", "count")])
+            .rename_columns(["doc_id", "token", "c"])
+        )
+
+    dt = ds.map_batches(doc_term, batch_format="pyarrow", zero_copy_batch=True)
+
+    # corpus token total T: one streaming scalar pass
+    def count_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")), pattern=r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        n = pc.sum(pc.greater(pc.utf8_length(flat), 0).cast(pa.int64()))
+        return pa.table({"n": pa.array([n.as_py() or 0], pa.int64())})
+
+    T = (
+        ds.map_batches(count_tokens, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .aggregate(Sum("n"))["sum(n)"]
+    )
+    log2T = math.log2(float(T))
+
+    def with_tok_h(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "tok_h",
+            pa.array(
+                (key_hash64(t.column("token")) % np.uint64(1 << 62)).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+        )
+
+    keyed = dt.map_batches(
+        with_tok_h, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def attach_C(g: pa.Table) -> pa.Table:
+        # bucket owns its tokens: corpus count = in-bucket segment sum
+        tok = np.asarray(g.column("token").to_pylist(), dtype=object)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(tok, kind="stable")
+        tok, doc, c = tok[order], doc[order], c[order]
+        starts = segment_starts(tok)
+        start_idx = np.flatnonzero(starts)
+        seg = np.cumsum(starts) - 1
+        C = np.add.reduceat(c, start_idx)[seg]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "token": pa.array(tok, pa.string()),
+                "c": pa.array(c, pa.int64()),
+                "C": pa.array(C, pa.int64()),
+            }
+        )
+
+    with_C = keyed_window(keyed, "tok_h", attach_C)
+
+    def log2_libm(ints: np.ndarray) -> np.ndarray:
+        uniq, inv = np.unique(ints, return_inverse=True)
+        vals = np.array([math.log2(float(x)) for x in uniq], np.float64)
+        return vals[inv]
+
+    def fold(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tok = np.asarray(g.column("token").to_pylist(), dtype=object)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        C = g.column("C").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, doc))
+        doc, tok, c, C = doc[order], tok[order], c[order], C[order]
+        starts = segment_starts(doc)
+        start_idx = np.flatnonzero(starts)
+        dseg = np.cumsum(starts) - 1
+        N = np.add.reduceat(c, start_idx)
+        pos = np.arange(len(doc)) - start_idx[dseg]
+        terms = (c.astype(np.float64) / N.astype(np.float64)[dseg]) * (
+            ((log2_libm(c) + log2T) - log2_libm(N)[dseg]) - log2_libm(C)
+        )
+        # sequential in-token-order sum: walk pos classes over
+        # CONTIGUOUS slices (O(rows) total, not O(rows × max_pos))
+        s = np.zeros(len(start_idx), dtype=np.float64)
+        order2 = np.lexsort((dseg, pos))
+        pos2, dseg2, terms2 = pos[order2], dseg[order2], terms[order2]
+        bounds = np.append(
+            np.flatnonzero(np.diff(pos2)) + 1, [0, len(pos2)]
+        )
+        bounds = np.unique(bounds)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            s[dseg2[lo:hi]] += terms2[lo:hi]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[start_idx], pa.int64()),
+                "n_tokens": pa.array(N, pa.int64()),
+                "kl_bits": pa.array(s, pa.float64()),
+            }
+        )
+
+    return keyed_window(with_C, "doc_id", fold).sort("doc_id")
+
+
+ORACLE_KL_UNIGRAM = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+dt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+dn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS N FROM dt GROUP BY 1),
+ct AS (SELECT token, CAST(sum(c) AS BIGINT) AS C FROM dt GROUP BY 1),
+tt AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM dt),
+terms AS (
+  SELECT dt.doc_id, dt.token, dn.N,
+         (CAST(dt.c AS DOUBLE) / CAST(dn.N AS DOUBLE)) *
+         (((log2(CAST(dt.c AS DOUBLE))
+            + log2(CAST((SELECT T FROM tt) AS DOUBLE)))
+           - log2(CAST(dn.N AS DOUBLE)))
+          - log2(CAST(ct.C AS DOUBLE))) AS term
+  FROM dt
+  JOIN dn USING (doc_id)
+  JOIN ct USING (token)
+)
+SELECT doc_id, any_value(N) AS n_tokens,
+       list_sum(list(term ORDER BY token)) AS kl_bits
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "twap_value_per_user": q_twap_value_per_user,
+    "interarrival_quantiles_per_type": q_interarrival_quantiles_per_type,
+    "cluster_size_histogram": q_cluster_size_histogram,
+    "kl_unigram_documents": q_kl_unigram_documents,
     "regr_value_on_ts_per_user": q_regr_value_on_ts_per_user,
     "entropy_types_per_user": q_entropy_types_per_user,
     "cumulative_distinct_users": q_cumulative_distinct_users,
@@ -8331,6 +8727,10 @@ ORACLE_SQL = {
     "edit_distance_pairs": ORACLE_EDIT_DISTANCE,
     "corr_value_ts_per_user": ORACLE_CORR,
     "regr_value_on_ts_per_user": ORACLE_REGR,
+    "twap_value_per_user": ORACLE_TWAP,
+    "interarrival_quantiles_per_type": ORACLE_INTERARRIVAL,
+    "cluster_size_histogram": ORACLE_CLUSTER_SIZES,
+    "kl_unigram_documents": ORACLE_KL_UNIGRAM,
     "entropy_types_per_user": ORACLE_ENTROPY,
     "cumulative_distinct_users": ORACLE_CUM_DISTINCT,
     "type_cooccurrence": ORACLE_COOCCUR,
