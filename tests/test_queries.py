@@ -90,6 +90,10 @@ def test_entry_smoke():
         "activity_gaps_per_user", "khop2_reachability",
         "twap_value_per_user", "interarrival_quantiles_per_type",
         "cluster_size_histogram", "kl_unigram_documents",
+        "benford_value_digits", "weekday_hour_heatmap",
+        "autocorr_lag1_value_per_user", "type_streaks_per_user",
+        "late_orders_by_priority", "promo_revenue_share",
+        "big_orders_topk",
     ],
 )
 def test_query(results, name):

@@ -77,6 +77,13 @@ def _cents(col) -> pa.Array:
     return pc.round(pc.multiply(col, pa.scalar(100.0)), options=_ROUND).cast(pa.int64())
 
 
+def _round_int(col) -> pa.Array:
+    # module-level so nested closures reference this function (picklable
+    # by module path) rather than the _ROUND FunctionOptions instance,
+    # which pyarrow cannot pickle
+    return pc.round(col, options=_ROUND).cast(pa.int64())
+
+
 # ---------------------------------------------------------------------------
 # 1. Flagship: CDC replay with a fully SQL-expressible event derivation
 # ---------------------------------------------------------------------------
@@ -8549,10 +8556,570 @@ FROM terms GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# wave 8: Benford digits, weekday×hour heatmap, lag-1 autocorrelation,
+#         same-type streaks
+# ---------------------------------------------------------------------------
+
+
+def q_benford_value_digits(sf_dir: str) -> pa.Table:
+    """First-significant-digit distribution of positive cent amounts —
+    the Benford's-law fraud screen.  Pure per-batch partials (≤ 9 rows
+    each cross the exchange), digit taken from the decimal string so
+    there is no float log10 boundary case; tiny 9-key fold."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("value"))
+        c = c.filter(pc.greater(c, 0))
+        digit = pc.utf8_slice_codeunits(
+            pc.cast(c, pa.string()), start=0, stop=1
+        ).cast(pa.int64())
+        return (
+            pa.table({"digit": digit})
+            .group_by("digit")
+            .aggregate([("digit", "count")])
+            .rename_columns(["digit", "n"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    return _from_rows(
+        rows, {"digit": pa.int64(), "n": pa.int64()}
+    ).sort_by("digit")
+
+
+ORACLE_BENFORD = """
+WITH c AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       count(*) AS n
+FROM c WHERE cents > 0 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_weekday_hour_heatmap(sf_dir: str) -> pa.Table:
+    """Activity heatmap cells (day-of-week × hour-of-day, exact
+    counts) — the seasonality profile.  Integer µs arithmetic per
+    batch (epoch days + 4 ≡ DuckDB's Sunday-0 dayofweek), ≤ 168 rows
+    per partial, one tiny fold."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    DAY_US = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        days = us // DAY_US
+        dow = (days + 4) % 7  # 1970-01-01 was a Thursday; Sunday = 0
+        hr = us % DAY_US // 3_600_000_000
+        cell = dow * 24 + hr
+        cnt = np.bincount(cell.astype(np.int64), minlength=168)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "dow": pa.array(keep // 24, pa.int64()),
+                "hr": pa.array(keep % 24, pa.int64()),
+                "n_events": pa.array(cnt[keep], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["dow", "hr"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .take_all()
+    )
+    return _from_rows(
+        rows, {"dow": pa.int64(), "hr": pa.int64(), "n_events": pa.int64()}
+    ).sort_by([("dow", "ascending"), ("hr", "ascending")])
+
+
+ORACLE_WEEKDAY_HOUR = """
+SELECT dayofweek(ts) AS dow, hour(ts) AS hr, count(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_autocorr_lag1_value_per_user(sf_dir: str) -> pa.Table:
+    """Lag-1 autocorrelation of each user's cent series (ordered by
+    ts, event_id) — 'does this user's next amount look like the
+    last'.  The ordered-pair twin of q_corr_value_ts_per_user: pairs
+    (cᵢ, cᵢ₊₁) never cross users, their five moments are exact
+    BIGINTs folded through one keyed exchange, and the Pearson tail is
+    mirrored token-for-token in the oracle."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, cents = uid[order], cents[order]
+        starts = segment_starts(uid)
+        start_idx = np.flatnonzero(starts)
+        end_idx = np.append(start_idx[1:], len(uid)) - 1
+        a = cents.copy()
+        b = np.empty_like(cents)
+        b[:-1] = cents[1:]
+        b[-1] = 0
+        # zero the user-boundary rows out of every pair moment
+        pair = np.ones(len(uid), dtype=np.int64)
+        pair[end_idx] = 0
+        a, b = a * pair, b * pair
+        npairs = np.add.reduceat(pair, start_idx)
+        sa = np.add.reduceat(a, start_idx)
+        sb = np.add.reduceat(b, start_idx)
+        saa = np.add.reduceat(a * a, start_idx)
+        sbb = np.add.reduceat(b * b, start_idx)
+        sab = np.add.reduceat(a * b, start_idx)
+        n = npairs.astype(np.float64)
+        saf, sbf = sa.astype(np.float64), sb.astype(np.float64)
+        saaf, sbbf = saa.astype(np.float64), sbb.astype(np.float64)
+        sabf = sab.astype(np.float64)
+        den = np.sqrt(n * saaf - saf * saf) * np.sqrt(n * sbbf - sbf * sbf)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = (n * sabf - saf * sbf) / den
+        t = pa.table(
+            {
+                "user_id": pa.array(uid[start_idx], pa.int64()),
+                "n_pairs": pa.array(npairs, pa.int64()),
+                "autocorr_lag1": pa.Array.from_pandas(
+                    np.where(den == 0.0, np.nan, r)
+                ).cast(pa.float64()),
+            }
+        )
+        return t.filter(pc.greater_equal(t.column("n_pairs"), 2))
+
+    return keyed_window(ds, "user_id", fold).sort("user_id")
+
+
+ORACLE_AUTOCORR = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+l AS (
+  SELECT user_id, cents AS a,
+         lead(cents) OVER (
+             PARTITION BY user_id ORDER BY us, event_id) AS b
+  FROM c
+),
+p AS (SELECT user_id, a, b FROM l WHERE b IS NOT NULL),
+s AS (
+  SELECT user_id, count(*) AS n_pairs,
+         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+         CAST(sum(a * a) AS BIGINT) AS saa,
+         CAST(sum(b * b) AS BIGINT) AS sbb,
+         CAST(sum(a * b) AS BIGINT) AS sab
+  FROM p GROUP BY user_id
+)
+SELECT user_id, n_pairs,
+       CASE WHEN sqrt(CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 * sqrt(CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) = 0
+            THEN NULL
+            ELSE (CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+       END AS autocorr_lag1
+FROM s WHERE n_pairs >= 2
+ORDER BY user_id
+"""
+
+
+def q_type_streaks_per_user(sf_dir: str) -> pa.Table:
+    """Gaps-and-islands: per user the number of consecutive-same-type
+    streaks and the longest streak (ordered by ts, event_id).  One
+    keyed exchange; run-length encoding is two boolean diffs and two
+    reduceats — the vectorized twin of SQL's double-row_number
+    grouping trick."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        typ = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, us, uid))
+        uid, typ = uid[order], typ[order]
+        user_start = segment_starts(uid)
+        run_start = user_start.copy()
+        run_start[1:] |= typ[1:] != typ[:-1]
+        run_idx = np.flatnonzero(run_start)
+        run_len = np.diff(np.append(run_idx, len(uid)))
+        run_uid = uid[run_idx]
+        ustart = np.flatnonzero(segment_starts(run_uid))
+        return pa.table(
+            {
+                "user_id": pa.array(run_uid[ustart], pa.int64()),
+                "n_streaks": pa.array(
+                    np.diff(np.append(ustart, len(run_uid))), pa.int64()
+                ),
+                "max_streak": pa.array(
+                    np.maximum.reduceat(run_len, ustart), pa.int64()
+                ),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fold).sort("user_id")
+
+
+ORACLE_STREAKS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+  FROM events
+),
+r AS (
+  SELECT user_id, count(*) AS len
+  FROM o GROUP BY user_id, event_type, grp
+)
+SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 9: TPC-H-shaped composites the fixture schema supports
+#         (Q4 EXISTS, Q14 promo share, Q18 large orders)
+# ---------------------------------------------------------------------------
+
+
+def q_late_orders_by_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q4-shaped correlated EXISTS: orders in a 1996 window with
+    at least one lineitem shipped > 90 days after the order date,
+    counted by priority.  The predicate compares columns from BOTH
+    sides, so it rides the bucketed hash join (attach o_orderdate /
+    o_orderpriority to each lineitem), then per-batch distinct
+    (orderkey, priority) partials fold to global distinct in the
+    orderkey's bucket — EXISTS = first occurrence, never a row
+    explosion.  All-integer output."""
+    from ..functions.joins import hash_join
+    from ..functions.window import keyed_window, segment_starts
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    LATE_US = 90 * 86_400_000_000
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi),
+            )
+        ).select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = hash_join(
+        lineitem, orders, "l_orderkey",
+        left_cols=["l_orderkey", "l_shipdate"],
+        right_cols=["o_orderdate", "o_orderpriority"],
+    )
+
+    def late_pairs(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        odate = t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        keep = pc.greater(ship, pc.add(odate, pa.scalar(LATE_US, pa.int64())))
+        return (
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "o_orderpriority": t.column("o_orderpriority"),
+                }
+            )
+            .filter(keep)
+            .group_by(["l_orderkey", "o_orderpriority"])
+            .aggregate([])
+        )
+
+    pairs = joined.map_batches(
+        late_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        key = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pri = np.asarray(
+            g.column("o_orderpriority").to_pylist(), dtype=object
+        )
+        order = np.argsort(key, kind="stable")
+        key, pri = key[order], pri[order]
+        firsts = segment_starts(key)  # priority is functional on order
+        pri = pri[firsts]
+        vals, cnt = np.unique(pri, return_counts=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(vals, pa.string()),
+                "n_orders": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    rows = (
+        keyed_window(pairs, "l_orderkey", fold)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .take_all()
+    )
+    return _from_rows(
+        rows, {"o_orderpriority": pa.string(), "n_orders": pa.int64()}
+    ).sort_by("o_orderpriority")
+
+
+ORACLE_LATE_ORDERS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_promo_revenue_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q14-shaped promo share: revenue fraction from PROMO parts
+    in one ship month.  part is the broadcast side (`ray.put` once,
+    Acero probe per batch — zero exchange; at real TPC-H scale part
+    grows with SF, so past the broadcast threshold this switches to
+    the bucketed join like `auto_join` does); per-row revenue is
+    rounded to exact cents on both sides, so only the final percent
+    division is float — mirrored token-for-token."""
+    from ..functions.joins import broadcast_join
+
+    lo = pa.scalar(np.datetime64("1996-09-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-10-01", "us"))
+
+    part = pq.read_table(
+        _tbl(sf_dir, "part"), columns=["p_partkey", "p_type"]
+    ).select(["p_partkey", "p_type"]).rename_columns(
+        ["l_partkey", "p_type"]
+    )
+
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), lo),
+                pc.less(t.column("l_shipdate"), hi),
+            )
+        ).drop_columns(["l_shipdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = broadcast_join(lineitem, part, "l_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        ).to_numpy(zero_copy_only=False)
+        promo = pc.equal(t.column("p_type"), "PROMO").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "promo_cents": pa.array(
+                    [int(rev[promo].sum())], pa.int64()
+                ),
+                "total_cents": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = parts.aggregate(
+        Sum("promo_cents", alias_name="promo_cents"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+    p, t = int(agg["promo_cents"] or 0), int(agg["total_cents"] or 0)
+    share = (
+        100.0 * (np.float64(p) / np.float64(t)) if t else float("nan")
+    )
+    return pa.table(
+        {
+            "promo_cents": pa.array([p], pa.int64()),
+            "total_cents": pa.array([t], pa.int64()),
+            "promo_share_pct": pa.array([share], pa.float64()),
+        }
+    )
+
+
+ORACLE_PROMO_SHARE = """
+WITH j AS (
+  SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev,
+         p_type = 'PROMO' AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l_shipdate <  TIMESTAMP '1996-10-01'
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+           AS promo_cents,
+         CAST(sum(rev) AS BIGINT) AS total_cents
+  FROM j
+)
+SELECT promo_cents, total_cents,
+       100.0 * (CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE))
+         AS promo_share_pct
+FROM s
+"""
+
+
+def q_big_orders_topk(sf_dir: str) -> pa.Table:
+    """TPC-H Q18-shaped large-order scan: orders whose total quantity
+    ≥ 300, top 100 by quantity (orderkey tie-break).  Per-batch
+    partial sums → keyed fold (exact integer quantities) → HAVING
+    filter inside the bucket → bucketed join back to orders for the
+    customer/date columns → per-batch partial top-100 so the driver
+    merges ≤ 100 rows per block, never the full qualifying set."""
+    from ..functions.joins import hash_join
+    from ..functions.window import keyed_window, segment_starts
+
+    K, THRESHOLD = 100, 300
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        qty = _round_int(t.column("l_quantity")).to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, qty = key[order], qty[order]
+        starts = np.flatnonzero(segment_starts(key))
+        return pa.table(
+            {
+                "l_orderkey": pa.array(key[starts], pa.int64()),
+                "total_qty": pa.array(
+                    np.add.reduceat(qty, starts), pa.int64()
+                ),
+            }
+        )
+
+    partials = lineitem.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        key = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        qty = g.column("total_qty").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, qty = key[order], qty[order]
+        starts = np.flatnonzero(segment_starts(key))
+        total = np.add.reduceat(qty, starts)
+        keep = total >= THRESHOLD
+        return pa.table(
+            {
+                "l_orderkey": pa.array(key[starts][keep], pa.int64()),
+                "total_qty": pa.array(total[keep], pa.int64()),
+            }
+        )
+
+    qualifying = keyed_window(partials, "l_orderkey", fold)
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.select(
+            ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).rename_columns(["l_orderkey", "o_custkey", "o_orderdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_join(
+        qualifying, orders, "l_orderkey",
+        left_cols=["l_orderkey", "total_qty"],
+        right_cols=["o_custkey", "o_orderdate"],
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [("total_qty", "descending"), ("l_orderkey", "ascending")]
+        ).slice(0, K)
+
+    rows = joined.map_batches(
+        topk, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    t = _from_rows(
+        rows,
+        {
+            "l_orderkey": pa.int64(),
+            "total_qty": pa.int64(),
+            "o_custkey": pa.int64(),
+            "o_orderdate": pa.timestamp("us"),
+        },
+    )
+    t = t.sort_by(
+        [("total_qty", "descending"), ("l_orderkey", "ascending")]
+    ).slice(0, K)
+    return t.rename_columns(
+        ["o_orderkey", "total_qty", "o_custkey", "o_orderdate"]
+    )
+
+
+ORACLE_BIG_ORDERS = """
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(ROUND(l_quantity) AS BIGINT)) >= 300
+)
+SELECT o.o_orderkey, q.total_qty, o.o_custkey, o.o_orderdate
+FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "late_orders_by_priority": q_late_orders_by_priority,
+    "promo_revenue_share": q_promo_revenue_share,
+    "big_orders_topk": q_big_orders_topk,
+    "benford_value_digits": q_benford_value_digits,
+    "weekday_hour_heatmap": q_weekday_hour_heatmap,
+    "autocorr_lag1_value_per_user": q_autocorr_lag1_value_per_user,
+    "type_streaks_per_user": q_type_streaks_per_user,
     "twap_value_per_user": q_twap_value_per_user,
     "interarrival_quantiles_per_type": q_interarrival_quantiles_per_type,
     "cluster_size_histogram": q_cluster_size_histogram,
@@ -8728,6 +9295,13 @@ ORACLE_SQL = {
     "corr_value_ts_per_user": ORACLE_CORR,
     "regr_value_on_ts_per_user": ORACLE_REGR,
     "twap_value_per_user": ORACLE_TWAP,
+    "benford_value_digits": ORACLE_BENFORD,
+    "late_orders_by_priority": ORACLE_LATE_ORDERS,
+    "promo_revenue_share": ORACLE_PROMO_SHARE,
+    "big_orders_topk": ORACLE_BIG_ORDERS,
+    "weekday_hour_heatmap": ORACLE_WEEKDAY_HOUR,
+    "autocorr_lag1_value_per_user": ORACLE_AUTOCORR,
+    "type_streaks_per_user": ORACLE_STREAKS,
     "interarrival_quantiles_per_type": ORACLE_INTERARRIVAL,
     "cluster_size_histogram": ORACLE_CLUSTER_SIZES,
     "kl_unigram_documents": ORACLE_KL_UNIGRAM,
