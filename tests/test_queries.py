@@ -94,6 +94,8 @@ def test_entry_smoke():
         "autocorr_lag1_value_per_user", "type_streaks_per_user",
         "late_orders_by_priority", "promo_revenue_share",
         "big_orders_topk",
+        "tpch_q5", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q15",
+        "tpch_q22",
     ],
 )
 def test_query(results, name):

@@ -9109,10 +9109,732 @@ ORDER BY total_qty DESC, o_orderkey LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# wave 10: the remaining TPC-H composites the fixture schema supports
+#          (Q5 local-supplier revenue, Q8 market share, Q10 returned
+#          items, Q13 order-count distribution, Q15 top supplier,
+#          Q22 idle-rich anti-join)
+# ---------------------------------------------------------------------------
+
+
+def _nation_names(sf_dir: str) -> dict[int, str]:
+    """nationkey → n_name lookup (25 rows — a driver-side constant,
+    like the reference's chain-config table)."""
+    t = pq.read_table(_tbl(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    return dict(
+        zip(
+            t.column("n_nationkey").to_pylist(),
+            t.column("n_name").to_pylist(),
+        )
+    )
+
+
+def q_tpch_q5(sf_dir: str) -> pa.Table:
+    """TPC-H Q5-shaped local-supplier revenue: for one region and one
+    order year, revenue from lineitems whose supplier nation equals
+    the ordering customer's nation, grouped by nation.  nation/region
+    are driver constants (25/5 rows); customer and supplier are
+    broadcast maps (`ray.put` once — at real scale customer crosses
+    the broadcast threshold and rides `auto_join`'s bucketed path);
+    the one genuine exchange is lineitem × orders on orderkey.
+    Partials collapse to ≤ 25 nation rows per batch before the final
+    fold."""
+    from ..functions.joins import broadcast_join, hash_join
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    nation = pq.read_table(
+        _tbl(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        _tbl(sf_dir, "region"), columns=["r_regionkey", "r_name"]
+    )
+    asia_rk = region.filter(pc.equal(region.column("r_name"), "ASIA")) \
+        .column("r_regionkey").to_pylist()
+    asia_nk = set(
+        nation.filter(
+            pc.is_in(nation.column("n_regionkey"),
+                     value_set=pa.array(asia_rk, pa.int32()))
+        ).column("n_nationkey").to_pylist()
+    )
+
+    cust = pq.read_table(
+        _tbl(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust.filter(
+        pc.is_in(cust.column("c_nationkey"),
+                 value_set=pa.array(sorted(asia_nk), pa.int32()))
+    ).rename_columns(["o_custkey", "c_nationkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    forders = broadcast_join(orders, cust, "o_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"]).rename_columns(
+            ["l_orderkey", "c_nationkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = hash_join(
+        lineitem, forders, "l_orderkey",
+        left_cols=["l_suppkey", "l_extendedprice", "l_discount"],
+        right_cols=["c_nationkey"],
+    )
+
+    supp = pq.read_table(
+        _tbl(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).rename_columns(["l_suppkey", "s_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            t.column("s_nationkey").cast(pa.int32()),
+            t.column("c_nationkey").cast(pa.int32()),
+        )
+        t = t.filter(keep)
+        rev = _cents(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        )
+        return (
+            pa.table(
+                {
+                    "n_nationkey": t.column("c_nationkey").cast(pa.int64()),
+                    "revenue_cents": rev,
+                }
+            )
+            .group_by("n_nationkey")
+            .aggregate([("revenue_cents", "sum")])
+            .rename_columns(["n_nationkey", "revenue_cents"])
+        )
+
+    rows = (
+        broadcast_join(joined, supp, "l_suppkey")
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_nationkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .take_all()
+    )
+    t = _from_rows(
+        rows, {"n_nationkey": pa.int64(), "revenue_cents": pa.int64()}
+    )
+    names = _nation_names(sf_dir)
+    t = t.append_column(
+        "n_name",
+        pa.array([names[k] for k in t.column("n_nationkey").to_pylist()],
+                 pa.string()),
+    )
+    return t.select(["n_name", "revenue_cents"]).sort_by(
+        [("revenue_cents", "descending"), ("n_name", "ascending")]
+    )
+
+
+ORACLE_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue_cents DESC, n_name
+"""
+
+
+def q_tpch_q8(sf_dir: str) -> pa.Table:
+    """TPC-H Q8-shaped market share: among lineitems ordered by
+    AMERICA-region customers over two years, the revenue fraction
+    supplied by one target nation, per order year.  Year extraction is
+    Arrow `pc.year` (mirrors DuckDB `year()`); cents are exact int64
+    on both sides so only the final share division is float."""
+    from ..functions.joins import broadcast_join, hash_join
+
+    TARGET = "NATION_12"
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    nation = pq.read_table(
+        _tbl(sf_dir, "nation"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        _tbl(sf_dir, "region"), columns=["r_regionkey", "r_name"]
+    )
+    am_rk = region.filter(
+        pc.equal(region.column("r_name"), "AMERICA")
+    ).column("r_regionkey").to_pylist()
+    am_nk = nation.filter(
+        pc.is_in(nation.column("n_regionkey"),
+                 value_set=pa.array(am_rk, pa.int32()))
+    ).column("n_nationkey").to_pylist()
+    target_nk = set(
+        nation.filter(pc.equal(nation.column("n_name"), TARGET))
+        .column("n_nationkey").to_pylist()
+    )
+
+    cust = pq.read_table(
+        _tbl(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    am_ck = cust.filter(
+        pc.is_in(cust.column("c_nationkey"),
+                 value_set=pa.array(am_nk, pa.int32()))
+    ).select(["c_custkey"]).rename_columns(["o_custkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    forders = broadcast_join(orders, am_ck, "o_custkey", how="semi") \
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t.column("o_orderkey"),
+                    "yr": pc.year(t.column("o_orderdate")).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = hash_join(
+        lineitem, forders, "l_orderkey",
+        left_cols=["l_suppkey", "l_extendedprice", "l_discount"],
+        right_cols=["yr"],
+    )
+
+    supp = pq.read_table(
+        _tbl(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).rename_columns(["l_suppkey", "s_nationkey"])
+    tk = pa.array(sorted(target_nk), pa.int32())
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        )
+        is_t = pc.is_in(t.column("s_nationkey").cast(pa.int32()),
+                        value_set=tk)
+        target_rev = pc.if_else(is_t, rev, pa.scalar(0, pa.int64()))
+        return (
+            pa.table(
+                {
+                    "yr": t.column("yr"),
+                    "target_cents": target_rev,
+                    "total_cents": rev,
+                }
+            )
+            .group_by("yr")
+            .aggregate([("target_cents", "sum"), ("total_cents", "sum")])
+            .rename_columns(["yr", "target_cents", "total_cents"])
+        )
+
+    rows = (
+        broadcast_join(joined, supp, "l_suppkey")
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("yr")
+        .aggregate(
+            Sum("target_cents", alias_name="target_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .take_all()
+    )
+    t = _from_rows(
+        rows,
+        {"yr": pa.int64(), "target_cents": pa.int64(),
+         "total_cents": pa.int64()},
+    ).sort_by("yr")
+    share = pc.divide(
+        t.column("target_cents").cast(pa.float64()),
+        t.column("total_cents").cast(pa.float64()),
+    )
+    return t.append_column("mkt_share", share)
+
+
+ORACLE_TPCH_Q8 = """
+WITH j AS (
+  SELECT year(o_orderdate) AS yr,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev,
+         (SELECT n_name FROM nation n2
+          WHERE n2.n_nationkey = s.s_nationkey) = 'NATION_12' AS is_t
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE r.r_name = 'AMERICA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT yr,
+       CAST(sum(CASE WHEN is_t THEN rev ELSE 0 END) AS BIGINT)
+         AS target_cents,
+       CAST(sum(rev) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN is_t THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS mkt_share
+FROM j GROUP BY yr ORDER BY yr
+"""
+
+
+def q_tpch_q10(sf_dir: str) -> pa.Table:
+    """TPC-H Q10-shaped returned-item report: top 20 customers by
+    revenue lost to returns (l_returnflag = 'R') against orders placed
+    in one quarter.  One bucketed exchange (lineitem × quarter
+    orders), per-batch partials per custkey, exact keyed fold, then
+    per-block partial top-20 so the driver merges ≤ 20 rows per
+    block; name/acctbal/nation attach to the 20 survivors only."""
+    from ..functions.joins import hash_join
+    from ..functions.window import keyed_window, segment_starts
+
+    K = 20
+    lo = pa.scalar(np.datetime64("1996-10-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]).rename_columns(
+            ["l_orderkey", "o_custkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("l_returnflag"), "R")
+        ).drop_columns(["l_returnflag"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_join(
+        lineitem, orders, "l_orderkey",
+        left_cols=["l_extendedprice", "l_discount"],
+        right_cols=["o_custkey"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        )
+        return (
+            pa.table(
+                {"c_custkey": t.column("o_custkey"), "revenue_cents": rev}
+            )
+            .group_by("c_custkey")
+            .aggregate([("revenue_cents", "sum")])
+            .rename_columns(["c_custkey", "revenue_cents"])
+        )
+
+    partials = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        key = g.column("c_custkey").to_numpy(zero_copy_only=False)
+        rev = g.column("revenue_cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, rev = key[order], rev[order]
+        starts = np.flatnonzero(segment_starts(key))
+        t = pa.table(
+            {
+                "c_custkey": pa.array(key[starts], pa.int64()),
+                "revenue_cents": pa.array(
+                    np.add.reduceat(rev, starts), pa.int64()
+                ),
+            }
+        )
+        return t.sort_by(
+            [("revenue_cents", "descending"), ("c_custkey", "ascending")]
+        ).slice(0, K)
+
+    rows = keyed_window(partials, "c_custkey", fold).take_all()
+    t = _from_rows(
+        rows, {"c_custkey": pa.int64(), "revenue_cents": pa.int64()}
+    ).sort_by(
+        [("revenue_cents", "descending"), ("c_custkey", "ascending")]
+    ).slice(0, K)
+
+    cust = pq.read_table(
+        _tbl(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    t = t.join(cust, keys=["c_custkey"], join_type="left outer")
+    names = _nation_names(sf_dir)
+    t = t.append_column(
+        "n_name",
+        pa.array(
+            [names[k] for k in t.column("c_nationkey").to_pylist()],
+            pa.string(),
+        ),
+    )
+    return t.select(
+        ["c_custkey", "c_name", "revenue_cents", "c_acctbal", "n_name"]
+    ).sort_by(
+        [("revenue_cents", "descending"), ("c_custkey", "ascending")]
+    )
+
+
+ORACLE_TPCH_Q10 = """
+WITH r AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1
+  ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+)
+SELECT r.c_custkey, c.c_name, r.revenue_cents, c.c_acctbal, n.n_name
+FROM r JOIN customer c ON r.c_custkey = c.c_custkey
+       JOIN nation n   ON c.c_nationkey = n.n_nationkey
+ORDER BY r.revenue_cents DESC, r.c_custkey
+"""
+
+
+def q_tpch_q13(sf_dir: str) -> pa.Table:
+    """TPC-H Q13-shaped order-count distribution: how many customers
+    placed exactly k qualifying orders (priority 2-HIGH), INCLUDING
+    the zero bucket.  No customer×orders join at all: qualifying
+    per-customer counts fold exactly (partials → keyed sum), the
+    histogram over counts is another two-level fold, and the zero
+    bucket is total_customers − customers_with_any — the algebraic
+    identity the LEFT JOIN oracle spells out row by row."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderpriority"), "2-HIGH"))
+        return (
+            pa.table({"c_custkey": t.column("o_custkey")})
+            .group_by("c_custkey")
+            .aggregate([("c_custkey", "count")])
+            .rename_columns(["c_custkey", "n"])
+        )
+
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"c_count": t.column("c_count")})
+            .group_by("c_count")
+            .aggregate([("c_count", "count")])
+            .rename_columns(["c_count", "custdist"])
+        )
+
+    rows = (
+        counts.map_batches(hist, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .take_all()
+    )
+    t = _from_rows(
+        rows, {"c_count": pa.int64(), "custdist": pa.int64()}
+    )
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zeros = n_cust - int(pc.sum(t.column("custdist")).as_py() or 0)
+    if zeros > 0:
+        t = pa.concat_tables(
+            [t, pa.table({"c_count": pa.array([0], pa.int64()),
+                          "custdist": pa.array([zeros], pa.int64())})]
+        )
+    return t.sort_by(
+        [("custdist", "descending"), ("c_count", "descending")]
+    )
+
+
+ORACLE_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority = '2-HIGH'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(sf_dir: str) -> pa.Table:
+    """TPC-H Q15-shaped top supplier: the supplier(s) with maximum
+    revenue in one quarter.  Per-supplier revenue folds exactly
+    through one keyed exchange; each output block then emits only its
+    rows tying the BLOCK max, so the driver merges ≤ blocks × ties
+    rows and takes the global max — never the full supplier list."""
+    from ..functions.window import keyed_window, segment_starts
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), lo),
+                pc.less(t.column("l_shipdate"), hi),
+            )
+        ).drop_columns(["l_shipdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        )
+        return (
+            pa.table(
+                {"s_suppkey": t.column("l_suppkey"), "total_cents": rev}
+            )
+            .group_by("s_suppkey")
+            .aggregate([("total_cents", "sum")])
+            .rename_columns(["s_suppkey", "total_cents"])
+        )
+
+    partials = lineitem.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        key = g.column("s_suppkey").to_numpy(zero_copy_only=False)
+        rev = g.column("total_cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, rev = key[order], rev[order]
+        starts = np.flatnonzero(segment_starts(key))
+        total = np.add.reduceat(rev, starts)
+        keep = total == total.max() if len(total) else slice(0)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(key[starts][keep], pa.int64()),
+                "total_cents": pa.array(total[keep], pa.int64()),
+            }
+        )
+
+    rows = keyed_window(partials, "s_suppkey", fold).take_all()
+    t = _from_rows(
+        rows, {"s_suppkey": pa.int64(), "total_cents": pa.int64()}
+    )
+    mx = pc.max(t.column("total_cents"))
+    t = t.filter(pc.equal(t.column("total_cents"), mx))
+    supp = pq.read_table(
+        _tbl(sf_dir, "supplier"), columns=["s_suppkey", "s_name"]
+    )
+    return t.join(supp, keys=["s_suppkey"], join_type="left outer") \
+        .select(["s_suppkey", "s_name", "total_cents"]).sort_by("s_suppkey")
+
+
+ORACLE_TPCH_Q15 = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT r.s_suppkey, s.s_name, r.total_cents
+FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE r.total_cents = (SELECT max(total_cents) FROM r)
+ORDER BY r.s_suppkey
+"""
+
+
+def q_tpch_q22(sf_dir: str) -> pa.Table:
+    """TPC-H Q22-shaped idle-rich report: customers whose balance
+    beats the positive-balance average but who placed no order since
+    1999, aggregated per nation.  The average gate is an integer
+    cross-multiply (cents × count > total-cents) so the threshold has
+    no float boundary; 'no recent order' is the bucketed anti-join;
+    partials collapse to ≤ 25 nation rows per batch."""
+    from ..functions.joins import hash_join
+
+    cutoff = pa.scalar(np.datetime64("1999-01-01", "us"))
+
+    customer = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t.column("c_acctbal"), 0.0))
+        return pa.table(
+            {
+                "tot": pa.array(
+                    [int(pc.sum(_cents(pos.column("c_acctbal"))).as_py()
+                         or 0)], pa.int64()
+                ),
+                "cnt": pa.array([pos.num_rows], pa.int64()),
+            }
+        )
+
+    agg = customer.map_batches(
+        bal_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("tot", alias_name="tot"), Sum("cnt", alias_name="cnt"))
+    tot, cnt = int(agg["tot"] or 0), int(agg["cnt"] or 0)
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("c_acctbal"))
+        keep = pc.greater(
+            pc.multiply(cents, pa.scalar(cnt, pa.int64())),
+            pa.scalar(tot, pa.int64()),
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+                "cents": cents,
+            }
+        ).filter(keep)
+
+    rich_ds = customer.map_batches(
+        rich, batch_format="pyarrow", zero_copy_batch=True
+    )
+    recent = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("o_orderdate"), cutoff)
+        ).select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    idle = hash_join(
+        rich_ds, recent, "c_custkey",
+        left_cols=["c_custkey", "c_nationkey", "cents"],
+        right_cols=[],
+        how="anti",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "n_nationkey": t.column("c_nationkey"),
+                    "numcust": pa.array(
+                        np.ones(t.num_rows, dtype=np.int64)
+                    ),
+                    "acctbal_cents": t.column("cents"),
+                }
+            )
+            .group_by("n_nationkey")
+            .aggregate([("numcust", "sum"), ("acctbal_cents", "sum")])
+            .rename_columns(["n_nationkey", "numcust", "acctbal_cents"])
+        )
+
+    rows = (
+        idle.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .take_all()
+    )
+    t = _from_rows(
+        rows,
+        {"n_nationkey": pa.int64(), "numcust": pa.int64(),
+         "acctbal_cents": pa.int64()},
+    )
+    names = _nation_names(sf_dir)
+    t = t.append_column(
+        "n_name",
+        pa.array([names[k] for k in t.column("n_nationkey").to_pylist()],
+                 pa.string()),
+    )
+    return t.select(["n_name", "numcust", "acctbal_cents"]).sort_by("n_name")
+
+
+ORACLE_TPCH_Q22 = """
+WITH s AS (
+  SELECT CAST(sum(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS tot,
+         count(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+),
+rich AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer, s
+  WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * cnt > tot
+)
+SELECT n_name, count(*) AS numcust,
+       CAST(sum(cents) AS BIGINT) AS acctbal_cents
+FROM rich JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = rich.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+)
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "tpch_q5": q_tpch_q5,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q22": q_tpch_q22,
     "late_orders_by_priority": q_late_orders_by_priority,
     "promo_revenue_share": q_promo_revenue_share,
     "big_orders_topk": q_big_orders_topk,
@@ -9296,6 +10018,12 @@ ORACLE_SQL = {
     "regr_value_on_ts_per_user": ORACLE_REGR,
     "twap_value_per_user": ORACLE_TWAP,
     "benford_value_digits": ORACLE_BENFORD,
+    "tpch_q5": ORACLE_TPCH_Q5,
+    "tpch_q8": ORACLE_TPCH_Q8,
+    "tpch_q10": ORACLE_TPCH_Q10,
+    "tpch_q13": ORACLE_TPCH_Q13,
+    "tpch_q15": ORACLE_TPCH_Q15,
+    "tpch_q22": ORACLE_TPCH_Q22,
     "late_orders_by_priority": ORACLE_LATE_ORDERS,
     "promo_revenue_share": ORACLE_PROMO_SHARE,
     "big_orders_topk": ORACLE_BIG_ORDERS,
