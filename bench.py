@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "pareto_events",
     "jaccard_clusters",
     "winsorize_value_events",
+    "tpch_q5",
+    "tpch_q10",
+    "big_orders_topk",
+    "type_streaks_per_user",
 ]
 
 

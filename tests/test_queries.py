@@ -96,6 +96,8 @@ def test_entry_smoke():
         "big_orders_topk",
         "tpch_q5", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q15",
         "tpch_q22",
+        "rolling_wau", "centroid_per_label", "user_activity_gini",
+        "user_value_percent_rank",
     ],
 )
 def test_query(results, name):

@@ -84,6 +84,16 @@ def _round_int(col) -> pa.Array:
     return pc.round(col, options=_ROUND).cast(pa.int64())
 
 
+def _micro(col) -> pa.Array:
+    """Exact int64 micro-units (×1e6) — the float-sum integerizer for
+    unit-scale values like embedding elements (module-level for the
+    same pickling reason as ``_round_int``)."""
+    return pc.round(
+        pc.multiply(col.cast(pa.float64()), pa.scalar(1_000_000.0)),
+        options=_ROUND,
+    ).cast(pa.int64())
+
+
 # ---------------------------------------------------------------------------
 # 1. Flagship: CDC replay with a fully SQL-expressible event derivation
 # ---------------------------------------------------------------------------
@@ -9825,10 +9835,421 @@ GROUP BY n_name ORDER BY n_name
 
 
 # ---------------------------------------------------------------------------
+# wave 11: rolling-window distinct (WAU), embedding centroids, corpus
+#          balance (Gini), global percentile rank
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_wau(sf_dir: str) -> pa.Table:
+    """7-day rolling distinct active users (WAU) per observed day —
+    the windowed COUNT(DISTINCT) the oracle writes as a 7-day
+    self-join.  Per-user presence days fold through ONE keyed
+    exchange; inside the bucket each user's day list collapses to
+    merged coverage intervals (runs with gaps ≤ 6 extend, a user
+    covers [day, day+6] per presence), which emit ±1 boundary deltas.
+    Only O(distinct boundary days) rows reach the driver, which
+    prefix-sums the step function and samples it at observed days —
+    never a per-(day, user) pair table."""
+    from ..functions.window import keyed_window, segment_starts
+
+    DAY_US = 86_400_000_000
+    W = 7  # window covers [d-6, d]
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            pa.scalar(DAY_US, pa.int64()),
+        )
+        return (
+            pa.table({"user_id": t.column("user_id"), "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    presence = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        ustart = segment_starts(uid)
+        # drop duplicate (user, day) rows surviving across batches
+        dup = ~ustart.copy()
+        dup[1:] &= day[1:] == day[:-1]
+        uid, day, ustart = uid[~dup], day[~dup], ustart[~dup]
+        # a new coverage interval starts at a user boundary or a gap > W-1
+        newint = ustart.copy()
+        newint[1:] |= (day[1:] - day[:-1]) > (W - 1)
+        istart = np.flatnonzero(newint)
+        iend = np.append(istart[1:], len(day)) - 1
+        start_day = day[istart]
+        end_day = day[iend] + (W - 1)  # inclusive
+        return pa.table(
+            {
+                "day": pa.array(
+                    np.concatenate([start_day, end_day + 1]), pa.int64()
+                ),
+                "delta": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(istart), dtype=np.int64),
+                            -np.ones(len(istart), dtype=np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    deltas = (
+        keyed_window(presence, "user_id", fold)
+        .groupby("day")
+        .aggregate(Sum("delta", alias_name="delta"))
+        .take_all()
+    )
+    dt = _from_rows(
+        deltas, {"day": pa.int64(), "delta": pa.int64()}
+    ).sort_by("day")
+    bdays = dt.column("day").to_numpy(zero_copy_only=False)
+    steps = np.cumsum(dt.column("delta").to_numpy(zero_copy_only=False))
+
+    observed = (
+        presence.map_batches(
+            lambda t: t.group_by("day").aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="_n"))
+        .take_all()
+    )
+    ot = _from_rows(
+        observed, {"day": pa.int64(), "_n": pa.int64()}
+    ).sort_by("day")
+    odays = ot.column("day").to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(bdays, odays, side="right") - 1
+    wau = np.where(idx >= 0, steps[np.maximum(idx, 0)], 0)
+    return pa.table(
+        {
+            "day": pa.array(odays, pa.int64()),
+            "wau": pa.array(wau.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_ROLLING_WAU = """
+WITH ed AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ed)
+SELECT d.day, count(DISTINCT e.user_id) AS wau
+FROM days d JOIN ed e ON e.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day ORDER BY d.day
+"""
+
+
+def q_centroid_per_label(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroid in exact integer micro-units —
+    the class-prototype primitive behind SemDeDup-style pruning and
+    embedding drift monitors.  Each element is rounded once to int64
+    micro-units (mirrored in the oracle), so the distributed sum is
+    order-independent; per-batch partials are ≤ labels × dims rows and
+    only the final mean division is float."""
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if emb.num_chunks > 0:
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb)
+        m = _micro(flat).to_numpy(zero_copy_only=False)
+        lab = t.column("label").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = t.num_rows
+        d = len(m) // max(n, 1)
+        key = np.repeat(lab, d) * d + np.tile(
+            np.arange(d, dtype=np.int64), n
+        )
+        order = np.argsort(key, kind="stable")
+        key_s, m_s = key[order], m[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], key_s[1:] != key_s[:-1]))
+            if len(key_s)
+            else np.array([], dtype=bool)
+        )
+        uk = key_s[starts]
+        return pa.table(
+            {
+                "label": pa.array(uk // d, pa.int64()),
+                "dim": pa.array(uk % d, pa.int64()),
+                "sum_micro": pa.array(
+                    np.add.reduceat(m_s, starts) if len(starts) else [],
+                    pa.int64(),
+                ),
+                "n_vecs": pa.array(
+                    np.diff(np.append(starts, len(key_s))), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("sum_micro", alias_name="sum_micro"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+        .take_all()
+    )
+    t = _from_rows(
+        rows,
+        {"label": pa.int64(), "dim": pa.int64(), "sum_micro": pa.int64(),
+         "n_vecs": pa.int64()},
+    ).sort_by([("label", "ascending"), ("dim", "ascending")])
+    mean = pc.divide(
+        t.column("sum_micro").cast(pa.float64()),
+        t.column("n_vecs").cast(pa.float64()),
+    )
+    return t.append_column("centroid_micro", mean)
+
+
+ORACLE_CENTROID = """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label, u.i - 1 AS dim,
+         CAST(ROUND(CAST(u.e AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS e,
+                       unnest(generate_series(1, len(embedding))) AS i) u
+)
+SELECT label, dim, CAST(sum(m) AS BIGINT) AS sum_micro,
+       count(*) AS n_vecs,
+       CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid_micro
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_user_activity_gini(sf_dir: str) -> pa.Table:
+    """Gini coefficient of per-user event counts — the corpus-balance
+    diagnostic ('is 1% of users 90% of the data').  Per-user counts
+    fold exactly; a second fold histograms the counts (O(distinct
+    count values) rows); the driver evaluates the rank-weighted sum in
+    closed form per histogram cell with Python-int exactness — the
+    identity Σᵢ i·x₍ᵢ₎ = Σ_v v·(f·o + f(f+1)/2), which is tie-order
+    invariant, so no global sort and no O(users) driver state."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"user_id": t.column("user_id")})
+            .group_by("user_id")
+            .aggregate([("user_id", "count")])
+            .rename_columns(["user_id", "n"])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, n = uid[order], n[order]
+        starts = np.flatnonzero(segment_starts(uid))
+        total = np.add.reduceat(n, starts)
+        vals, freq = np.unique(total, return_counts=True)
+        return pa.table(
+            {
+                "n": pa.array(vals, pa.int64()),
+                "freq": pa.array(freq, pa.int64()),
+            }
+        )
+
+    rows = (
+        keyed_window(partials, "user_id", fold)
+        .groupby("n")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .take_all()
+    )
+    t = _from_rows(rows, {"n": pa.int64(), "freq": pa.int64()}).sort_by("n")
+    vals = t.column("n").to_pylist()
+    freq = t.column("freq").to_pylist()
+    nu = int(sum(freq))
+    tot = int(sum(v * f for v, f in zip(vals, freq)))
+    s = 0
+    offset = 0  # users with strictly smaller counts
+    for v, f in zip(vals, freq):
+        s += v * (f * offset + f * (f + 1) // 2)
+        offset += f
+    gini = (
+        2.0 * np.float64(s) / (np.float64(nu) * np.float64(tot))
+        - (np.float64(nu) + 1.0) / np.float64(nu)
+        if nu and tot
+        else float("nan")
+    )
+    return pa.table(
+        {
+            "n_users": pa.array([nu], pa.int64()),
+            "total_events": pa.array([tot], pa.int64()),
+            "gini": pa.array([float(gini)], pa.float64()),
+        }
+    )
+
+
+ORACLE_GINI = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+s AS (
+  SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM c
+)
+SELECT count(*) AS n_users, CAST(sum(n) AS BIGINT) AS total_events,
+       2.0 * CAST(sum(i * n) AS DOUBLE)
+           / (CAST(count(*) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+         - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE)
+         AS gini
+FROM s
+"""
+
+
+def q_user_value_percent_rank(sf_dir: str) -> pa.Table:
+    """Global percent_rank of each user's total spend — 'which
+    percentile is this user in'.  Totals fold exactly per user; the
+    global rank then uses the range-partitioned two-pass scan (the
+    ordered_prefix_sum shape): pass 1 counts rows per value-range (the
+    driver holds R integers), pass 2 ranks each row inside its range
+    by local searchsorted plus the range's exclusive offset.  Equal
+    totals always share a range, so SQL rank()/percent_rank() tie
+    semantics are exact — no global sort."""
+    from ..functions.window import default_num_buckets, keyed_window, \
+        segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value"))
+        return (
+            pa.table({"user_id": t.column("user_id"), "cents": cents})
+            .group_by("user_id")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["user_id", "total_cents"])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        c = g.column("total_cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, c = uid[order], c[order]
+        starts = np.flatnonzero(segment_starts(uid))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "total_cents": pa.array(
+                    np.add.reduceat(c, starts), pa.int64()
+                ),
+            }
+        )
+
+    totals = keyed_window(partials, "user_id", fold)
+
+    agg = totals.aggregate(
+        Min("total_cents", alias_name="lo"),
+        Max("total_cents", alias_name="hi"),
+    )
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+    R = default_num_buckets()
+    span = max(hi - lo, 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("total_cents").to_numpy(zero_copy_only=False)
+        rid = np.clip((v - lo) * R // (span + 1), 0, R - 1)
+        return t.append_column("__r", pa.array(rid.astype(np.int64)))
+
+    ranged = totals.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts_rows = (
+        ranged.map_batches(
+            lambda t: t.select(["__r"]).group_by("__r").aggregate(
+                [("__r", "count")]
+            ).rename_columns(["__r", "c"]),
+            batch_format="pyarrow",
+        )
+        .groupby("__r")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    ct = _from_rows(
+        counts_rows, {"__r": pa.int64(), "c": pa.int64()}
+    ).sort_by("__r")
+    rids = ct.column("__r").to_numpy(zero_copy_only=False)
+    cs = ct.column("c").to_numpy(zero_copy_only=False)
+    n_total = int(cs.sum())
+    offsets_arr = np.zeros(R, dtype=np.int64)
+    offsets_arr[rids] = cs
+    offsets_arr = np.concatenate(([0], np.cumsum(offsets_arr)[:-1]))
+    offsets = {int(r): int(offsets_arr[r]) for r in range(R)}
+    denom = max(n_total - 1, 1)
+
+    def rank_range(g: pa.Table) -> pa.Table:
+        # a hash bucket may hold several range ids — rank each range
+        # segment independently against its own exclusive offset
+        rid = g.column("__r").to_numpy(zero_copy_only=False)
+        v = g.column("total_cents").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, rid))
+        rid, v, uid = rid[order], v[order], uid[order]
+        starts = np.flatnonzero(segment_starts(rid))
+        ends = np.append(starts[1:], len(rid))
+        rank = np.empty(len(v), dtype=np.int64)
+        for s, e in zip(starts, ends):  # ≤ R/num_buckets segments
+            sv = v[s:e]  # already sorted within the segment
+            rank[s:e] = (
+                offsets[int(rid[s])]
+                + np.searchsorted(sv, sv, side="left")
+                + 1
+            )
+        pct = (rank - 1).astype(np.float64) / np.float64(denom)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "total_cents": pa.array(v, pa.int64()),
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return keyed_window(ranged, "__r", rank_range).sort("user_id")
+
+
+ORACLE_PCT_RANK = """
+WITH t AS (
+  SELECT user_id,
+         CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM events GROUP BY 1
+)
+SELECT user_id, total_cents,
+       percent_rank() OVER (ORDER BY total_cents) AS pct_rank
+FROM t ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "rolling_wau": q_rolling_wau,
+    "centroid_per_label": q_centroid_per_label,
+    "user_activity_gini": q_user_activity_gini,
+    "user_value_percent_rank": q_user_value_percent_rank,
     "tpch_q5": q_tpch_q5,
     "tpch_q8": q_tpch_q8,
     "tpch_q10": q_tpch_q10,
@@ -10018,6 +10439,10 @@ ORACLE_SQL = {
     "regr_value_on_ts_per_user": ORACLE_REGR,
     "twap_value_per_user": ORACLE_TWAP,
     "benford_value_digits": ORACLE_BENFORD,
+    "rolling_wau": ORACLE_ROLLING_WAU,
+    "centroid_per_label": ORACLE_CENTROID,
+    "user_activity_gini": ORACLE_GINI,
+    "user_value_percent_rank": ORACLE_PCT_RANK,
     "tpch_q5": ORACLE_TPCH_Q5,
     "tpch_q8": ORACLE_TPCH_Q8,
     "tpch_q10": ORACLE_TPCH_Q10,
