@@ -98,6 +98,8 @@ def test_entry_smoke():
         "tpch_q22",
         "rolling_wau", "centroid_per_label", "user_activity_gini",
         "user_value_percent_rank",
+        "fertility_per_lang", "top_journeys",
+        "hard_negatives_embeddings",
     ],
 )
 def test_query(results, name):

@@ -10242,10 +10242,316 @@ FROM t ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# wave 12: tokenizer fertility per language, top user journeys,
+#          hard-negative mining over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_fertility_per_lang(sf_dir: str) -> pa.Table:
+    """Tokenizer fertility by language (chars per token) — the
+    multilingual-budget diagnostic: a language whose tokens are
+    'cheap' in characters eats more of a fixed token budget.  Same
+    RE2 token kernel as token_stats, per-batch per-lang integer
+    partials (≤ |langs| rows each), one tiny fold; only the final
+    ratio is float."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        stats = token_stats(t)
+        return (
+            pa.table(
+                {
+                    "lang": t.column("lang"),
+                    "n_docs": pa.array(
+                        np.ones(t.num_rows, dtype=np.int64)
+                    ),
+                    "n_tokens": stats.column("n_tokens"),
+                    "n_chars": stats.column("n_chars_calc"),
+                }
+            )
+            .group_by("lang")
+            .aggregate(
+                [("n_docs", "sum"), ("n_tokens", "sum"), ("n_chars", "sum")]
+            )
+            .rename_columns(["lang", "n_docs", "n_tokens", "n_chars"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+        .take_all()
+    )
+    t = _from_rows(
+        rows,
+        {"lang": pa.string(), "n_docs": pa.int64(),
+         "n_tokens": pa.int64(), "n_chars": pa.int64()},
+    ).sort_by("lang")
+    ratio = pc.divide(
+        t.column("n_chars").cast(pa.float64()),
+        t.column("n_tokens").cast(pa.float64()),
+    )
+    return t.append_column("chars_per_token", ratio)
+
+
+ORACLE_FERTILITY = r"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT)
+         AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(length(text)) AS DOUBLE)
+         / CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT)
+         AS chars_per_token
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_top_journeys(sf_dir: str) -> pa.Table:
+    """Top-10 session-opening journeys: the first ≤3 event types of
+    each 30-min-gap session, '>'-joined — the funnel-discovery
+    operator.  Session assignment is the session_windows kernel (one
+    lexsort + gap diff per user bucket); the 3 opening types gather by
+    start-offset arithmetic and join via one vectorized
+    binary_join_element_wise; journey counts fold partially per batch
+    before one tiny groupby and a deterministic (count desc, journey
+    asc) top-10."""
+    from ..functions.window import keyed_window
+
+    K = 10
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uids = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(uids % 16, pa.int64()))
+
+    def journeys(g: pa.Table) -> pa.Table:
+        uids = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uids))
+        uids, ts = uids[order], ts[order]
+        typ = g.column("event_type").take(pa.array(order))
+        n = len(uids)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uids[1:] != uids[:-1]
+        gap = np.ones(n, dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > _SESSION_GAP_US
+        starts = np.flatnonzero(new_user | gap)
+        counts = np.diff(np.concatenate((starts, [n])))
+        parts = []
+        for k in range(3):
+            idx = np.where(counts > k, starts + k, starts)  # safe gather
+            col = typ.take(pa.array(idx))
+            # mask out sessions shorter than k+1 with ""
+            col = pc.if_else(
+                pa.array(counts > k), col, pa.scalar("", pa.string())
+            )
+            if k > 0:
+                col = pc.if_else(
+                    pa.array(counts > k),
+                    pc.binary_join_element_wise(
+                        pa.array([">"] * len(starts), pa.string()), col, ""
+                    ),
+                    pa.scalar("", pa.string()),
+                )
+            parts.append(col)
+        journey = pc.binary_join_element_wise(*parts, "")
+        return (
+            pa.table({"journey": journey})
+            .group_by("journey")
+            .aggregate([("journey", "count")])
+            .rename_columns(["journey", "n_sessions"])
+        )
+
+    partials = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda g: journeys(g.drop_columns(["__b"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [("n_sessions", "descending"), ("journey", "ascending")]
+        ).slice(0, K)
+
+    rows = (
+        partials.groupby("journey")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"))
+        .map_batches(topk, batch_format="pyarrow")
+        .take_all()
+    )
+    return _from_rows(
+        rows, {"journey": pa.string(), "n_sessions": pa.int64()}
+    ).sort_by(
+        [("n_sessions", "descending"), ("journey", "ascending")]
+    ).slice(0, K)
+
+
+ORACLE_TOP_JOURNEYS = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(is_start) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+  FROM s
+),
+j AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS journey
+  FROM r WHERE rn <= 3 GROUP BY user_id, sid
+)
+SELECT journey, count(*) AS n_sessions
+FROM j GROUP BY journey
+ORDER BY n_sessions DESC, journey LIMIT 10
+"""
+
+
+def q_hard_negatives_embeddings(sf_dir: str) -> pa.Table:
+    """Hard-negative mining: for every vector, the most-similar vector
+    with a DIFFERENT label — the contrastive-training pair generator.
+    Same block-pair exchange as cosine_neardup_pairs (no full-matrix
+    broadcast); each (g1,g2) group emits one partial best per vector
+    side (cross-label mask on the sims matrix, exact-tie broken to the
+    smallest neg id), and a keyed fold takes the global (max sim, min
+    id) — O(vecs) rows, never O(vecs²), past the exchange.  Float64
+    cosine on both sides; output is ids only so the hash compare is
+    ulp-robust (sims differ from DuckDB's sequential sum only in the
+    last ulp, and top-1 margins on this data are >> that)."""
+    from ..functions.similarity import _batch_mat, _normalize
+    from ..functions.window import keyed_window, segment_starts
+
+    B = 4
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        g = (ids % B).astype(np.int64)
+        out = []
+        for g1 in range(B):
+            for g2 in range(g1, B):
+                sel = (g == g1) | (g == g2)
+                if not sel.any():
+                    continue
+                sub = batch.filter(pa.array(sel))
+                out.append(
+                    sub.append_column(
+                        "__grp",
+                        pa.array(np.full(sub.num_rows, g1 * B + g2),
+                                 pa.int64()),
+                    )
+                )
+        return pa.concat_tables(out)
+
+    def best_cross(ids_a, mat_a, lab_a, ids_b, mat_b, lab_b):
+        sims = mat_a @ mat_b.T
+        mask = lab_a[:, None] == lab_b[None, :]
+        sims[mask] = -np.inf
+        best = sims.max(axis=1)
+        tie = sims == best[:, None]
+        neg = np.where(tie, ids_b[None, :], np.iinfo(np.int64).max).min(
+            axis=1
+        )
+        ok = np.isfinite(best)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids_a[ok], pa.int64()),
+                "sim": pa.array(best[ok], pa.float64()),
+                "neg_id": pa.array(neg[ok], pa.int64()),
+            }
+        )
+
+    def pairs_in_group(group: pa.Table) -> pa.Table:
+        grp = int(group.column("__grp")[0].as_py())
+        g1, g2 = divmod(grp, B)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        lab = group.column("label").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        mat = _normalize(_batch_mat(group, "embedding"))
+        blk = (ids % B).astype(np.int64)
+        if g1 == g2:
+            sel = blk == g1
+            return best_cross(
+                ids[sel], mat[sel], lab[sel], ids[sel], mat[sel], lab[sel]
+            )
+        sa, sb = blk == g1, blk == g2
+        return pa.concat_tables(
+            [
+                best_cross(ids[sa], mat[sa], lab[sa],
+                           ids[sb], mat[sb], lab[sb]),
+                best_cross(ids[sb], mat[sb], lab[sb],
+                           ids[sa], mat[sa], lab[sa]),
+            ]
+        )
+
+    partials = (
+        ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__grp")
+        .map_groups(pairs_in_group, batch_format="pyarrow")
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        vid = g.column("vec_id").to_numpy(zero_copy_only=False)
+        sim = g.column("sim").to_numpy(zero_copy_only=False)
+        neg = g.column("neg_id").to_numpy(zero_copy_only=False)
+        # per vec: max sim, exact ties to min neg_id
+        order = np.lexsort((neg, -sim, vid))
+        vid, neg = vid[order], neg[order]
+        starts = np.flatnonzero(segment_starts(vid))
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[starts], pa.int64()),
+                "neg_id": pa.array(neg[starts], pa.int64()),
+            }
+        )
+
+    return keyed_window(partials, "vec_id", fold).sort("vec_id")
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.label <> b.label
+),
+r AS (
+  SELECT vec_id, neg_id,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, neg_id) AS rn
+  FROM p
+)
+SELECT vec_id, neg_id FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "fertility_per_lang": q_fertility_per_lang,
+    "top_journeys": q_top_journeys,
+    "hard_negatives_embeddings": q_hard_negatives_embeddings,
     "rolling_wau": q_rolling_wau,
     "centroid_per_label": q_centroid_per_label,
     "user_activity_gini": q_user_activity_gini,
@@ -10439,6 +10745,9 @@ ORACLE_SQL = {
     "regr_value_on_ts_per_user": ORACLE_REGR,
     "twap_value_per_user": ORACLE_TWAP,
     "benford_value_digits": ORACLE_BENFORD,
+    "fertility_per_lang": ORACLE_FERTILITY,
+    "top_journeys": ORACLE_TOP_JOURNEYS,
+    "hard_negatives_embeddings": ORACLE_HARD_NEGATIVES,
     "rolling_wau": ORACLE_ROLLING_WAU,
     "centroid_per_label": ORACLE_CENTROID,
     "user_activity_gini": ORACLE_GINI,
