@@ -10725,6 +10725,35 @@ QUERIES = {
     "curate_documents": q_curate_documents,
 }
 
+#: run order insurance (VERDICT r02 Next #1): if a driver ever samples
+#: or truncates the registry, the flagship composites and one
+#: representative per operator family come first.
+_PRIORITY = [
+    "cdc_replay_lake",
+    "prepare_training_set",
+    "curate_documents",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q5",
+    "tpch_q10",
+    "minhash_lsh_pairs",
+    "exact_dedup_documents",
+    "lww_upsert_events",
+    "hash_join_orders_customer",
+    "knn_cosine",
+    "session_windows",
+    "window_running_totals",
+    "pivot_event_counts",
+    "heavy_hitter_users",
+    "incremental_curate",
+    "fanout_repo_heads",
+    "seq_pack_documents",
+]
+QUERIES = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES} | {
+    k: v for k, v in QUERIES.items() if k not in _PRIORITY
+}
+
 ORACLE_SQL = {
     "lm_bigram_documents": ORACLE_LM_BIGRAM,
     "ngram_containment_pairs": ORACLE_NGRAM_CONTAIN,
