@@ -1741,3 +1741,36 @@ def test_compression_ratio_separates_repetitive_from_random(ray_session, tmp_pat
     import zlib
 
     assert by[2]["gz_bytes"] == len(zlib.compress(rep.encode(), 6))
+
+
+def test_ahash_identical_and_distinct_images():
+    """Perceptual average-hash: identical pixels always collide,
+    inverted pixels never do, and the hash survives a BMP
+    encode/decode round trip."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web3research_etl_ray.functions.multimodal import AHashStage, encode_bmp
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    stage = AHashStage()
+    h1 = stage.ahash(encode_bmp(px))
+    h2 = stage.ahash(encode_bmp(px.copy()))
+    h3 = stage.ahash(encode_bmp(255 - px))
+    assert h1 == h2
+    assert h1 != h3
+    # batch call emits one int64 per payload, ids carried through
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [encode_bmp(px), encode_bmp(px.copy()), encode_bmp(255 - px)],
+                pa.binary(),
+            ),
+        }
+    )
+    out = stage(batch)
+    vals = out.column("ahash").to_pylist()
+    assert vals[0] == vals[1] != vals[2]
+    assert out.column("media_id").to_pylist() == [1, 2, 3]

@@ -100,6 +100,8 @@ def test_entry_smoke():
         "user_value_percent_rank",
         "fertility_per_lang", "top_journeys",
         "hard_negatives_embeddings",
+        "temperature_mix_documents", "phash_media_dupes",
+        "repeat_purchase_rate",
     ],
 )
 def test_query(results, name):

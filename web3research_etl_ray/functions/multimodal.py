@@ -586,3 +586,49 @@ def media_decode_pipeline(ds, *, concurrency: int = 2, batch_size: int = 64):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class AHashStage:
+    """Actor-pool perceptual-hash stage: decode → 8×8 grayscale
+    average-hash (64-bit) — the classic near-duplicate-image
+    fingerprint (identical images always collide; small re-encodes
+    usually do).  Decode machinery is shared with RealImageDecoder;
+    setup happens once per actor, each batch emits one int64 hash per
+    payload (stored as the uint64 bit pattern viewed int64)."""
+
+    def __init__(self, hash_size: int = 8):
+        self.decoder = RealImageDecoder()
+        self.hash_size = hash_size
+
+    def ahash(self, payload: bytes) -> int:
+        px = self.decoder.decode(payload)
+        small = resize_nearest(px, (self.hash_size, self.hash_size))
+        gray = small.astype(np.float64) @ np.array(
+            [0.299, 0.587, 0.114], dtype=np.float64
+        )
+        bits = (gray > gray.mean()).ravel()
+        raw = np.packbits(bits).tobytes()
+        return int.from_bytes(raw, "big", signed=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [self.ahash(p) for p in batch.column("payload").to_pylist()]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id").cast(pa.int64()),
+                "ahash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def media_phash_pipeline(ds, *, concurrency: int = 2, batch_size: int = 64):
+    """documents → BMP payloads → actor-pool perceptual hash — the
+    media near-dup fingerprint stream (group downstream by ``ahash``
+    for duplicate clusters)."""
+    return ds.map_batches(
+        docs_as_bmp_media, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        AHashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

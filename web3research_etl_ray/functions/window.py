@@ -29,8 +29,14 @@ import ray.data
 
 def _bucketize(key_col: str, num_buckets: int):
     def add_bucket(t: pa.Table) -> pa.Table:
-        k = t.column(key_col).to_numpy(zero_copy_only=False)
-        h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        col = t.column(key_col)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            from .hashing import key_hash64
+
+            h = key_hash64(col)
+        else:
+            k = col.to_numpy(zero_copy_only=False)
+            h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         return t.append_column(
             "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64), pa.int64())
         )

@@ -10545,10 +10545,250 @@ SELECT vec_id, neg_id FROM r WHERE rn = 1 ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# wave 13: temperature-sampled source mixing, perceptual-hash media
+#          dedup, repeat-purchase rate
+# ---------------------------------------------------------------------------
+
+
+def q_temperature_mix_documents(sf_dir: str) -> pa.Table:
+    """Temperature-sampled source mixing (τ = 0.5): each source's
+    share of a 10% corpus budget is ∝ √count — the multilingual /
+    multi-source rebalancing primitive (big sources are down-weighted,
+    small ones up-weighted).  All quota arithmetic is INTEGER (isqrt
+    weights, floor division — the oracle spells the same isqrt out as
+    a floor(sqrt)±1 CASE), so there is no float boundary; selection
+    within a source is content-hash rank.  Per-batch partial top-k_s
+    per source bounds the exchange at O(Σ k_s) rows, then one
+    source-keyed fold picks the exact global k_s."""
+    import math
+
+    from ..functions.window import keyed_window, row_numbers, segment_starts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"source": t.column("source")})
+            .group_by("source")
+            .aggregate([("source", "count")])
+            .rename_columns(["source", "n"])
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    src_n = {r["source"]: int(r["n"]) for r in counts}
+    weights = {s: math.isqrt(n) for s, n in src_n.items()}
+    total = sum(src_n.values())
+    target = total // 10
+    sw = sum(weights.values())
+    quota = {s: (target * w) // sw for s, w in weights.items()}
+
+    def select_partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        sha = np.asarray(
+            sha256_hex(t.column("doc_id").cast(pa.string())).to_pylist()
+        )
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, sha, src))
+        src, sha_s, did_s = src[order], sha[order], did[order]
+        starts = segment_starts(src)
+        rn = row_numbers(starts)
+        u, inv = np.unique(src, return_inverse=True)
+        kcap = np.asarray([quota[s] for s in u], dtype=np.int64)[inv]
+        keep = rn <= kcap
+        return pa.table(
+            {
+                "doc_id": pa.array(did_s[keep], pa.int64()),
+                "source": pa.array(src[keep], pa.string()),
+                "sha": pa.array(sha_s[keep], pa.string()),
+            }
+        )
+
+    partials = ds.map_batches(
+        select_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        src = np.asarray(g.column("source").to_pylist(), dtype=object)
+        sha = np.asarray(g.column("sha").to_pylist())
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, sha, src))
+        src, did = src[order], did[order]
+        starts = segment_starts(src)
+        rn = row_numbers(starts)
+        u, inv = np.unique(src, return_inverse=True)
+        kcap = np.asarray([quota[s] for s in u], dtype=np.int64)[inv]
+        keep = rn <= kcap
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "source": pa.array(src[keep], pa.string()),
+            }
+        )
+
+    return keyed_window(partials, "source", fold).sort("doc_id")
+
+
+ORACLE_TEMPERATURE_MIX = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+w0 AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r0
+  FROM c
+),
+w AS (  -- exact integer sqrt: fix any float rounding of floor(sqrt)
+  SELECT source, n,
+         CASE WHEN (r0 + 1) * (r0 + 1) <= n THEN r0 + 1
+              WHEN r0 * r0 > n THEN r0 - 1
+              ELSE r0 END AS wt
+  FROM w0
+),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) // 10 AS target,
+         CAST(sum(wt) AS BIGINT) AS sw
+  FROM w
+),
+k AS (SELECT source, (SELECT target FROM t) * wt // (SELECT sw FROM t)
+        AS quota FROM w),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source
+FROM r JOIN k ON r.source = k.source
+WHERE r.rn <= k.quota ORDER BY r.doc_id
+"""
+
+
+def q_phash_media_dupes(sf_dir: str) -> pa.Table:
+    """Duplicate-media clusters by perceptual hash: documents rendered
+    as real BMP payloads, decoded and average-hashed (8×8 gray) in an
+    actor-pool stage, then grouped by the 64-bit hash — duplicate
+    texts render identical bitmaps, so the planted duplicate docs
+    surface as media clusters.  Per-batch partial (hash → count,
+    min id) keeps the exchange O(distinct hashes).  Rows-only (SQL
+    cannot decode BMPs); the hash kernel itself is unit-tested with
+    planted identical/near/distinct images."""
+    from ..functions.multimodal import media_phash_pipeline
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashes = media_phash_pipeline(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by("ahash")
+            .aggregate([("media_id", "count"), ("media_id", "min")])
+            .rename_columns(["ahash", "n_media", "min_media_id"])
+        )
+
+    partials = hashes.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        h = g.column("ahash").to_numpy(zero_copy_only=False)
+        n = g.column("n_media").to_numpy(zero_copy_only=False)
+        mn = g.column("min_media_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, n, mn = h[order], n[order], mn[order]
+        starts = np.flatnonzero(segment_starts(h))
+        tot = np.add.reduceat(n, starts)
+        mins = np.minimum.reduceat(mn, starts)
+        keep = tot >= 2
+        return pa.table(
+            {
+                "ahash": pa.array(h[starts][keep], pa.int64()),
+                "n_media": pa.array(tot[keep], pa.int64()),
+                "min_media_id": pa.array(mins[keep], pa.int64()),
+            }
+        )
+
+    return keyed_window(partials, "ahash", fold).sort("min_media_id")
+
+
+def q_repeat_purchase_rate(sf_dir: str) -> pa.Table:
+    """Repeat-purchase rate: of users with ≥1 purchase event, the
+    fraction with ≥2 — the retention KPI.  Per-user purchase counts
+    fold exactly; only two scalars reach the driver."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return (
+            pa.table({"user_id": t.column("user_id")})
+            .group_by("user_id")
+            .aggregate([("user_id", "count")])
+            .rename_columns(["user_id", "n"])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, n = uid[order], n[order]
+        starts = np.flatnonzero(segment_starts(uid))
+        tot = np.add.reduceat(n, starts)
+        return pa.table(
+            {
+                "buyers": pa.array([len(tot)], pa.int64()),
+                "repeaters": pa.array(
+                    [int((tot >= 2).sum())], pa.int64()
+                ),
+            }
+        )
+
+    agg = keyed_window(partials, "user_id", fold).aggregate(
+        Sum("buyers", alias_name="buyers"),
+        Sum("repeaters", alias_name="repeaters"),
+    )
+    b, r = int(agg["buyers"] or 0), int(agg["repeaters"] or 0)
+    rate = np.float64(r) / np.float64(b) if b else float("nan")
+    return pa.table(
+        {
+            "buyers": pa.array([b], pa.int64()),
+            "repeaters": pa.array([r], pa.int64()),
+            "repeat_rate": pa.array([float(rate)], pa.float64()),
+        }
+    )
+
+
+ORACLE_REPEAT_PURCHASE = """
+WITH c AS (
+  SELECT user_id, count(*) AS n FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT count(*) AS buyers,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS repeaters,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS repeat_rate
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "temperature_mix_documents": q_temperature_mix_documents,
+    "phash_media_dupes": q_phash_media_dupes,
+    "repeat_purchase_rate": q_repeat_purchase_rate,
     "fertility_per_lang": q_fertility_per_lang,
     "top_journeys": q_top_journeys,
     "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -10774,6 +11014,8 @@ ORACLE_SQL = {
     "regr_value_on_ts_per_user": ORACLE_REGR,
     "twap_value_per_user": ORACLE_TWAP,
     "benford_value_digits": ORACLE_BENFORD,
+    "temperature_mix_documents": ORACLE_TEMPERATURE_MIX,
+    "repeat_purchase_rate": ORACLE_REPEAT_PURCHASE,
     "fertility_per_lang": ORACLE_FERTILITY,
     "top_journeys": ORACLE_TOP_JOURNEYS,
     "hard_negatives_embeddings": ORACLE_HARD_NEGATIVES,
