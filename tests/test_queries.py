@@ -102,6 +102,7 @@ def test_entry_smoke():
         "hard_negatives_embeddings",
         "temperature_mix_documents", "phash_media_dupes",
         "repeat_purchase_rate",
+        "tpch_q7", "tpch_q17", "tpch_q19",
     ],
 )
 def test_query(results, name):

@@ -10782,10 +10782,337 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# wave 14: the last TPC-H shapes this schema can express
+#          (Q7 volume shipping, Q17 small-quantity revenue, Q19
+#          disjunctive predicate scan); Q2/Q9/Q11/Q16/Q20 need
+#          partsupp and Q12/Q21 need commit/receipt dates — neither
+#          exists in the fixture schema (documented, not skipped
+#          silently).
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q7(sf_dir: str) -> pa.Table:
+    """TPC-H Q7-shaped volume shipping: revenue flowing between two
+    nations (supplier side vs ordering-customer side, both
+    directions), per ship year.  supplier and customer nation maps
+    broadcast; one orderkey exchange; per-batch partials collapse to
+    ≤ 2 × years rows."""
+    from ..functions.joins import broadcast_join, hash_join
+
+    NA, NB = "NATION_12", "NATION_3"
+
+    nation = pq.read_table(
+        _tbl(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    )
+    tgt = nation.filter(
+        pc.is_in(nation.column("n_name"),
+                 value_set=pa.array([NA, NB], pa.string()))
+    )
+    supp = pq.read_table(
+        _tbl(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).join(
+        tgt.rename_columns(["s_nationkey", "supp_nation"]),
+        keys=["s_nationkey"], join_type="inner",
+    ).select(["s_suppkey", "supp_nation"]).rename_columns(
+        ["l_suppkey", "supp_nation"]
+    )
+    cust = pq.read_table(
+        _tbl(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).join(
+        tgt.rename_columns(["c_nationkey", "cust_nation"]),
+        keys=["c_nationkey"], join_type="inner",
+    ).select(["c_custkey", "cust_nation"]).rename_columns(
+        ["o_custkey", "cust_nation"]
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    forders = broadcast_join(orders, cust, "o_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "cust_nation"]).rename_columns(
+            ["l_orderkey", "cust_nation"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+         "l_discount"],
+    )
+    lsupp = broadcast_join(lineitem, supp, "l_suppkey")
+    joined = hash_join(
+        lsupp, forders, "l_orderkey",
+        left_cols=["l_shipdate", "l_extendedprice", "l_discount",
+                   "supp_nation"],
+        right_cols=["cust_nation"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.equal(t.column("supp_nation"), t.column("cust_nation"))
+        )
+        t = t.filter(keep)
+        rev = _cents(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        )
+        return (
+            pa.table(
+                {
+                    "supp_nation": t.column("supp_nation"),
+                    "cust_nation": t.column("cust_nation"),
+                    "yr": pc.year(t.column("l_shipdate")).cast(pa.int64()),
+                    "revenue_cents": rev,
+                }
+            )
+            .group_by(["supp_nation", "cust_nation", "yr"])
+            .aggregate([("revenue_cents", "sum")])
+            .rename_columns(
+                ["supp_nation", "cust_nation", "yr", "revenue_cents"]
+            )
+        )
+
+    rows = (
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(["supp_nation", "cust_nation", "yr"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .take_all()
+    )
+    return _from_rows(
+        rows,
+        {"supp_nation": pa.string(), "cust_nation": pa.string(),
+         "yr": pa.int64(), "revenue_cents": pa.int64()},
+    ).sort_by(
+        [("supp_nation", "ascending"), ("cust_nation", "ascending"),
+         ("yr", "ascending")]
+    )
+
+
+ORACLE_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS yr,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_3')
+   OR (n1.n_name = 'NATION_3'  AND n2.n_name = 'NATION_12')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q17(sf_dir: str) -> pa.Table:
+    """TPC-H Q17-shaped small-quantity revenue: lineitems of one
+    brand's parts whose quantity is below 20% of that part's average
+    quantity.  The average gate is the integer cross-multiply
+    qi·5·n < Σq (no float threshold); the brand's partkeys broadcast
+    as a semi-filter FIRST so the per-part aggregate runs over the
+    brand slice only, then one partkey exchange joins each lineitem
+    back to its part's (Σq, n)."""
+    from ..functions.joins import broadcast_join, hash_join
+    from ..functions.window import keyed_window, segment_starts
+
+    BRAND = "Brand#1"
+    part = pq.read_table(
+        _tbl(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    )
+    bkeys = part.filter(
+        pc.equal(part.column("p_brand"), BRAND)
+    ).select(["p_partkey"]).rename_columns(["l_partkey"])
+
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    li = broadcast_join(lineitem, bkeys, "l_partkey", how="semi")
+
+    def enrich(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qi": _round_int(t.column("l_quantity")),
+                "pc_": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    rows_ds = li.map_batches(
+        enrich, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def agg_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["l_partkey", "qi"])
+            .group_by("l_partkey")
+            .aggregate([("qi", "sum"), ("qi", "count")])
+            .rename_columns(["l_partkey", "sq", "n"])
+        )
+
+    agg = (
+        rows_ds.map_batches(agg_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("n", alias_name="n"))
+    )
+    joined = hash_join(
+        rows_ds, agg, "l_partkey",
+        left_cols=["qi", "pc_"],
+        right_cols=["sq", "n"],
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        qi = t.column("qi").to_numpy(zero_copy_only=False)
+        sq = t.column("sq").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        pcents = t.column("pc_").to_numpy(zero_copy_only=False)
+        keep = qi * 5 * n < sq
+        return pa.table(
+            {
+                "n_lineitems": pa.array([int(keep.sum())], pa.int64()),
+                "revenue_cents": pa.array(
+                    [int(pcents[keep].sum())], pa.int64()
+                ),
+            }
+        )
+
+    out = joined.map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(
+        Sum("n_lineitems", alias_name="n_lineitems"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+    )
+    n, cents = int(out["n_lineitems"] or 0), int(out["revenue_cents"] or 0)
+    return pa.table(
+        {
+            "n_lineitems": pa.array([n], pa.int64()),
+            "revenue_cents": pa.array([cents], pa.int64()),
+            "avg_yearly_cents": pa.array(
+                [np.float64(cents) / 7.0], pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_TPCH_Q17 = """
+WITH q AS (
+  SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS qi,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+),
+a AS (
+  SELECT l_partkey, CAST(sum(qi) AS BIGINT) AS sq, count(*) AS n
+  FROM q GROUP BY 1
+)
+SELECT count(*) AS n_lineitems,
+       CAST(coalesce(sum(q.pc), 0) AS BIGINT) AS revenue_cents,
+       CAST(coalesce(sum(q.pc), 0) AS DOUBLE) / 7.0 AS avg_yearly_cents
+FROM q JOIN a USING (l_partkey)
+WHERE q.qi * 5 * a.n < a.sq
+"""
+
+
+def q_tpch_q19(sf_dir: str) -> pa.Table:
+    """TPC-H Q19-shaped disjunctive predicate scan: revenue from
+    lineitems matching any of three (brand, size range, quantity
+    range) conjunctions — the multi-clause pushdown test.  part's
+    (brand, size) broadcast once; the OR evaluates vectorized per
+    batch; two scalars reach the driver."""
+    from ..functions.joins import broadcast_join
+
+    part = pq.read_table(
+        _tbl(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+    ).rename_columns(["l_partkey", "p_brand", "p_size"])
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    joined = broadcast_join(lineitem, part, "l_partkey")
+
+    CLAUSES = [
+        ("Brand#1", 1, 15, 1, 20),
+        ("Brand#2", 10, 30, 10, 30),
+        ("Brand#3", 20, 50, 20, 40),
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand = t.column("p_brand")
+        size = t.column("p_size").cast(pa.int64())
+        qty = t.column("l_quantity")
+        keep = None
+        for b, s_lo, s_hi, q_lo, q_hi in CLAUSES:
+            c = pc.and_(
+                pc.and_(
+                    pc.equal(brand, b),
+                    pc.and_(
+                        pc.greater_equal(size, s_lo),
+                        pc.less_equal(size, s_hi),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(qty, float(q_lo)),
+                    pc.less_equal(qty, float(q_hi)),
+                ),
+            )
+            keep = c if keep is None else pc.or_(keep, c)
+        t = t.filter(keep)
+        rev = _cents(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_lineitems": pa.array([t.num_rows], pa.int64()),
+                "revenue_cents": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    out = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(
+        Sum("n_lineitems", alias_name="n_lineitems"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+    )
+    return pa.table(
+        {
+            "n_lineitems": pa.array(
+                [int(out["n_lineitems"] or 0)], pa.int64()
+            ),
+            "revenue_cents": pa.array(
+                [int(out["revenue_cents"] or 0)], pa.int64()
+            ),
+        }
+    )
+
+
+ORACLE_TPCH_Q19 = """
+SELECT count(*) AS n_lineitems,
+       CAST(coalesce(sum(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                    * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "tpch_q7": q_tpch_q7,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
     "temperature_mix_documents": q_temperature_mix_documents,
     "phash_media_dupes": q_phash_media_dupes,
     "repeat_purchase_rate": q_repeat_purchase_rate,
@@ -11014,6 +11341,9 @@ ORACLE_SQL = {
     "regr_value_on_ts_per_user": ORACLE_REGR,
     "twap_value_per_user": ORACLE_TWAP,
     "benford_value_digits": ORACLE_BENFORD,
+    "tpch_q7": ORACLE_TPCH_Q7,
+    "tpch_q17": ORACLE_TPCH_Q17,
+    "tpch_q19": ORACLE_TPCH_Q19,
     "temperature_mix_documents": ORACLE_TEMPERATURE_MIX,
     "repeat_purchase_rate": ORACLE_REPEAT_PURCHASE,
     "fertility_per_lang": ORACLE_FERTILITY,
