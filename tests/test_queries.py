@@ -103,6 +103,9 @@ def test_entry_smoke():
         "temperature_mix_documents", "phash_media_dupes",
         "repeat_purchase_rate",
         "tpch_q7", "tpch_q17", "tpch_q19",
+        "shingle_novelty_documents", "dup_rate_per_source",
+        "cross_source_overlap", "session_length_histogram",
+        "daily_streaks_per_user", "first_touch_attribution",
     ],
 )
 def test_query(results, name):
@@ -371,6 +374,8 @@ def test_new_operators_on_degenerate_tables(tmp_path, n_rows):
         "epoch_shuffle_documents", "pii_scan_documents",
         "top_tokens_documents", "curate_documents",
         "prepare_training_set",
+        "shingle_novelty_documents", "session_length_histogram",
+        "daily_streaks_per_user", "first_touch_attribution",
     ]
     for name in names:
         out = Q.QUERIES[name](str(tmp_path))
@@ -386,6 +391,12 @@ def test_new_operators_on_degenerate_tables(tmp_path, n_rows):
                 assert n == 1, name
             if name == "outlier_events_per_user":
                 assert n == 0, name  # n<2 excluded
+            if name in ("session_length_histogram",
+                        "daily_streaks_per_user",
+                        "first_touch_attribution"):
+                assert n == 1, name
+            if name == "shingle_novelty_documents":
+                assert n == 1, name  # one doc, all shingles novel
 
 
 def test_token_diversity_flags_degenerate_repetition(tmp_path):
@@ -418,3 +429,63 @@ def test_token_diversity_flags_degenerate_repetition(tmp_path):
     assert rows[1]["sum_c2"] == 16  # 4^2 — repeat rate 1.0
     assert rows[2]["n_tokens"] == 4 and rows[2]["n_distinct"] == 4
     assert rows[2]["sum_c2"] == 4   # 4×1^2 — repeat rate 0.25
+
+
+def test_cross_source_overlap_counts_planted_shared_shas(tmp_path):
+    """The sf0.001/0.01 fixtures have NO cross-source duplicates (the
+    driver parity there is 0-row), so plant some: the operator must
+    count each shared sha once per source pair, regardless of how many
+    copies each source holds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines import queries as Q
+
+    texts = ["alpha beta gamma", "delta epsilon zeta", "unique one",
+             "unique two"]
+    rows = {
+        "doc_id": pa.array(
+            [1, 2, 3, 4, 5, 6, 7], pa.int64()
+        ),
+        # t0 in A (twice) and B; t1 in B and C; uniques fill in
+        "text": pa.array(
+            [texts[0], texts[0], texts[0], texts[1], texts[1],
+             texts[2], texts[3]],
+            pa.string(),
+        ),
+        "source": pa.array(
+            ["A", "A", "B", "B", "C", "A", "C"], pa.string()
+        ),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = Q.QUERIES["cross_source_overlap"](str(tmp_path))
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in out.to_pylist()
+    }
+    assert got == {("A", "B"): 1, ("B", "C"): 1}
+
+
+def test_dup_rate_attributes_copies_not_canonicals(tmp_path):
+    """Per-source dup counts: only NON-canonical copies (doc_id above
+    the corpus-wide min for the sha) count as dups, attributed to the
+    source that holds the copy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines import queries as Q
+
+    rows = {
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        # sha X: canonical doc 1 in A, copies 2 (A) and 3 (B);
+        # sha Y: canonical doc 4 in B; unique doc 5 in B
+        "text": pa.array(["x", "x", "x", "y", "z"], pa.string()),
+        "source": pa.array(["A", "A", "B", "B", "B"], pa.string()),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = Q.QUERIES["dup_rate_per_source"](str(tmp_path))
+    rows_out = (
+        out.take_all() if hasattr(out, "take_all") else out.to_pylist()
+    )
+    got = {r["source"]: (r["n_docs"], r["n_dups"]) for r in rows_out}
+    assert got == {"A": (2, 1), "B": (3, 1)}

@@ -11106,10 +11106,599 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 
 
 # ---------------------------------------------------------------------------
+# wave 15: corpus forensics + attribution
+# ---------------------------------------------------------------------------
+
+_NOVELTY_W = 3
+
+
+def _distinct_shingle_rows(t: pa.Table, W: int) -> pa.Table:
+    """(doc_id, shingle) rows of per-doc DISTINCT word W-shingles as
+    STRINGS (SQL-mirrorable, unlike the hashed ``_doc_shingles``):
+    tokenize + flatten once, join W shifted views in one
+    binary_join_element_wise call, mask windows crossing doc
+    boundaries, then one Arrow group_by for the per-doc distinct."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(t.column("text"), "")), pattern=r"\W+"
+    )
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    ok = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(ok))
+    parent = parent[ok]
+    n = len(flat)
+    if n < W:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "shingle": pa.array([], pa.string())}
+        )
+    views = [flat.slice(j, n - W + 1) for j in range(W)]
+    sh = pc.binary_join_element_wise(*views, " ")
+    valid = parent[: n - W + 1] == parent[W - 1 :]
+    doc = pc.take(
+        t.column("doc_id"), pa.array(parent[: n - W + 1], pa.int64())
+    )
+    out = pa.table({"doc_id": doc, "shingle": sh}).filter(pa.array(valid))
+    return out.group_by(["doc_id", "shingle"]).aggregate([])
+
+
+def q_shingle_novelty_documents(sf_dir: str) -> ray.data.Dataset:
+    """Per-document shingle novelty: of each doc's distinct word
+    3-shingles, how many occur for the FIRST time in this doc (corpus
+    first occurrence = min doc_id over the shingle)?  The redundancy-
+    growth statistic of a training corpus — a stream whose novel
+    fraction collapses is re-crawling itself.
+
+    Distributed: distinct (doc, shingle) rows → shingle-keyed bucket
+    exchange (each shingle's global min is computed in exactly ONE
+    bucket, and per-doc totals are additive across buckets because a
+    (doc, shingle) row lands in exactly one) → per-doc partials →
+    doc-keyed sum.  No shingle string ever reaches the driver; the
+    per-bucket pass is one Arrow sort + shifted-compare, no Python
+    loop over runs."""
+    from ..functions.window import keyed_window, segment_starts
+
+    W = _NOVELTY_W
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        return _distinct_shingle_rows(t, W)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_shingles": pa.array([], pa.int64()),
+                 "n_novel": pa.array([], pa.int64())}
+            )
+        g = g.sort_by(
+            [("shingle", "ascending"), ("doc_id", "ascending")]
+        )
+        sh = g.column("shingle").combine_chunks()
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(doc)
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            starts[1:] = pc.not_equal(
+                sh.slice(1), sh.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        novel_docs = doc[starts]  # run head = min doc_id of the shingle
+        ud, uc = np.unique(doc, return_counts=True)
+        nd, nc = np.unique(novel_docs, return_counts=True)
+        nov = np.zeros(len(ud), np.int64)
+        nov[np.searchsorted(ud, nd)] = nc
+        return pa.table(
+            {
+                "doc_id": pa.array(ud, pa.int64()),
+                "n_shingles": pa.array(uc.astype(np.int64), pa.int64()),
+                "n_novel": pa.array(nov, pa.int64()),
+            }
+        )
+
+    shingle_rows = ds.map_batches(
+        rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = keyed_window(shingle_rows, "shingle", per_bucket)
+
+    def fold(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        ns = g.column("n_shingles").to_numpy(zero_copy_only=False)
+        nv = g.column("n_novel").to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="stable")
+        did, ns, nv = did[order], ns[order], nv[order]
+        starts = np.flatnonzero(segment_starts(did))
+        return pa.table(
+            {
+                "doc_id": pa.array(did[starts], pa.int64()),
+                "n_shingles": pa.array(
+                    np.add.reduceat(ns, starts).astype(np.int64), pa.int64()
+                ),
+                "n_novel": pa.array(
+                    np.add.reduceat(nv, starts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return keyed_window(partials, "doc_id", fold).sort("doc_id")
+
+
+ORACLE_SHINGLE_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '\w+'),
+                     x -> length(x) > 0) AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+  FROM toks JOIN range(1, 4096) t(i) ON t.i <= greatest(0, len(ts) - 2)
+), firsts AS (
+  SELECT shingle, min(doc_id) AS md FROM sh GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.md = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel
+FROM sh s JOIN firsts f ON s.shingle = f.shingle
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
+def q_dup_rate_per_source(sf_dir: str) -> ray.data.Dataset:
+    """Exact-duplicate rate per source: per source, total docs and how
+    many are non-canonical copies (canonical = corpus-wide min doc_id
+    per text sha) — the per-feed quality dial a crawl operator watches.
+
+    Distributed: per-batch (sha, source) partials (min id + count) →
+    sha-keyed bucket exchange → per-bucket attribution (the global-min
+    holder is decided inside the single bucket that owns the sha) →
+    tiny per-source sums.  All run math is reduceat; the source
+    grouping inside a bucket is Arrow group_by."""
+    from ..functions.dedup import add_text_sha
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_text_sha(t)
+        return (
+            t.select(["text_sha256", "source", "doc_id"])
+            .group_by(["text_sha256", "source"])
+            .aggregate([("doc_id", "min"), ("doc_id", "count")])
+            .rename_columns(["text_sha256", "source", "min_id", "cnt"])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "n_docs": pa.array([], pa.int64()),
+                 "n_dups": pa.array([], pa.int64())}
+            )
+        # combine batch partials of the same (sha, source) first
+        g = (
+            g.group_by(["text_sha256", "source"])
+            .aggregate([("min_id", "min"), ("cnt", "sum")])
+            .rename_columns(["text_sha256", "source", "min_id", "cnt"])
+            .sort_by([("text_sha256", "ascending"), ("min_id", "ascending")])
+        )
+        sha = g.column("text_sha256").combine_chunks()
+        mid = g.column("min_id").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        n = len(mid)
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            starts[1:] = pc.not_equal(
+                sha.slice(1), sha.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        sidx = np.flatnonzero(starts)
+        run_id = np.cumsum(starts) - 1
+        runmin = np.minimum.reduceat(mid, sidx)
+        keeper = mid == runmin[run_id]  # exactly one row per run
+        dups = cnt - keeper.astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "source": g.column("source"),
+                    "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+                    "n_dups": pa.array(dups.astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by("source")
+            .aggregate([("n_docs", "sum"), ("n_dups", "sum")])
+            .rename_columns(["source", "n_docs", "n_dups"])
+        )
+
+    bucketed = keyed_window(partials, "text_sha256", per_bucket)
+
+    def fold(g: pa.Table) -> pa.Table:
+        return (
+            g.group_by("source")
+            .aggregate([("n_docs", "sum"), ("n_dups", "sum")])
+            .rename_columns(["source", "n_docs", "n_dups"])
+        )
+
+    return keyed_window(bucketed, "source", fold).sort("source")
+
+
+ORACLE_DUP_RATE_SOURCE = """
+WITH s AS (
+  SELECT doc_id, source, sha256(text) AS sha FROM documents
+), m AS (
+  SELECT sha, min(doc_id) AS md FROM s GROUP BY 1
+)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s.doc_id <> m.md THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups
+FROM s JOIN m ON s.sha = m.sha
+GROUP BY 1 ORDER BY source
+"""
+
+
+def q_cross_source_overlap(sf_dir: str) -> pa.Table:
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct text shas present in BOTH — which feeds are
+    re-crawling each other.  Distributed: distinct (sha, source) rows
+    → sha-keyed buckets → per-bucket source BITMASKS per sha
+    (bitwise_or.reduceat — sources are a tiny set, runs are never
+    looped) → mask histogram → pairs expanded per distinct mask only.
+    Driver sees ≤ buckets × sourcepairs rows."""
+    from ..functions.dedup import add_text_sha
+    from ..functions.window import keyed_window
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_text_sha(t)
+        return (
+            t.select(["text_sha256", "source"])
+            .group_by(["text_sha256", "source"])
+            .aggregate([])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source_a": pa.array([], pa.string()),
+             "source_b": pa.array([], pa.string()),
+             "n_shared": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        g = (
+            g.group_by(["text_sha256", "source"])
+            .aggregate([])
+            .sort_by(
+                [("text_sha256", "ascending"), ("source", "ascending")]
+            )
+        )
+        sha = g.column("text_sha256").combine_chunks()
+        src = np.asarray(g.column("source").to_pylist(), dtype=object)
+        n = len(src)
+        u, inv = np.unique(src, return_inverse=True)
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            starts[1:] = pc.not_equal(
+                sha.slice(1), sha.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        sidx = np.flatnonzero(starts)
+        mask = np.left_shift(np.uint64(1), inv.astype(np.uint64))
+        runmask = np.bitwise_or.reduceat(mask, sidx)
+        um, uc = np.unique(runmask, return_counts=True)
+        out_a, out_b, out_n = [], [], []
+        for m, c in zip(um, uc):  # ≤ 2^|sources| distinct masks, tiny
+            members = u[
+                (m >> np.arange(len(u), dtype=np.uint64)) & np.uint64(1) == 1
+            ]
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    out_a.append(members[i])
+                    out_b.append(members[j])
+                    out_n.append(int(c))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "source_a": pa.array(out_a, pa.string()),
+                "source_b": pa.array(out_b, pa.string()),
+                "n_shared": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    out = keyed_window(partials, "text_sha256", per_bucket)
+    tiny = _from_rows(
+        out.take_all(),
+        {"source_a": pa.string(), "source_b": pa.string(),
+         "n_shared": pa.int64()},
+    )
+    return (
+        tiny.group_by(["source_a", "source_b"])
+        .aggregate([("n_shared", "sum")])
+        .rename_columns(["source_a", "source_b", "n_shared"])
+        .sort_by([("source_a", "ascending"), ("source_b", "ascending")])
+    )
+
+
+ORACLE_CROSS_SOURCE = """
+WITH s AS (
+  SELECT DISTINCT source, sha256(text) AS sha FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM s a JOIN s b ON a.sha = b.sha AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_session_length_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Distribution of session sizes (events per 30-min-gap session):
+    the shape statistic behind engagement dashboards and the sanity
+    check on any sessionizer change.  Composes the sessionization
+    pipeline with a two-level count fold — the exchange carries one
+    row per (n_events, block), never per session."""
+    from ..functions.window import keyed_window, segment_starts
+
+    sess = q_session_windows(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["n_events"])
+            .group_by("n_events")
+            .aggregate([("n_events", "count")])
+            .rename_columns(["n_events", "n_sessions"])
+        )
+
+    partials = sess.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g.column("n_events").to_numpy(zero_copy_only=False)
+        c = g.column("n_sessions").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, c = k[order], c[order]
+        starts = np.flatnonzero(segment_starts(k))
+        return pa.table(
+            {
+                "n_events": pa.array(k[starts], pa.int64()),
+                "n_sessions": pa.array(
+                    np.add.reduceat(c, starts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return keyed_window(partials, "n_events", fold).sort("n_events")
+
+
+ORACLE_SESSION_HIST = f"""
+SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions
+FROM ({ORACLE_SESSIONS}) GROUP BY 1 ORDER BY n_events
+"""
+
+
+def q_daily_streaks_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Longest consecutive-active-day streak per user (plus total
+    active days) — calendar gaps-and-islands, the retention metric
+    every engagement product ships.  Distributed: per-batch distinct
+    (user, day) → user-keyed buckets → one lexsort + re-distinct +
+    run pass over ALL users of the bucket at once."""
+    from ..functions.window import keyed_window
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            t.column("ts").cast(pa.int64()), pa.scalar(DAY_US, pa.int64())
+        )
+        return (
+            pa.table({"user_id": t.column("user_id"), "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        # re-distinct: the same (user, day) may arrive from many batches
+        keep = np.ones(len(uid), dtype=bool)
+        if len(uid) > 1:
+            keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day = uid[keep], day[keep]
+        n = len(uid)
+        newseg = np.ones(n, dtype=bool)
+        if n > 1:
+            newseg[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        sstart = np.flatnonzero(newseg)
+        slen = np.diff(np.concatenate((sstart, [n])))
+        suid = uid[sstart]
+        ustart = np.flatnonzero(
+            np.concatenate(([True], suid[1:] != suid[:-1]))
+        ) if len(suid) else np.zeros(0, np.int64)
+        if not len(suid):
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_active_days": pa.array([], pa.int64()),
+                 "max_streak": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(suid[ustart], pa.int64()),
+                "n_active_days": pa.array(
+                    np.add.reduceat(slen, ustart).astype(np.int64),
+                    pa.int64(),
+                ),
+                "max_streak": pa.array(
+                    np.maximum.reduceat(slen, ustart).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return keyed_window(partials, "user_id", fold).sort("user_id")
+
+
+ORACLE_DAILY_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events
+), i AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM d
+), s AS (
+  SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM s GROUP BY 1 ORDER BY user_id
+"""
+
+
+def q_first_touch_attribution(sf_dir: str) -> pa.Table:
+    """First-touch attribution: each user's lifetime value (and the
+    user count) attributed to the event type of their FIRST event
+    (order by ts, event_id) — the acquisition-channel report.
+    Distributed: per-batch per-user partials (first candidate +
+    cents/count sums) → user-keyed merge (min-by-(ts, event_id) is
+    associative) → per-type sums inside each bucket, so the driver
+    sees ≤ buckets × types rows."""
+    from ..functions.window import keyed_window
+
+    ds = _read(
+        sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        tus = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tus, uid))
+        uid_s, tus_s, eid_s = uid[order], tus[order], eid[order]
+        ustart = np.ones(len(uid_s), dtype=bool)
+        if len(uid_s) > 1:
+            ustart[1:] = uid_s[1:] != uid_s[:-1]
+        sidx = np.flatnonzero(ustart)
+        ftype = pc.take(
+            t.column("event_type"), pa.array(order[sidx], pa.int64())
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[sidx], pa.int64()),
+                "f_tus": pa.array(tus_s[sidx], pa.int64()),
+                "f_eid": pa.array(eid_s[sidx], pa.int64()),
+                "f_type": ftype,
+                "cents": pa.array(
+                    np.add.reduceat(cents[order], sidx).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    np.diff(np.concatenate((sidx, [len(uid_s)]))).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        tus = g.column("f_tus").to_numpy(zero_copy_only=False)
+        eid = g.column("f_eid").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        nn = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tus, uid))
+        uid_s = uid[order]
+        ustart = np.ones(len(uid_s), dtype=bool)
+        if len(uid_s) > 1:
+            ustart[1:] = uid_s[1:] != uid_s[:-1]
+        sidx = np.flatnonzero(ustart)
+        ftype = pc.take(
+            g.column("f_type"), pa.array(order[sidx], pa.int64())
+        )
+        ucents = np.add.reduceat(cents[order], sidx)
+        return (
+            pa.table(
+                {
+                    "event_type": ftype,
+                    "n_users": pa.array(
+                        np.ones(len(sidx), np.int64), pa.int64()
+                    ),
+                    "sum_value_cents": pa.array(
+                        ucents.astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("n_users", "sum"), ("sum_value_cents", "sum")])
+            .rename_columns(["event_type", "n_users", "sum_value_cents"])
+        )
+
+    out = keyed_window(partials, "user_id", fold)
+    tiny = _from_rows(
+        out.take_all(),
+        {"event_type": pa.string(), "n_users": pa.int64(),
+         "sum_value_cents": pa.int64()},
+    )
+    return (
+        tiny.group_by("event_type")
+        .aggregate([("n_users", "sum"), ("sum_value_cents", "sum")])
+        .rename_columns(["event_type", "n_users", "sum_value_cents"])
+        .sort_by("event_type")
+    )
+
+
+ORACLE_FIRST_TOUCH = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), u AS (
+  SELECT user_id,
+         sum(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+)
+SELECT r.event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(u.cents) AS BIGINT) AS sum_value_cents
+FROM r JOIN u USING (user_id) WHERE rn = 1
+GROUP BY 1 ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "shingle_novelty_documents": q_shingle_novelty_documents,
+    "dup_rate_per_source": q_dup_rate_per_source,
+    "cross_source_overlap": q_cross_source_overlap,
+    "session_length_histogram": q_session_length_histogram,
+    "daily_streaks_per_user": q_daily_streaks_per_user,
+    "first_touch_attribution": q_first_touch_attribution,
     "tpch_q7": q_tpch_q7,
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
@@ -11322,6 +11911,12 @@ QUERIES = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES} | {
 }
 
 ORACLE_SQL = {
+    "shingle_novelty_documents": ORACLE_SHINGLE_NOVELTY,
+    "dup_rate_per_source": ORACLE_DUP_RATE_SOURCE,
+    "cross_source_overlap": ORACLE_CROSS_SOURCE,
+    "session_length_histogram": ORACLE_SESSION_HIST,
+    "daily_streaks_per_user": ORACLE_DAILY_STREAKS,
+    "first_touch_attribution": ORACLE_FIRST_TOUCH,
     "lm_bigram_documents": ORACLE_LM_BIGRAM,
     "ngram_containment_pairs": ORACLE_NGRAM_CONTAIN,
     "token_diversity_documents": ORACLE_TOKEN_DIVERSITY,
