@@ -106,6 +106,8 @@ def test_entry_smoke():
         "shingle_novelty_documents", "dup_rate_per_source",
         "cross_source_overlap", "session_length_histogram",
         "daily_streaks_per_user", "first_touch_attribution",
+        "fim_split_documents", "vocab_richness_per_source",
+        "pmi_collocations", "langid_confusion",
     ],
 )
 def test_query(results, name):
@@ -376,6 +378,7 @@ def test_new_operators_on_degenerate_tables(tmp_path, n_rows):
         "prepare_training_set",
         "shingle_novelty_documents", "session_length_histogram",
         "daily_streaks_per_user", "first_touch_attribution",
+        "fim_split_documents",
     ]
     for name in names:
         out = Q.QUERIES[name](str(tmp_path))
@@ -397,6 +400,8 @@ def test_new_operators_on_degenerate_tables(tmp_path, n_rows):
                 assert n == 1, name
             if name == "shingle_novelty_documents":
                 assert n == 1, name  # one doc, all shingles novel
+            if name == "fim_split_documents":
+                assert n == 1, name
 
 
 def test_token_diversity_flags_degenerate_repetition(tmp_path):
@@ -489,3 +494,39 @@ def test_dup_rate_attributes_copies_not_canonicals(tmp_path):
     )
     got = {r["source"]: (r["n_docs"], r["n_dups"]) for r in rows_out}
     assert got == {"A": (2, 1), "B": (3, 1)}
+
+
+def test_fim_split_reconstructs_exact_lengths(tmp_path):
+    """FIM split lengths must partition the doc exactly and the PSM
+    sha must match a direct reference reconstruction."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines import queries as Q
+
+    texts = ["abcdefghij", "x", "", "hello world hello"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([3, 11, 12, 40], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = Q.QUERIES["fim_split_documents"](str(tmp_path))
+    rows = out.take_all() if hasattr(out, "take_all") else out.to_pylist()
+    by_id = {r["doc_id"]: r for r in rows}
+    for did, s in zip([3, 11, 12, 40], texts):
+        r = by_id[did]
+        n = len(s)
+        assert r["p_len"] + r["m_len"] + r["s_len"] == n
+        a = (did * 48271 + 11) % (n + 1)
+        b = a + (did * 16807 + 7) % (n - a + 1)
+        want = hashlib.sha256(
+            b"<PRE>" + s[:a].encode() + b"<SUF>" + s[b:].encode()
+            + b"<MID>" + s[a:b].encode()
+        ).hexdigest()
+        assert r["fim_sha256"] == want, did

@@ -11689,10 +11689,411 @@ GROUP BY 1 ORDER BY event_type
 """
 
 # ---------------------------------------------------------------------------
+# wave 16: code-corpus preprocessing + corpus statistics
+# ---------------------------------------------------------------------------
+
+
+def q_fim_split_documents(sf_dir: str) -> ray.data.Dataset:
+    """Fill-in-the-middle (FIM) transform — the code-LLM preprocessing
+    step (north rule: source-code corpora): split each doc at two
+    deterministic offsets into prefix/middle/suffix and emit the PSM
+    reordering '<PRE>'+prefix+'<SUF>'+suffix+'<MID>'+middle as a
+    sha256 (the payload itself stays in the lake; the sha proves the
+    transform byte-for-byte).  Offsets are hash-of-id arithmetic so
+    the oracle can mirror them exactly: a = (id*48271+11) % (n+1),
+    b = a + (id*16807+7) % (n-a+1).
+
+    Vectorization note: offset arithmetic is numpy over the whole
+    batch; the per-row loop exists only for sha256 (hashlib has no
+    batch API — the same inherent loop as ``sha256_hex``), and slices
+    feed ``hashlib.update`` directly, no concat copies."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = pc.utf8_length(
+            pc.fill_null(t.column("text"), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        a = (did * 48271 + 11) % (n + 1)
+        b = a + (did * 16807 + 7) % (n - a + 1)
+        texts = t.column("text").to_pylist()
+        shas = [
+            hashlib.sha256(
+                b"<PRE>" + s[:ai].encode() + b"<SUF>" + s[bi:].encode()
+                + b"<MID>" + s[ai:bi].encode()
+            ).hexdigest()
+            for s, ai, bi in zip(texts, a.tolist(), b.tolist())
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "p_len": pa.array(a, pa.int64()),
+                "m_len": pa.array(b - a, pa.int64()),
+                "s_len": pa.array(n - b, pa.int64()),
+                "fim_sha256": pa.array(shas, pa.string()),
+            }
+        )
+
+    return ds.map_batches(
+        split, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+ORACLE_FIM_SPLIT = """
+WITH s AS (
+  SELECT doc_id, text, length(text) AS n,
+         (doc_id * 48271 + 11) % (length(text) + 1) AS a
+  FROM documents
+), s2 AS (
+  SELECT doc_id, text, n, a,
+         a + ((doc_id * 16807 + 7) % (n - a + 1)) AS b
+  FROM s
+)
+SELECT doc_id,
+       CAST(a AS BIGINT) AS p_len,
+       CAST(b - a AS BIGINT) AS m_len,
+       CAST(n - b AS BIGINT) AS s_len,
+       sha256('<PRE>' || substr(text, 1, CAST(a AS INT)) || '<SUF>' ||
+              substr(text, CAST(b + 1 AS INT)) || '<MID>' ||
+              substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT)))
+         AS fim_sha256
+FROM s2 ORDER BY doc_id
+"""
+
+
+def q_vocab_richness_per_source(sf_dir: str) -> ray.data.Dataset:
+    """Vocabulary richness per source: total token count and DISTINCT
+    token count (types) — the type/token ratio inputs that flag
+    template-generated or looping feeds.  Distributed COUNT(DISTINCT)
+    per group: per-batch (token, source, cnt) partials → token-keyed
+    bucket exchange (a token's rows land in ONE bucket, so per-bucket
+    distinct counts are additive) → per-source sums."""
+    from ..functions.window import keyed_window
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")),
+            pattern=r"\W+",
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ok = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(ok)
+        src = pc.take(t.column("source"), parent.filter(ok))
+        return (
+            pa.table({"tok": flat, "source": src})
+            .group_by(["tok", "source"])
+            .aggregate([("tok", "count")])
+            .rename_columns(["tok", "source", "cnt"])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = (
+            g.group_by(["tok", "source"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["tok", "source", "cnt"])
+        )
+        # one row per (token, source) now: types = row count per source
+        return (
+            pa.table(
+                {
+                    "source": g.column("source"),
+                    "n_tokens": g.column("cnt").cast(pa.int64()),
+                    "n_types": pa.array(
+                        np.ones(g.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            )
+            .group_by("source")
+            .aggregate([("n_tokens", "sum"), ("n_types", "sum")])
+            .rename_columns(["source", "n_tokens", "n_types"])
+        )
+
+    bucketed = keyed_window(partials, "tok", per_bucket)
+
+    def fold(g: pa.Table) -> pa.Table:
+        return (
+            g.group_by("source")
+            .aggregate([("n_tokens", "sum"), ("n_types", "sum")])
+            .rename_columns(["source", "n_tokens", "n_types"])
+        )
+
+    return keyed_window(bucketed, "source", fold).sort("source")
+
+
+ORACLE_VOCAB_RICHNESS = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_extract_all(lower(text), '\w+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+FROM toks GROUP BY 1 ORDER BY source
+"""
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+
+def q_pmi_collocations(sf_dir: str) -> pa.Table:
+    """Top-20 collocations by pointwise mutual information over word
+    bigrams: PMI = ln(c_ab·N / (c_a·c_b)), candidates capped at
+    c_ab ≥ 5 — the corpus-statistics primitive behind phrase mining
+    and tokenizer-merge seeding.
+
+    Distributed: bigram partial counts → bigram-keyed fold; unigram
+    partial counts → token-keyed fold; unigram counts attach to each
+    bigram side through the generic pair↔value exchange
+    (``attach_pair_values`` — values move ONCE, no driver dict);
+    N is the one scalar on the driver.  Final top-k: per-block
+    partial top-20 → driver merges ≤ 20·blocks rows.  Selection is
+    deterministic: (pmi, w1, w2) with integer counts underneath."""
+    from ..functions.exchange import attach_pair_values
+    from ..functions.hashing import key_hash64
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _flat_tokens(t: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")),
+            pattern=r"\W+",
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ok = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        return flat.filter(pa.array(ok)), parent[ok]
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t)
+        return (
+            pa.table({"tok": flat})
+            .group_by("tok")
+            .aggregate([("tok", "count")])
+            .rename_columns(["tok", "c"])
+        )
+
+    def uni_fold(g: pa.Table) -> pa.Table:
+        return (
+            g.group_by("tok")
+            .aggregate([("c", "sum")])
+            .rename_columns(["tok", "c"])
+        )
+
+    unigrams = keyed_window(
+        ds.map_batches(
+            uni_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "tok",
+        uni_fold,
+    )
+    n_tokens = int(unigrams.aggregate(Sum("c", alias_name="c"))["c"] or 0)
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(t)
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "c_ab": pa.array([], pa.int64()),
+                 "__k": pa.array([], pa.string())}
+            )
+        w1 = flat.slice(0, n - 1)
+        w2 = flat.slice(1, n - 1)
+        valid = parent[: n - 1] == parent[1:]
+        g = (
+            pa.table({"w1": w1, "w2": w2})
+            .filter(pa.array(valid))
+            .group_by(["w1", "w2"])
+            .aggregate([("w1", "count")])
+            .rename_columns(["w1", "w2", "c_ab"])
+        )
+        return g.append_column(
+            "__k",
+            pc.binary_join_element_wise(g.column("w1"), g.column("w2"), " "),
+        )
+
+    def big_fold(g: pa.Table) -> pa.Table:
+        g = (
+            g.group_by(["w1", "w2"])
+            .aggregate([("c_ab", "sum")])
+            .rename_columns(["w1", "w2", "c_ab"])
+        )
+        return g.filter(
+            pc.greater_equal(g.column("c_ab"), _PMI_MIN_COUNT)
+        )
+
+    bigrams = keyed_window(
+        ds.map_batches(
+            big_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "__k",
+        big_fold,
+    )
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    key_hash64(t.column("w1")).astype(np.int64), pa.int64()
+                ),
+                "id_b": pa.array(
+                    key_hash64(t.column("w2")).astype(np.int64), pa.int64()
+                ),
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "c_ab": t.column("c_ab").cast(pa.int64()),
+            }
+        )
+
+    def to_values(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    key_hash64(t.column("tok")).astype(np.int64), pa.int64()
+                ),
+                "c": t.column("c").cast(pa.int64()),
+            }
+        )
+
+    pairs = bigrams.map_batches(
+        to_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    values = unigrams.map_batches(
+        to_values, batch_format="pyarrow", zero_copy_batch=True
+    )
+    attached = attach_pair_values(
+        pairs,
+        values,
+        value_col="c",
+        value_type=pa.int64(),
+        carry_cols=("w1", "w2", "c_ab"),
+        carry_types={"w1": pa.string(), "w2": pa.string(),
+                     "c_ab": pa.int64()},
+    )
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        c_ab = t.column("c_ab").to_numpy(zero_copy_only=False)
+        c_a = t.column("value_a").to_numpy(zero_copy_only=False)
+        c_b = t.column("value_b").to_numpy(zero_copy_only=False)
+        # operation order mirrors the oracle exactly:
+        # (double(c_ab) * N) / (double(c_a) * double(c_b))
+        pmi = np.log(
+            (c_ab.astype(np.float64) * np.float64(n_tokens))
+            / (c_a.astype(np.float64) * c_b.astype(np.float64))
+        )
+        t = pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "c_ab": pa.array(c_ab.astype(np.int64), pa.int64()),
+                "c_a": pa.array(c_a.astype(np.int64), pa.int64()),
+                "c_b": pa.array(c_b.astype(np.int64), pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+        return t.sort_by(
+            [("pmi", "descending"), ("w1", "ascending"),
+             ("w2", "ascending")]
+        ).slice(0, _PMI_TOP_K)
+
+    tops = attached.map_batches(
+        topk_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tiny = _from_rows(
+        tops.take_all(),
+        {"w1": pa.string(), "w2": pa.string(), "c_ab": pa.int64(),
+         "c_a": pa.int64(), "c_b": pa.int64(), "pmi": pa.float64()},
+    )
+    return tiny.sort_by(
+        [("pmi", "descending"), ("w1", "ascending"), ("w2", "ascending")]
+    ).slice(0, _PMI_TOP_K)
+
+
+ORACLE_PMI = r"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, ts[CAST(i AS INT)] AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '\w+'),
+                           x -> length(x) > 0) AS ts
+        FROM documents)
+  JOIN range(1, 4096) t(i) ON t.i <= len(ts)
+), big AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2 HAVING count(*) >= 5
+), uni AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY 1
+), n AS (SELECT count(*) AS nt FROM toks)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+       ln((CAST(c_ab AS DOUBLE) * nt)
+          / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) AS pmi
+FROM big JOIN uni ua ON ua.w = big.w1
+         JOIN uni ub ON ub.w = big.w2, n
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+def q_langid_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID confusion matrix: labeled ``lang`` vs the n-gram
+    classifier's ``lang_pred`` — the evaluation table any curation
+    run publishes next to its lang filter.  Per-batch (lang,
+    lang_pred, n) partials (≤ L² rows each) → tiny keyed fold."""
+    from ..functions.window import keyed_window
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = lang_id(t)
+        return (
+            t.select(["lang", "lang_pred"])
+            .group_by(["lang", "lang_pred"])
+            .aggregate([("lang", "count")])
+            .rename_columns(["lang", "lang_pred", "n"])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        return (
+            g.group_by(["lang", "lang_pred"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "lang_pred", "n"])
+        )
+
+    return keyed_window(partials, "lang", fold).sort(
+        ["lang", "lang_pred"]
+    )
+
+
+ORACLE_LANG_CONFUSION = f"""
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM ({ORACLE_LANG_ID}) GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "fim_split_documents": q_fim_split_documents,
+    "vocab_richness_per_source": q_vocab_richness_per_source,
+    "pmi_collocations": q_pmi_collocations,
+    "langid_confusion": q_langid_confusion,
     "shingle_novelty_documents": q_shingle_novelty_documents,
     "dup_rate_per_source": q_dup_rate_per_source,
     "cross_source_overlap": q_cross_source_overlap,
@@ -11911,6 +12312,10 @@ QUERIES = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES} | {
 }
 
 ORACLE_SQL = {
+    "fim_split_documents": ORACLE_FIM_SPLIT,
+    "vocab_richness_per_source": ORACLE_VOCAB_RICHNESS,
+    "pmi_collocations": ORACLE_PMI,
+    "langid_confusion": ORACLE_LANG_CONFUSION,
     "shingle_novelty_documents": ORACLE_SHINGLE_NOVELTY,
     "dup_rate_per_source": ORACLE_DUP_RATE_SOURCE,
     "cross_source_overlap": ORACLE_CROSS_SOURCE,
