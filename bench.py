@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "tpch_q10",
     "big_orders_topk",
     "type_streaks_per_user",
+    "shingle_novelty_documents",
+    "vocab_richness_per_source",
+    "pmi_collocations",
+    "first_touch_attribution",
 ]
 
 
