@@ -12086,55 +12086,21 @@ FROM ({ORACLE_LANG_ID}) GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
-# wave 17: LLM-corpus hygiene — Gopher repetition filters, benchmark
-# decontamination, duplicated-span fraction, point-in-time interval probe
+# wave 17: Gopher repetition rules + point-in-time interval probe
 # ---------------------------------------------------------------------------
-
-def _shingle_pos_rows(t: pa.Table, W: int) -> pa.Table:
-    """(doc_id, shingle, n_pos) rows — like ``_distinct_shingle_rows``
-    but position-weighted: ``n_pos`` counts how many window positions
-    of the doc produce the shingle (non-distinct explosion folded to
-    per-doc counts before anything leaves the batch)."""
-    toks = pc.split_pattern_regex(
-        pc.utf8_lower(pc.fill_null(t.column("text"), "")), pattern=r"\W+"
-    )
-    flat = pc.list_flatten(toks)
-    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    ok = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(ok))
-    parent = parent[ok]
-    n = len(flat)
-    empty = pa.table(
-        {"doc_id": pa.array([], pa.int64()),
-         "shingle": pa.array([], pa.string()),
-         "n_pos": pa.array([], pa.int64())}
-    )
-    if n < W:
-        return empty
-    views = [flat.slice(j, n - W + 1) for j in range(W)]
-    sh = pc.binary_join_element_wise(*views, " ")
-    valid = parent[: n - W + 1] == parent[W - 1 :]
-    doc = pc.take(
-        t.column("doc_id"), pa.array(parent[: n - W + 1], pa.int64())
-    )
-    rows = pa.table({"doc_id": doc, "shingle": sh}).filter(pa.array(valid))
-    if rows.num_rows == 0:
-        return empty
-    return (
-        rows.group_by(["doc_id", "shingle"])
-        .aggregate([("shingle", "count")])
-        .rename_columns(["doc_id", "shingle", "n_pos"])
-    )
-
 
 def q_gopher_repetition_documents(sf_dir: str) -> ray.data.Dataset:
     """Gopher-style within-document repetition filters (Rae et al.
     2021 §A1.1, public paper): per doc, the count of its most frequent
-    unigram (``top_unigram_n`` — a doc dominated by one token is
-    boilerplate) and the number of duplicated word bigrams
-    (``n_dup_bigrams`` = total − distinct — self-repeating docs).
-    All-integer output so the parity hash is exact; the ratios a
-    filter would threshold are numerator/denominator of these columns.
+    unigram (``top_unigram_n`` — the paper's "fraction of characters
+    in the most common n-gram" rule, a doc dominated by one token is
+    boilerplate) and the number of duplicated word BIGRAMS
+    (``n_dup_bigrams`` = total − distinct — the duplicate-2-gram rule;
+    `repetition_stats_documents` covers the sibling 4-gram rule of the
+    same published rule set, and `gopher_quality_documents` the
+    non-repetition rules).  All-integer output so the parity hash is
+    exact; the ratios a filter would threshold are
+    numerator/denominator of these columns.
 
     Distributed shape: embarrassingly parallel — each doc's text is
     one row, so every statistic completes inside its batch; NO
@@ -12241,231 +12207,6 @@ ORDER BY doc_id
 #: decontamination shingle width (GPT-3 App. C uses 13-gram overlap on
 #: real corpora; the synthetic fixture docs are ~30 tokens, so 5 keeps
 #: the statistic non-degenerate at every sf)
-_DECON_W = 5
-#: every 50th doc is the held-out "benchmark" slice
-_DECON_MOD = 50
-
-
-def q_decontaminate_documents(sf_dir: str) -> ray.data.Dataset:
-    """Test-set decontamination (the GPT-3 Appendix-C operator, public
-    paper): the corpus' held-out benchmark slice (doc_id %% 50 == 0)
-    must not leak into training — for every TRAINING doc, count its
-    distinct word 5-shingles and how many of them occur in ANY
-    benchmark doc; ``contaminated`` flags docs a decontamination pass
-    would drop.
-
-    Distributed shape: the benchmark side is small BY CONSTRUCTION
-    (eval sets are fixed-size while the corpus grows), so this is the
-    canonical broadcast semi-join — the benchmark's distinct shingle
-    set is built once (per-batch distinct → driver-side unique, size
-    O(benchmark)), shipped via ``ray.put`` ONCE, and every training
-    batch probes it with one vectorized ``pc.is_in``.  No shuffle
-    touches the training corpus; per-doc rows complete inside their
-    batch because each doc is one input row."""
-    W = _DECON_W
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def bench_shingles(t: pa.Table) -> pa.Table:
-        did = t.column("doc_id").to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(did % _DECON_MOD == 0))
-        return _distinct_shingle_rows(t, W).select(["shingle"])
-
-    bench_parts = ds.map_batches(
-        bench_shingles, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # O(benchmark) rows by construction — the small side
-    bench_set = pc.unique(
-        pa.array([r["shingle"] for r in bench_parts], pa.string())
-    )
-    bench_ref = ray.put(bench_set)
-
-    def probe(t: pa.Table) -> pa.Table:
-        bset = ray.get(bench_ref)
-        did = t.column("doc_id").to_numpy(zero_copy_only=False)
-        train = t.filter(pa.array(did % _DECON_MOD != 0))
-        rows = _distinct_shingle_rows(train, W)
-        hit = pc.is_in(rows.column("shingle"), value_set=bset)
-        per = (
-            rows.append_column(
-                "hit", pc.cast(hit, pa.int64())
-            )
-            .group_by("doc_id")
-            .aggregate([("shingle", "count"), ("hit", "sum")])
-            .rename_columns(["doc_id", "n_shingles", "n_contaminated"])
-        )
-        # docs with < W tokens produced no shingle rows: emit zeros
-        all_ids = train.column("doc_id")
-        missing = pc.is_in(
-            all_ids, value_set=per.column("doc_id").combine_chunks()
-        )
-        zeros = all_ids.filter(pc.invert(missing))
-        if len(zeros):
-            per = pa.concat_tables(
-                [
-                    per,
-                    pa.table(
-                        {
-                            "doc_id": zeros,
-                            "n_shingles": pa.array(
-                                np.zeros(len(zeros), np.int64), pa.int64()
-                            ),
-                            "n_contaminated": pa.array(
-                                np.zeros(len(zeros), np.int64), pa.int64()
-                            ),
-                        }
-                    ),
-                ]
-            )
-        return per.append_column(
-            "contaminated",
-            pc.greater(per.column("n_contaminated"), pa.scalar(0)),
-        )
-
-    return ds.map_batches(
-        probe, batch_format="pyarrow", zero_copy_batch=True
-    ).sort("doc_id")
-
-
-ORACLE_DECONTAMINATE = rf"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_extract_all(lower(text), '\w+'),
-                     x -> length(x) > 0) AS ts
-  FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, array_to_string(ts[i:i+{_DECON_W - 1}], ' ') AS shingle
-  FROM toks JOIN range(1, 4096) t(i)
-    ON t.i <= greatest(0, len(ts) - {_DECON_W - 1})
-), bench AS (
-  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_MOD} = 0
-), tr AS (
-  SELECT s.doc_id,
-         count(*) AS n_shingles,
-         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
-           AS n_contaminated
-  FROM sh s LEFT JOIN bench b USING (shingle)
-  WHERE s.doc_id % {_DECON_MOD} <> 0
-  GROUP BY 1
-)
-SELECT d.doc_id,
-       CAST(COALESCE(tr.n_shingles, 0) AS BIGINT) AS n_shingles,
-       CAST(COALESCE(tr.n_contaminated, 0) AS BIGINT) AS n_contaminated,
-       COALESCE(tr.n_contaminated, 0) > 0 AS contaminated
-FROM documents d LEFT JOIN tr USING (doc_id)
-WHERE d.doc_id % {_DECON_MOD} <> 0
-ORDER BY doc_id
-"""
-
-#: duplicated-span window (Lee et al. 2021 use 50 BPE tokens on real
-#: corpora; 4 words keeps the fixture docs' statistic non-degenerate)
-_SPAN_W = 4
-
-
-def q_dup_span_documents(sf_dir: str) -> ray.data.Dataset:
-    """Duplicated-span fraction (the Lee et al. 2021 "Deduplicating
-    Training Data" statistic, public paper): per doc, how many of its
-    word 4-shingle POSITIONS are covered by a shingle that occurs ≥ 2
-    times anywhere in the corpus (other docs or elsewhere in the same
-    doc) — the substring-level redundancy an ExactSubstr dedup pass
-    would cut, position-weighted unlike ``shingle_novelty``'s
-    distinct-shingle novelty.
-
-    Distributed shape: per-doc (shingle → position count) partials
-    fold inside the batch, then ONE shingle-keyed bucket exchange —
-    each shingle's global occurrence total is decided in exactly one
-    bucket, where rows carry their position counts, so per-doc
-    duplicated-position partials are additive across buckets; a final
-    doc-keyed fold sums them.  No shingle string reaches the driver."""
-    from ..functions.window import keyed_window, segment_starts
-
-    W = _SPAN_W
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    pos_rows = ds.map_batches(
-        lambda t: _shingle_pos_rows(t, W),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-    def per_bucket(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "n_positions": pa.array([], pa.int64()),
-                 "n_dup_positions": pa.array([], pa.int64())}
-            )
-        g = g.sort_by([("shingle", "ascending")])
-        npos = g.column("n_pos").to_numpy(zero_copy_only=False)
-        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
-        sh = g.column("shingle").combine_chunks()
-        n = len(doc)
-        starts = np.ones(n, dtype=bool)
-        if n > 1:
-            starts[1:] = pc.not_equal(
-                sh.slice(1), sh.slice(0, n - 1)
-            ).to_numpy(zero_copy_only=False)
-        idx = np.flatnonzero(starts)
-        totals = np.add.reduceat(npos, idx)  # corpus total per shingle
-        run_len = np.diff(np.append(idx, n))
-        dup = np.where(np.repeat(totals, run_len) >= 2, npos, 0)
-        ud = np.unique(doc)
-        slot = np.searchsorted(ud, doc)
-        pos_sum = np.bincount(slot, weights=npos, minlength=len(ud))
-        dup_sum = np.bincount(slot, weights=dup, minlength=len(ud))
-        return pa.table(
-            {
-                "doc_id": pa.array(ud, pa.int64()),
-                "n_positions": pa.array(pos_sum.astype(np.int64), pa.int64()),
-                "n_dup_positions": pa.array(
-                    dup_sum.astype(np.int64), pa.int64()
-                ),
-            }
-        )
-
-    partials = keyed_window(pos_rows, "shingle", per_bucket)
-
-    def fold(g: pa.Table) -> pa.Table:
-        did = g.column("doc_id").to_numpy(zero_copy_only=False)
-        ns = g.column("n_positions").to_numpy(zero_copy_only=False)
-        nd = g.column("n_dup_positions").to_numpy(zero_copy_only=False)
-        order = np.argsort(did, kind="stable")
-        did, ns, nd = did[order], ns[order], nd[order]
-        starts = np.flatnonzero(segment_starts(did))
-        return pa.table(
-            {
-                "doc_id": pa.array(did[starts], pa.int64()),
-                "n_positions": pa.array(
-                    np.add.reduceat(ns, starts).astype(np.int64), pa.int64()
-                ),
-                "n_dup_positions": pa.array(
-                    np.add.reduceat(nd, starts).astype(np.int64), pa.int64()
-                ),
-            }
-        )
-
-    return keyed_window(partials, "doc_id", fold).sort("doc_id")
-
-
-ORACLE_DUP_SPAN = rf"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_extract_all(lower(text), '\w+'),
-                     x -> length(x) > 0) AS ts
-  FROM documents
-), sh AS (
-  SELECT doc_id, array_to_string(ts[i:i+{_SPAN_W - 1}], ' ') AS shingle
-  FROM toks JOIN range(1, 4096) t(i)
-    ON t.i <= greatest(0, len(ts) - {_SPAN_W - 1})
-), tot AS (
-  SELECT shingle, count(*) AS c FROM sh GROUP BY 1
-)
-SELECT s.doc_id,
-       CAST(count(*) AS BIGINT) AS n_positions,
-       CAST(sum(CASE WHEN t.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_dup_positions
-FROM sh s JOIN tot t USING (shingle)
-GROUP BY 1 ORDER BY doc_id
-"""
-
 #: point-in-time probe sequence numbers (spanning both live epochs and
 #: the post-stream horizon; the orphaned range sits inside epoch 2)
 _PIT_PROBES = (50_000, 150_000, 250_000)
@@ -12588,8 +12329,6 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES = {
     "gopher_repetition_documents": q_gopher_repetition_documents,
-    "decontaminate_documents": q_decontaminate_documents,
-    "dup_span_documents": q_dup_span_documents,
     "pit_live_versions": q_pit_live_versions,
     "fim_split_documents": q_fim_split_documents,
     "vocab_richness_per_source": q_vocab_richness_per_source,
@@ -12814,8 +12553,6 @@ QUERIES = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES} | {
 
 ORACLE_SQL = {
     "gopher_repetition_documents": ORACLE_GOPHER_REPETITION,
-    "decontaminate_documents": ORACLE_DECONTAMINATE,
-    "dup_span_documents": ORACLE_DUP_SPAN,
     "pit_live_versions": ORACLE_PIT_LIVE,
     "fim_split_documents": ORACLE_FIM_SPLIT,
     "vocab_richness_per_source": ORACLE_VOCAB_RICHNESS,
