@@ -12324,10 +12324,182 @@ GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# wave 18: interval-overlap join over SCD2 validity intervals
+# ---------------------------------------------------------------------------
+
+def q_concurrent_versions_per_repo(sf_dir: str) -> ray.data.Dataset:
+    """Interval-OVERLAP join over the SCD2 validity intervals (the
+    interval-join family member `pit_live_versions`' point probe and
+    `asof_join_clicks_views`' as-of don't cover): per repo, how many
+    PAIRS of live versions (different paths — same-path versions chain
+    and never overlap) had intersecting validity windows, plus the
+    peak number of simultaneously-live versions.  The concurrent-edit
+    / contention audit of a CDC lake.
+
+    Distributed shape: the quadratic overlap join is never
+    materialized — one repo-keyed bucket exchange, then TWO classic
+    sweeps, both vectorized across ALL repos of the bucket at once by
+    lifting (repo_code, seq) into a single composite key space:
+    overlap pairs = C(n,2) − disjoint pairs via one global
+    searchsorted of starts into sorted ends (half-open intervals make
+    each disjoint pair counted exactly once), and peak concurrency =
+    max of a per-segment running boundary sum (±1 deltas, ends sorted
+    before starts at ties).  O(n log n) per bucket, no per-repo Python
+    loop, driver sees one row per repo."""
+    from ..functions.window import keyed_window, segment_starts
+
+    import glob as _glob
+
+    stream = _derive_cdc_stream(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(os.path.join(stream, "events-*.parquet"))),
+        columns=["repo", "path", "commit_seq", "op"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.or_(
+                pc.less(t.column("commit_seq"), pa.scalar(_ORPHAN_LO)),
+                pc.greater(t.column("commit_seq"), pa.scalar(_ORPHAN_HI)),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    #: composite-key stride: seqs are < 2^22 here; 2^40 keeps every
+    #: repo's (start, end) range disjoint in one sortable axis
+    B = np.int64(1) << np.int64(40)
+    INF = B - np.int64(1)  # open interval: "end of this repo's range"
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from ..functions.window import lead_one
+
+        empty = pa.table(
+            {"repo": pa.array([], pa.string()),
+             "n_versions": pa.array([], pa.int64()),
+             "n_overlap_pairs": pa.array([], pa.int64()),
+             "peak_concurrent": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        key = pc.binary_join_element_wise(
+            g.column("repo"), g.column("path"), "\x00"
+        )
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        vocab = pa.array(sorted(pc.unique(key).to_pylist()))
+        codes = pc.index_in(key, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        )
+        seq = g.column("commit_seq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, codes))
+        codes_s, seq_s = codes[order], seq[order]
+        starts_m = segment_starts(codes_s)
+        led, has_next = lead_one(seq_s, starts_m)
+        op = (
+            g.column("op").take(pa.array(order, pa.int64()))
+            .to_numpy(zero_copy_only=False)
+        )
+        repo = (
+            g.column("repo").take(pa.array(order, pa.int64()))
+            .combine_chunks()
+        )
+        live = op != "delete"
+        if not live.any():
+            return empty
+        rvocab = pa.array(sorted(pc.unique(repo).to_pylist()))
+        rcode = pc.index_in(repo, value_set=rvocab).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lo = seq_s[live].astype(np.int64) + rcode[live] * B
+        hi = np.where(has_next[live], led[live], INF).astype(np.int64) + (
+            rcode[live] * B
+        )
+        rc = rcode[live]
+        n_repos = len(rvocab)
+        n_per = np.bincount(rc, minlength=n_repos).astype(np.int64)
+        # --- overlap pairs: C(n,2) − disjoint (end_j ≤ start_i) ---
+        hi_sorted = np.sort(hi)
+        # ends belonging to earlier repos, per interval
+        before = np.searchsorted(hi_sorted, rc * B, side="left")
+        disjoint_i = np.searchsorted(hi_sorted, lo, side="right") - before
+        disjoint = np.bincount(rc, weights=disjoint_i, minlength=n_repos)
+        pairs = n_per * (n_per - 1) // 2 - disjoint.astype(np.int64)
+        # --- peak concurrency: per-repo running ±1 boundary sum ---
+        closed = hi % B != INF
+        ev_seq = np.concatenate([lo, hi[closed]])
+        ev_d = np.concatenate(
+            [np.ones(len(lo), np.int64), -np.ones(int(closed.sum()), np.int64)]
+        )
+        ev_rc = np.concatenate([rc, rc[closed]])
+        eorder = np.lexsort((ev_d, ev_seq))  # ends (−1) before starts at ties
+        ev_rc = ev_rc[eorder]
+        run = np.cumsum(ev_d[eorder])
+        seg = segment_starts(ev_rc)  # composite keys keep repos contiguous
+        idx = np.flatnonzero(seg)
+        base = np.where(idx > 0, run[idx - 1], 0)
+        run = run - np.repeat(base, np.diff(np.append(idx, len(run))))
+        peak = np.maximum.reduceat(run, idx).astype(np.int64)
+        peak_rc = ev_rc[idx]
+        peak_per = np.zeros(n_repos, np.int64)
+        peak_per[peak_rc] = peak
+        return pa.table(
+            {
+                "repo": rvocab,
+                "n_versions": pa.array(n_per, pa.int64()),
+                "n_overlap_pairs": pa.array(pairs, pa.int64()),
+                "peak_concurrent": pa.array(peak_per, pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "repo", per_bucket).sort("repo")
+
+
+ORACLE_CONCURRENT_VERSIONS = f"""
+WITH {_EV_CTE},
+v AS (
+  SELECT repo, path, commit_seq, op,
+         lead(commit_seq) OVER (
+           PARTITION BY repo, path ORDER BY commit_seq) AS valid_to_seq
+  FROM eff
+),
+lv AS (SELECT * FROM v WHERE op <> 'delete'),
+pairs AS (
+  SELECT a.repo, count(*) AS n_overlap_pairs
+  FROM lv a JOIN lv b
+    ON a.repo = b.repo AND a.commit_seq < b.commit_seq
+   AND (a.valid_to_seq IS NULL OR a.valid_to_seq > b.commit_seq)
+  GROUP BY 1
+),
+bounds AS (
+  SELECT repo, commit_seq AS s, 1 AS d FROM lv
+  UNION ALL
+  SELECT repo, valid_to_seq AS s, -1 AS d FROM lv
+  WHERE valid_to_seq IS NOT NULL
+),
+run AS (
+  SELECT repo, sum(d) OVER (
+    PARTITION BY repo ORDER BY s, d ROWS UNBOUNDED PRECEDING) AS c
+  FROM bounds
+),
+peak AS (SELECT repo, max(c) AS peak_concurrent FROM run GROUP BY 1),
+nv AS (SELECT repo, count(*) AS n_versions FROM lv GROUP BY 1)
+SELECT nv.repo,
+       CAST(nv.n_versions AS BIGINT) AS n_versions,
+       CAST(COALESCE(p.n_overlap_pairs, 0) AS BIGINT) AS n_overlap_pairs,
+       CAST(pk.peak_concurrent AS BIGINT) AS peak_concurrent
+FROM nv
+LEFT JOIN pairs p USING (repo)
+JOIN peak pk USING (repo)
+ORDER BY repo
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "concurrent_versions_per_repo": q_concurrent_versions_per_repo,
     "gopher_repetition_documents": q_gopher_repetition_documents,
     "pit_live_versions": q_pit_live_versions,
     "fim_split_documents": q_fim_split_documents,
@@ -12552,6 +12724,7 @@ QUERIES = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES} | {
 }
 
 ORACLE_SQL = {
+    "concurrent_versions_per_repo": ORACLE_CONCURRENT_VERSIONS,
     "gopher_repetition_documents": ORACLE_GOPHER_REPETITION,
     "pit_live_versions": ORACLE_PIT_LIVE,
     "fim_split_documents": ORACLE_FIM_SPLIT,
