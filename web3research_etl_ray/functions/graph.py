@@ -169,3 +169,79 @@ def pagerank(
         lambda t: t.select(["node", "rank"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    *,
+    max_iters: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> ray.data.Dataset:
+    """Multi-source breadth-first hop distances over a DIRECTED edge
+    Dataset (pass both orientations for an undirected graph):
+    (node, hops) for every node reachable from ``seeds`` — the third
+    member of the iterative family next to ``pagerank`` and
+    ``connected_components_ds``.
+
+    Level-synchronous frontier expansion, the textbook distributed BFS
+    (Pregel/Beamer): per round, one bucketed hash join frontier x edges
+    on the source endpoint emits (neighbor, hops+1), a groupby-min
+    dedups the level, and an anti-join against the visited set keeps
+    only first-time nodes, so each edge is shipped at most once per
+    round and each node settles exactly once (its first level is its
+    shortest distance — BFS invariant).  State is two node-keyed
+    Datasets (frontier, visited); the driver sees only the frontier
+    count per round.  Rounds = graph diameter, capped at
+    ``max_iters``."""
+    from ray.data.aggregate import Min
+
+    seeds = seeds.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node").cast(pa.int64()),
+             "hops": t.column("hops").cast(pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    visited = seeds
+    frontier = seeds
+
+    def as_src(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {src_col: t.column("node").cast(pa.int64()),
+             "hops": t.column("hops").cast(pa.int64())}
+        )
+
+    def bump(t: pa.Table) -> pa.Table:
+        h = t.column("hops").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": t.column(dst_col).cast(pa.int64()),
+             "hops": pa.array(h + 1, pa.int64())}
+        )
+
+    for _ in range(max_iters):
+        if frontier.count() == 0:
+            break
+        nbrs = hash_join(
+            frontier.map_batches(
+                as_src, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            edges,
+            src_col,
+            left_cols=[src_col, "hops"],
+            right_cols=[dst_col],
+        ).map_batches(bump, batch_format="pyarrow", zero_copy_batch=True)
+        level = nbrs.groupby("node").aggregate(Min("hops", alias_name="hops"))
+        frontier = hash_join(
+            level, visited, "node",
+            left_cols=["node", "hops"], right_cols=["node"], how="anti",
+        ).map_batches(
+            # column order must match the visited schema for union()
+            lambda t: t.select(["node", "hops"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+    return visited

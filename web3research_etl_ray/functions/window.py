@@ -211,6 +211,54 @@ def ntiles(k: int, starts: np.ndarray) -> np.ndarray:
     ) + 1
 
 
+def range_frame_bounds(
+    ts: np.ndarray, starts: np.ndarray, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """SQL RANGE-frame bounds (``RANGE BETWEEN window PRECEDING AND
+    CURRENT ROW``) for key-major (key, ts)-sorted int64 timestamps:
+    per row, the [lo, hi) row-index slice of the same segment whose ts
+    lies in the CLOSED interval [ts_i - window, ts_i].  ``hi`` lands
+    after the last PEER (equal ts), matching SQL's frame-ends-at-last-
+    peer rule, so equal-ts rows see each other regardless of tie order.
+
+    Vectorized across every segment of the bucket at once: each
+    segment's ts is rebased to its own start and lifted onto one
+    monotone int64 axis with inter-segment gaps > window, so TWO global
+    searchsorteds answer every row's bounds and no probe crosses a
+    segment boundary.  When the lifted axis would overflow int64 (many
+    segments x long spans) the lift restarts per overflow chunk — the
+    loop count is overflow-driven (~totalspan / 2^62), never per-key."""
+    n = len(ts)
+    lo = np.empty(n, np.int64)
+    hi = np.empty(n, np.int64)
+    if n == 0:
+        return lo, hi
+    window = np.int64(window)
+    start_idx = np.flatnonzero(starts)
+    counts = np.diff(np.append(start_idx, n))
+    rel = ts - np.repeat(ts[start_idx], counts)
+    seg_last_rel = rel[np.append(start_idx[1:], n) - 1]
+    stride = seg_last_rel + window + np.int64(2)
+    cumf = np.cumsum(stride.astype(np.float64))
+    limit = float(np.int64(1) << np.int64(62))
+    s0 = 0
+    while s0 < len(start_idx):
+        base_off = cumf[s0] - float(stride[s0])
+        s1 = int(np.searchsorted(cumf, base_off + limit, side="left"))
+        s1 = max(s1, s0 + 1)
+        r0 = start_idx[s0]
+        r1 = start_idx[s1] if s1 < len(start_idx) else n
+        st = stride[s0:s1]
+        base = np.concatenate(
+            ([np.int64(0)], np.cumsum(st[:-1]))
+        ).astype(np.int64)
+        axis = rel[r0:r1] + np.repeat(base, counts[s0:s1])
+        lo[r0:r1] = np.searchsorted(axis, axis - window, side="left") + r0
+        hi[r0:r1] = np.searchsorted(axis, axis, side="right") + r0
+        s0 = s1
+    return lo, hi
+
+
 def ordered_prefix_sum(
     ds: ray.data.Dataset,
     order_col: str,

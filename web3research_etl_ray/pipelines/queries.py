@@ -12494,11 +12494,296 @@ ORDER BY repo
 """
 
 
+def q_window_range_trailing(sf_dir: str) -> ray.data.Dataset:
+    """SQL RANGE frame — the TIME-interval window the ROWS-frame
+    family (`window_lead_moving`'s mov3) can't express: per event, the
+    count and cents-sum of the SAME user's events in the trailing ONE
+    HOUR by timestamp (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW).  RANGE semantics are matched exactly: the frame ends
+    at the current row's last PEER, so equal-ts events of a user see
+    each other regardless of tie order (closed-interval searchsorted
+    on ts gives precisely that set).
+
+    One keyed bucket exchange; inside the bucket
+    ``range_frame_bounds`` answers BOTH frame bounds for every row of
+    every user with two global searchsorteds over a per-segment
+    offset-lifted time axis (inter-user gaps > window keep probes
+    inside their segment; the lift chunks itself on int64 overflow) —
+    no per-user loop, and one prefix sum turns bounds into sums."""
+    from ..functions.window import keyed_window, range_frame_bounds
+
+    HOUR_US = np.int64(3_600_000_000)
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid, ts, eid, cents, starts = _window_sorted(g)
+        lo, hi = range_frame_bounds(ts, starts, HOUR_US)
+        csum = np.concatenate(([np.int64(0)], np.cumsum(cents)))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "w1h_n": pa.array(hi - lo, pa.int64()),
+                "w1h_sum_cents": pa.array(csum[hi] - csum[lo], pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_WINDOW_RANGE = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS w1h_n,
+       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS w1h_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_quantiles_cont_per_user(sf_dir: str) -> ray.data.Dataset:
+    """EXACT per-user INTERPOLATED quantiles (SQL ``quantile_cont`` /
+    PERCENTILE_CONT p25/p50/p75) — the linear-interpolation complement
+    of `quantiles_value_per_user`'s discrete gather.  Float parity is
+    made bit-exact by integerizing the interpolation itself: with
+    q = k/4, h = q*(n-1) has 4h integer, so 4x the interpolated value
+    is the INTEGER c_lo*(4-r) + c_hi*r (r = 4h mod 4) — emitted as
+    quarter-cents, and the oracle's quantile_cont(cents)*4 is exact in
+    double because every term is a multiple of 0.25 below 2^55.
+
+    Same distributed shape as the discrete path: one keyed bucket
+    exchange, one lexsort per bucket, two gathers per quantile."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, uid))
+        uid, cents = uid[order], cents[order]
+        start_idx = np.flatnonzero(segment_starts(uid))
+        counts = np.diff(np.append(start_idx, len(uid)))
+        cols = {"user_id": pa.array(uid[start_idx], pa.int64())}
+        for k, nm in ((1, "p25_qc"), (2, "p50_qc"), (3, "p75_qc")):
+            h4 = k * (counts - 1)  # 4*(q*(n-1)), exact integer
+            r = h4 % 4
+            lo = cents[start_idx + h4 // 4]
+            hi = cents[start_idx + (h4 + 3) // 4]
+            cols[nm] = pa.array(lo * (4 - r) + hi * r, pa.int64())
+        return pa.table(cols)
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_QUANTILES_CONT = """
+SELECT user_id,
+  CAST(ROUND(quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.25) * 4)
+       AS BIGINT) AS p25_qc,
+  CAST(ROUND(quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.50) * 4)
+       AS BIGINT) AS p50_qc,
+  CAST(ROUND(quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.75) * 4)
+       AS BIGINT) AS p75_qc
+FROM events GROUP BY user_id
+"""
+
+
+def q_audience_matrix(sf_dir: str) -> pa.Table:
+    """Audience segmentation matrix over HIGH-VALUE interactions
+    (value > 200 — the whale-behavior band; the unfiltered matrix is
+    degenerate on dense streams where every user touches every type):
+    for every ordered event-type pair (done, missing), how many
+    distinct users did `done` but NEVER did `missing`.  The
+    did-X-not-Y query is the classic self-anti-join trap (|T|^2
+    correlated NOT EXISTS subqueries); here it costs ONE user-keyed
+    exchange total: each bucket folds its users' distinct types into
+    per-user BITMASKS (bitwise_or.reduceat — the
+    `cross_source_overlap` kernel), emits (mask, n_users) rows bounded
+    by distinct masks <= 2^|T|, and the driver expands the tiny mask
+    histogram into the |T|^2 matrix.  Assumes a bounded event-type
+    taxonomy (|T| <= 63 — enum-like CDC op/type vocabularies), asserted
+    at run time; the global vocabulary comes from a distinct pass so a
+    type absent from a bucket still counts as 'never did' there."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"]) \
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t.column("value"), pa.scalar(200.0))
+            ).select(["user_id", "event_type"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    types = sorted(ds.unique("event_type"))
+    if len(types) > 63:
+        raise ValueError("audience_matrix assumes |event types| <= 63")
+    vocab = pa.array(types, pa.string())
+
+    def fn(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        code = pc.index_in(
+            g.column("event_type").combine_chunks(), value_set=vocab
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((code, uid))
+        uid, code = uid[order], code[order]
+        idx = np.flatnonzero(segment_starts(uid))
+        masks = np.bitwise_or.reduceat(np.int64(1) << code, idx)
+        um, cnt = np.unique(masks, return_counts=True)
+        return pa.table(
+            {"mask": pa.array(um, pa.int64()),
+             "n": pa.array(cnt, pa.int64())}
+        )
+
+    rows = keyed_window(ds, "user_id", fn).take_all()
+    agg: dict[int, int] = {}
+    for r in rows:  # <= buckets x distinct masks — tiny driver fold
+        agg[r["mask"]] = agg.get(r["mask"], 0) + r["n"]
+    T = len(types)
+    out = np.zeros((T, T), np.int64)
+    for mask, n in agg.items():
+        done = np.flatnonzero((mask >> np.arange(T)) & 1)
+        miss = np.flatnonzero(~(mask >> np.arange(T)) & 1)
+        if len(done) and len(miss):
+            out[np.repeat(done, len(miss)), np.tile(miss, len(done))] += n
+    d, m = np.nonzero(out)
+    return pa.table(
+        {
+            "done_type": pa.array([types[i] for i in d], pa.string()),
+            "missing_type": pa.array([types[j] for j in m], pa.string()),
+            "n_users": pa.array(out[d, m], pa.int64()),
+        }
+    ).sort_by([("done_type", "ascending"), ("missing_type", "ascending")])
+
+
+ORACLE_AUDIENCE_MATRIX = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+            WHERE value > 200),
+tys AS (SELECT DISTINCT event_type FROM events WHERE value > 200)
+SELECT a.event_type AS done_type, t.event_type AS missing_type,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM ut a CROSS JOIN tys t
+WHERE NOT EXISTS (
+  SELECT 1 FROM ut b
+  WHERE b.user_id = a.user_id AND b.event_type = t.event_type
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_bfs_hops(sf_dir: str) -> pa.Table:
+    """Distributed multi-source BFS over the exact Jaccard >= 0.5 pair
+    graph: per document in any pair, its HOP DISTANCE to the
+    component's canonical representative (the min doc_id that
+    `jaccard_clusters` elects) — the lineage-depth diagnostic for
+    near-dup clusters (hops == how many near-dup steps separate a doc
+    from its cluster exemplar; a deep chain is drift, hops 1 from a
+    star center is a template).
+
+    Third iterative-family member after `pagerank_parts` and the
+    hash-to-min components: seeds = component minima from
+    `connected_components_ds`, then level-synchronous frontier
+    expansion (`functions/graph.py::bfs_hops`) — one bucketed hash
+    join + groupby-min + anti-join per round, rounds = graph diameter.
+    Oracle: the jaccard_clusters recursive min-label CTE extended with
+    a shortest-path walk (UNION-dedup'd (node, depth) states, depth
+    capped at 64 like the engine's max_iters)."""
+    from ..functions.dedup import connected_components_ds
+    from ..functions.graph import bfs_hops
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _exact_jaccard_pairs_ds(ds).map_batches(
+        lambda t: t.select(["id_a", "id_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # consumed twice: component labels + edge list
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "hops": pa.array([], pa.int64())}
+    )
+    if pairs.count() == 0:
+        return empty
+    comps = connected_components_ds(pairs)
+    seeds = comps.map_batches(
+        lambda t: (lambda f: pa.table(
+            {"node": f.column("doc_id").cast(pa.int64()),
+             "hops": pa.array(np.zeros(f.num_rows, np.int64), pa.int64())}
+        ))(t.filter(pc.equal(t.column("doc_id"), t.column("cluster_id")))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"src": pa.concat_arrays(
+                [t.column("id_a").cast(pa.int64()).combine_chunks(),
+                 t.column("id_b").cast(pa.int64()).combine_chunks()]),
+             "dst": pa.concat_arrays(
+                [t.column("id_b").cast(pa.int64()).combine_chunks(),
+                 t.column("id_a").cast(pa.int64()).combine_chunks()])}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    rows = bfs_hops(edges, seeds).take_all()
+    if not rows:
+        return empty
+    return pa.Table.from_pylist(
+        [{"doc_id": r["node"], "hops": r["hops"]} for r in rows]
+    ).sort_by("doc_id")
+
+
+ORACLE_BFS_HOPS = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+live AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM live)
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_inter >= sa.n + sb.n - n_inter
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, k.comp FROM walk k JOIN edges e ON e.u = k.id
+  WHERE k.comp < e.v
+),
+comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+bfs(id, d) AS (
+  SELECT id, 0 FROM comps WHERE id = comp
+  UNION
+  SELECT e.v, b.d + 1 FROM bfs b JOIN edges e ON e.u = b.id
+  WHERE b.d < 64
+)
+SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY id
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "window_range_trailing": q_window_range_trailing,
+    "quantiles_cont_per_user": q_quantiles_cont_per_user,
+    "audience_matrix": q_audience_matrix,
+    "bfs_hops_pairs": q_bfs_hops,
     "concurrent_versions_per_repo": q_concurrent_versions_per_repo,
     "gopher_repetition_documents": q_gopher_repetition_documents,
     "pit_live_versions": q_pit_live_versions,
@@ -12724,6 +13009,10 @@ QUERIES = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES} | {
 }
 
 ORACLE_SQL = {
+    "window_range_trailing": ORACLE_WINDOW_RANGE,
+    "quantiles_cont_per_user": ORACLE_QUANTILES_CONT,
+    "audience_matrix": ORACLE_AUDIENCE_MATRIX,
+    "bfs_hops_pairs": ORACLE_BFS_HOPS,
     "concurrent_versions_per_repo": ORACLE_CONCURRENT_VERSIONS,
     "gopher_repetition_documents": ORACLE_GOPHER_REPETITION,
     "pit_live_versions": ORACLE_PIT_LIVE,
