@@ -224,3 +224,113 @@ def test_bfs_hops_shortcut_takes_min(ray_session):
         for r in bfs_hops(_edges_ds(pairs), _seeds_ds([1])).take_all()
     }
     assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+# ------------------------------------------------------- wave 20: churn etc.
+
+def test_version_churn_kernel_planted(ray_session, tmp_path, monkeypatch):
+    """Plant a tiny CDC stream via the derivation cache dir: two paths,
+    one with a full rewrite (zero overlap), one with repeated tokens
+    (within-version dedup) and an empty middle version."""
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines import queries as Q
+
+    stream = tmp_path / "stream"
+    stream.mkdir()
+    rows = [
+        # path A: 'a b b' -> 'a b c' (inter {a,b}=2, union {a,b,c}=3)
+        ("r1", "A", 0, "a b b", "upsert"),
+        ("r1", "A", 1, "a b c", "upsert"),
+        # path B: 'x y' -> '' -> 'x y' (pairs: inter 0/0, union 2/2)
+        ("r1", "B", 0, "x y", "upsert"),
+        ("r1", "B", 1, "", "upsert"),
+        ("r1", "B", 2, "x y", "upsert"),
+        # path C: deleted mid-stream: delete rows are EXCLUDED, so the
+        # surviving pair is v0 -> v2 (rewrite, inter 0)
+        ("r1", "C", 0, "p q", "upsert"),
+        ("r1", "C", 1, "p q", "delete"),
+        ("r1", "C", 2, "z w", "upsert"),
+        # path D: single version -> not in output
+        ("r1", "D", 0, "solo", "upsert"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows]),
+                "path": pa.array([r[1] for r in rows]),
+                "commit": pa.array([f"c{i}" for i in range(len(rows))]),
+                "lang": pa.array(["en"] * len(rows)),
+                "content": pa.array([r[3] for r in rows]),
+                "commit_seq": pa.array([r[2] for r in rows], pa.int64()),
+                "op": pa.array([r[4] for r in rows]),
+            }
+        ),
+        str(stream / "events-00000.parquet"),
+    )
+    monkeypatch.setattr(Q, "_derive_cdc_stream", lambda sf: str(stream))
+    got = {
+        (r["repo"], r["path"]): (
+            r["n_versions"], r["sum_inter"], r["sum_union"])
+        for r in Q.q_version_churn_per_path("ignored").take_all()
+    }
+    assert got == {
+        ("r1", "A"): (2, 2, 3),
+        ("r1", "B"): (3, 0, 4),
+        ("r1", "C"): (2, 0, 4),
+    }
+
+
+def test_lang_source_chi2_zero_cell(ray_session, tmp_path):
+    """A (source, lang) combination with zero observed docs must still
+    appear with its expected count (the margin product)."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a", "b", "c"]),
+                "lang": pa.array(["en", "en", "fr"]),
+                "source": pa.array(["s1", "s2", "s2"]),
+                "n_chars": pa.array([1, 1, 1], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from web3research_etl_ray.pipelines.queries import q_lang_source_chi2
+
+    t = q_lang_source_chi2(str(tmp_path))
+    got = {
+        (r["source"], r["lang"]): (r["observed"], r["expected"])
+        for r in t.to_pylist()
+    }
+    assert len(got) == 4  # full 2x2 product
+    assert got[("s1", "fr")] == (0, 1.0 * 1.0 / 3.0)
+    assert got[("s1", "en")][0] == 1 and got[("s2", "en")][0] == 1
+
+
+def test_readability_edge_docs(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["", "One two. Three!", "no punctuation here"]
+                ),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([0, 15, 19], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from web3research_etl_ray.pipelines.queries import (
+        q_readability_documents)
+
+    got = {
+        r["doc_id"]: r
+        for r in q_readability_documents(str(tmp_path)).take_all()
+    }
+    assert got[0]["n_words"] == 0 and got[0]["flesch"] is None
+    assert got[1]["n_sentences"] == 2
+    assert got[2]["n_sentences"] == 1  # floored at 1
+    assert got[2]["flesch"] is not None

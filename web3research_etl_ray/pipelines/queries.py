@@ -12775,11 +12775,355 @@ ORDER BY doc_id
 """
 
 
+def q_version_churn_per_path(sf_dir: str) -> ray.data.Dataset:
+    """Code-churn analytics over the CDC stream itself — per (repo,
+    path): how much each upsert CHANGED the content, as the exact
+    token-overlap sums across consecutive version pairs (sum_inter /
+    sum_union over all adjacent pairs; 1 - inter/union is the mean
+    Jaccard churn).  The content-evolution-rate signal a code-corpus
+    lake needs (a path whose versions share no tokens is a rewrite; a
+    near-1 overlap stream is comment noise) — and the reference's
+    sync loop has nothing like it because it never compares adjacent
+    versions (src/ch_eth/sync.rs applies them blindly).
+
+    One (repo,path)-keyed bucket exchange; inside the bucket the
+    version-pair set intersections are computed WITHOUT per-pair work:
+    every version's tokens flatten into one stream (Arrow RE2 split),
+    one Arrow sort by (token, version-position) groups each token's
+    version list, and two shifted compares find (a) duplicate tokens
+    within a version (dedup to DISTINCT) and (b) adjacent-rank hits —
+    a token in versions r and r+1 of the same key is exactly one
+    adjacent pair in that sorted order.  Per-version bincounts +
+    per-key reduceat fold the pair sums; no loop over pairs, keys, or
+    versions."""
+    from ..functions.text import token_strings
+    from ..functions.window import keyed_window, segment_starts
+
+    import glob as _glob
+
+    stream = _derive_cdc_stream(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        f = t.filter(
+            pc.and_(
+                pc.not_equal(t.column("op"), pa.scalar("delete")),
+                pc.or_(
+                    pc.less(t.column("commit_seq"), pa.scalar(_ORPHAN_LO)),
+                    pc.greater(t.column("commit_seq"), pa.scalar(_ORPHAN_HI)),
+                ),
+            )
+        )
+        return f.append_column(
+            "__k",
+            pc.binary_join_element_wise(
+                f.column("repo"), f.column("path"), "\x00"
+            ),
+        )
+
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(os.path.join(stream, "events-*.parquet"))),
+        columns=["repo", "path", "commit_seq", "content", "op"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    _EMPTY = pa.table(
+        {"repo": pa.array([], pa.string()),
+         "path": pa.array([], pa.string()),
+         "n_versions": pa.array([], pa.int64()),
+         "sum_inter": pa.array([], pa.int64()),
+         "sum_union": pa.array([], pa.int64())}
+    )
+
+    def fn(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EMPTY
+        key = g.column("__k").combine_chunks()
+        vocab = pa.array(sorted(pc.unique(key).to_pylist()))
+        kcode = pc.index_in(key, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        seq = g.column("commit_seq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, kcode))
+        kcode = kcode[order]
+        take = pa.array(order, pa.int64())
+        content = g.column("content").take(take)
+        starts = segment_starts(kcode)
+        start_idx = np.flatnonzero(starts)
+        V = len(kcode)
+        nv = np.diff(np.append(start_idx, V))
+        flat, vidx = token_strings(content)
+        n_v = np.zeros(V, np.int64)
+        inter_v = np.zeros(V, np.int64)
+        if len(vidx):
+            tt = pa.table(
+                {"tok": flat, "v": pa.array(vidx, pa.int64())}
+            )
+            si = pc.sort_indices(
+                tt,
+                sort_keys=[("tok", "ascending"), ("v", "ascending")],
+            )
+            tok_s = tt.column("tok").take(si).combine_chunks()
+            v_s = tt.column("v").take(si).to_numpy(zero_copy_only=False)
+            n = len(v_s)
+            same_tok = np.zeros(n, bool)
+            if n > 1:
+                same_tok[1:] = pc.equal(
+                    tok_s.slice(1), tok_s.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+            run_id = np.cumsum(~same_tok)
+            dup = np.zeros(n, bool)
+            if n > 1:
+                dup[1:] = same_tok[1:] & (v_s[1:] == v_s[:-1])
+            rid, vD = run_id[~dup], v_s[~dup]
+            n_v = np.bincount(vD, minlength=V).astype(np.int64)
+            if len(vD) > 1:
+                adj = (
+                    (rid[1:] == rid[:-1])
+                    & (vD[1:] == vD[:-1] + 1)
+                    & (kcode[vD[1:]] == kcode[vD[:-1]])
+                )
+                inter_v = np.bincount(
+                    vD[:-1][adj], minlength=V
+                ).astype(np.int64)
+        not_last = np.ones(V, bool)
+        not_last[np.append(start_idx[1:], V) - 1] = False
+        not_first = ~starts
+        sum_inter = np.add.reduceat(inter_v, start_idx)
+        sum_union = (
+            np.add.reduceat(
+                n_v * not_last.astype(np.int64)
+                + n_v * not_first.astype(np.int64),
+                start_idx,
+            )
+            - sum_inter
+        )
+        keep = nv >= 2
+        first = pa.array(start_idx[keep], pa.int64())
+        return pa.table(
+            {
+                "repo": g.column("repo").take(take).take(first),
+                "path": g.column("path").take(take).take(first),
+                "n_versions": pa.array(nv[keep], pa.int64()),
+                "sum_inter": pa.array(sum_inter[keep], pa.int64()),
+                "sum_union": pa.array(sum_union[keep], pa.int64()),
+            }
+        )
+
+    return keyed_window(ds, "__k", fn)
+
+
+ORACLE_VERSION_CHURN = rf"""
+WITH {_EV_CTE},
+up AS (
+  SELECT repo, path, commit_seq, lower(content) AS c
+  FROM eff WHERE op <> 'delete'
+),
+r AS (
+  SELECT repo, path,
+         CAST(row_number() OVER (
+           PARTITION BY repo, path ORDER BY commit_seq) - 1 AS BIGINT)
+           AS rk,
+         c
+  FROM up
+),
+tok AS (
+  SELECT DISTINCT repo, path, rk, t
+  FROM r, UNNEST(regexp_extract_all(c, '\w+')) AS u(t)
+),
+sz0 AS (SELECT repo, path, rk, count(*) AS n FROM tok GROUP BY 1, 2, 3),
+sz AS (
+  SELECT r.repo, r.path, r.rk, COALESCE(s.n, 0) AS n
+  FROM r LEFT JOIN sz0 s
+    ON s.repo = r.repo AND s.path = r.path AND s.rk = r.rk
+),
+iv AS (
+  SELECT a.repo, a.path, a.rk, count(*) AS ni
+  FROM tok a JOIN tok b
+    ON a.repo = b.repo AND a.path = b.path AND a.t = b.t
+   AND b.rk = a.rk + 1
+  GROUP BY 1, 2, 3
+),
+pr AS (
+  SELECT sa.repo, sa.path,
+         sa.n + sb.n - COALESCE(i.ni, 0) AS uni,
+         COALESCE(i.ni, 0) AS ni
+  FROM sz sa
+  JOIN sz sb ON sa.repo = sb.repo AND sa.path = sb.path
+            AND sb.rk = sa.rk + 1
+  LEFT JOIN iv i ON i.repo = sa.repo AND i.path = sa.path
+                AND i.rk = sa.rk
+),
+nv AS (SELECT repo, path, count(*) AS n_versions FROM r GROUP BY 1, 2)
+SELECT nv.repo, nv.path,
+       CAST(nv.n_versions AS BIGINT) AS n_versions,
+       CAST(COALESCE(sum(pr.ni), 0) AS BIGINT) AS sum_inter,
+       CAST(COALESCE(sum(pr.uni), 0) AS BIGINT) AS sum_union
+FROM nv
+LEFT JOIN pr ON pr.repo = nv.repo AND pr.path = nv.path
+WHERE nv.n_versions >= 2
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
+"""
+
+
+def q_lang_source_chi2(sf_dir: str) -> pa.Table:
+    """Chi-square independence cells for the (source x lang)
+    contingency table — the corpus-drift screen ('is language mix
+    independent of source?').  Distributed part = per-batch partial
+    (source, lang) counts folded through one tiny groupby-sum; the
+    driver expands the <= |S| x |L| margin product (INCLUDING
+    zero-observed cells, which a naive GROUP BY would drop but the
+    test requires) and emits per-CELL terms.  Floats are bit-exact by
+    construction: expected and chi2_term are computed per cell from
+    exact integer margins with the operation tree mirrored in the SQL
+    ((o-e)*(o-e)/e, no pow), and no float is ever summed across rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {"source": t.column("source"), "lang": t.column("lang")}
+        )
+        return tt.group_by(["source", "lang"]).aggregate(
+            [([], "count_all")]
+        ).rename_columns(["source", "lang", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # <= |S| x |L| rows
+    obs = {(r["source"], r["lang"]): r["n"] for r in cells}
+    sources = sorted({s for s, _ in obs})
+    langs = sorted({l for _, l in obs})
+    rs = {s: sum(v for (a, _), v in obs.items() if a == s) for s in sources}
+    cs = {l: sum(v for (_, b), v in obs.items() if b == l) for l in langs}
+    grand = float(sum(obs.values()))
+    rows = {
+        "source": [], "lang": [], "observed": [],
+        "expected": [], "chi2_term": [],
+    }
+    for s in sources:
+        for l in langs:
+            o = float(obs.get((s, l), 0))
+            e = float(rs[s]) * float(cs[l]) / grand
+            rows["source"].append(s)
+            rows["lang"].append(l)
+            rows["observed"].append(int(obs.get((s, l), 0)))
+            rows["expected"].append(e)
+            rows["chi2_term"].append((o - e) * (o - e) / e)
+    return pa.table(
+        {
+            "source": pa.array(rows["source"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "observed": pa.array(rows["observed"], pa.int64()),
+            "expected": pa.array(rows["expected"], pa.float64()),
+            "chi2_term": pa.array(rows["chi2_term"], pa.float64()),
+        }
+    )
+
+
+ORACLE_LANG_SOURCE_CHI2 = """
+WITH c AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+rs AS (SELECT source, sum(o) AS r FROM c GROUP BY 1),
+cs AS (SELECT lang, sum(o) AS l FROM c GROUP BY 1),
+g AS (SELECT sum(o) AS n FROM c)
+SELECT rs.source, cs.lang,
+       CAST(COALESCE(c.o, 0) AS BIGINT) AS observed,
+       CAST(rs.r AS DOUBLE) * CAST(cs.l AS DOUBLE) / CAST(g.n AS DOUBLE)
+         AS expected,
+       (CAST(COALESCE(c.o, 0) AS DOUBLE)
+          - CAST(rs.r AS DOUBLE) * CAST(cs.l AS DOUBLE)
+            / CAST(g.n AS DOUBLE))
+       * (CAST(COALESCE(c.o, 0) AS DOUBLE)
+          - CAST(rs.r AS DOUBLE) * CAST(cs.l AS DOUBLE)
+            / CAST(g.n AS DOUBLE))
+       / (CAST(rs.r AS DOUBLE) * CAST(cs.l AS DOUBLE)
+          / CAST(g.n AS DOUBLE)) AS chi2_term
+FROM rs CROSS JOIN cs CROSS JOIN g
+LEFT JOIN c ON c.source = rs.source AND c.lang = cs.lang
+ORDER BY 1, 2
+"""
+
+
+def q_readability_documents(sf_dir: str) -> ray.data.Dataset:
+    """Flesch reading-ease per document (Flesch 1948 — the classic
+    readability curation filter, distinct from `doc_quality`'s
+    length/punct ratios: it needs SENTENCE segmentation and a syllable
+    proxy).  words = \\w+ runs, sentence breaks = [.!?]+ runs (floored
+    at 1 — an unpunctuated doc is one long sentence), syllables ~
+    [aeiouy]+ vowel groups in the lowered text — three RE2 counts per
+    row (count_substring_regex), identical patterns in the oracle, and
+    the score 206.835 - 1.015*(w/s) - 84.6*(syl/w) is per-row float
+    arithmetic on exact integers (never summed), so parity is
+    bit-exact; NULL where a doc has no words.
+    Embarrassingly parallel: zero exchange."""
+    from ..functions.text import _count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        w = _count(txt, r"\w+").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        s = np.maximum(
+            _count(txt, r"[.!?]+").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            1,
+        )
+        syl = _count(pc.utf8_lower(txt), r"[aeiouy]+").cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ok = w > 0
+        wf = w.astype(np.float64)
+        sf = s.astype(np.float64)
+        sylf = syl.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = 206.835 - 1.015 * (wf / sf) - 84.6 * (sylf / wf)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_words": pa.array(w, pa.int64()),
+                "n_sentences": pa.array(s, pa.int64()),
+                "n_syllables": pa.array(syl, pa.int64()),
+                "flesch": pa.array(score, pa.float64(), mask=~ok),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_READABILITY = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_words,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                  1) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         206.835
+         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       END AS flesch
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "version_churn_per_path": q_version_churn_per_path,
+    "lang_source_chi2": q_lang_source_chi2,
+    "readability_documents": q_readability_documents,
     "window_range_trailing": q_window_range_trailing,
     "quantiles_cont_per_user": q_quantiles_cont_per_user,
     "audience_matrix": q_audience_matrix,
@@ -13009,6 +13353,9 @@ QUERIES = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES} | {
 }
 
 ORACLE_SQL = {
+    "version_churn_per_path": ORACLE_VERSION_CHURN,
+    "lang_source_chi2": ORACLE_LANG_SOURCE_CHI2,
+    "readability_documents": ORACLE_READABILITY,
     "window_range_trailing": ORACLE_WINDOW_RANGE,
     "quantiles_cont_per_user": ORACLE_QUANTILES_CONT,
     "audience_matrix": ORACLE_AUDIENCE_MATRIX,
