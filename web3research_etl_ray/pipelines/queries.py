@@ -13116,11 +13116,238 @@ FROM c
 """
 
 
+def q_max_drawdown_per_user(sf_dir: str) -> pa.Table:
+    """Per-user maximum drawdown of the value series ordered by
+    (ts, event_id): max over t of (running max − current value) — the
+    classic peak-to-trough statistic (engagement decay / balance
+    monitoring).  One keyed exchange; inside each bucket a single
+    lexsort + per-user running cummax via the int64 offset lift
+    (loop-free, same device as `q_pareto_events`, with the overflow
+    fallback), then one maximum.reduceat per user segment.  Integer
+    cents end to end → exact window-function oracle parity."""
+    from ..functions.window import keyed_window, segment_starts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    _EMPTY = pa.table(
+        {"user_id": pa.array([], pa.int64()),
+         "max_drawdown": pa.array([], pa.int64())}
+    )
+
+    def fn(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            return _EMPTY
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, cents = uid[order], cents[order]
+        new_uid = segment_starts(uid)
+        ustart = np.flatnonzero(new_uid)
+        seg_id = np.cumsum(new_uid) - 1
+        lo = int(cents.min())
+        rng = int(cents.max()) - lo + 2
+        if rng * int(seg_id[-1] + 1) < 2**62:
+            lifted = (cents - lo) + seg_id * rng
+            cm = np.maximum.accumulate(lifted) - seg_id * rng + lo
+        else:  # pragma: no cover - fixture cents never span 2^62
+            cm = cents.copy()
+            for s, e in zip(ustart, np.append(ustart[1:], n)):
+                np.maximum.accumulate(cents[s:e], out=cm[s:e])
+        dd = np.maximum.reduceat(cm - cents, ustart)
+        return pa.table(
+            {"user_id": pa.array(uid[ustart], pa.int64()),
+             "max_drawdown": pa.array(dd, pa.int64())}
+        )
+
+    return keyed_window(ds, "user_id", fn)
+
+
+ORACLE_MAX_DRAWDOWN = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT user_id, cents,
+         max(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS rm
+  FROM c
+)
+SELECT user_id, max(rm - cents) AS max_drawdown
+FROM r GROUP BY user_id
+"""
+
+
+def q_wow_change_per_type(sf_dir: str) -> pa.Table:
+    """Week-over-week event-count delta per type — the growth/decay
+    monitor over the ingest stream.  Per-batch (type, epoch-week)
+    bincount partials fold through one tiny groupby (≤ types × weeks
+    rows); the LAG over each type's OBSERVED weeks (gap weeks skipped,
+    matching SQL LAG) runs on the driver over that small result.
+    Integer µs week arithmetic, all-integer output."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    WEEK_US = 604_800_000_000
+
+    _EMPTY = pa.table(
+        {"event_type": pa.array([], pa.string()),
+         "wk": pa.array([], pa.int64()),
+         "n_events": pa.array([], pa.int64())}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        codes = pc.dictionary_encode(t.column("event_type"))
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = codes.dictionary.to_pylist()
+        us = (
+            t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        wk = us // WEEK_US
+        w0 = wk.min() if len(wk) else 0
+        nweeks = int(wk.max() - w0 + 1) if len(wk) else 0
+        cell = idx * nweeks + (wk - w0)
+        cnt = np.bincount(cell, minlength=len(names) * nweeks)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [names[int(c) // nweeks] for c in keep], pa.string()
+                ),
+                "wk": pa.array(keep % nweeks + w0, pa.int64()),
+                "n_events": pa.array(cnt[keep], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "wk"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .take_all()
+    )
+    t = _from_rows(
+        rows,
+        {"event_type": pa.string(), "wk": pa.int64(), "n_events": pa.int64()},
+    ).sort_by([("event_type", "ascending"), ("wk", "ascending")])
+    n = t.column("n_events").to_numpy(zero_copy_only=False)
+    et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+    first = np.concatenate(([True], et[1:] != et[:-1])) if len(et) else (
+        np.array([], dtype=bool)
+    )
+    prev = np.empty(len(n), np.int64)
+    if len(n):
+        prev[1:] = n[:-1]
+    delta = n - prev
+    return t.append_column(
+        "wow_delta", pa.array(np.where(first, None, delta), pa.int64())
+    )
+
+
+ORACLE_WOW_CHANGE = """
+WITH w AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, wk, n_events,
+       n_events - lag(n_events) OVER (PARTITION BY event_type ORDER BY wk)
+         AS wow_delta
+FROM w
+"""
+
+
+def q_quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Symmetric int8 quantization of the embedding column (max-abs
+    scale per vector, the standard ANN-index compression step) with
+    per-vector integrity stats: scale (micro-units), sum / sum-of-
+    squares / min / max of the int8 codes.  Embarrassingly parallel —
+    one vectorized pass per batch over the flattened list buffer,
+    zero shuffle; elements are integerized to micro-units once so the
+    quantizer `floor(127·m/s + 0.5)` is the same IEEE double
+    expression tree on both sides (bit-exact parity, the
+    `lm_bigram_documents` technique)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if emb.num_chunks > 0:
+            emb = emb.combine_chunks()
+        n = len(emb)
+        if n == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in ("vec_id", "s_micro", "q_sum", "q_sumsq",
+                           "q_min", "q_max")}
+            )
+        offs = np.asarray(emb.offsets)
+        starts = offs[:-1].astype(np.int64)
+        lens = np.diff(offs).astype(np.int64)
+        m = _micro(pc.list_flatten(emb)).to_numpy(zero_copy_only=False)
+        s = np.maximum.reduceat(np.abs(m), starts)
+        s_row = np.repeat(s, lens)
+        mf = m.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            qf = np.floor(127.0 * mf / s_row.astype(np.float64) + 0.5)
+        q = np.where(s_row == 0, 0, qf).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "s_micro": pa.array(s, pa.int64()),
+                "q_sum": pa.array(np.add.reduceat(q, starts), pa.int64()),
+                "q_sumsq": pa.array(
+                    np.add.reduceat(q * q, starts), pa.int64()
+                ),
+                "q_min": pa.array(np.minimum.reduceat(q, starts), pa.int64()),
+                "q_max": pa.array(np.maximum.reduceat(q, starts), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_QUANTIZE = """
+WITH u AS (
+  SELECT vec_id,
+         CAST(ROUND(CAST(u.e AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS e) u
+),
+s AS (SELECT vec_id, max(abs(m)) AS s_micro FROM u GROUP BY 1),
+q AS (
+  SELECT u.vec_id, s.s_micro,
+         CASE WHEN s.s_micro = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(127.0 * CAST(u.m AS DOUBLE)
+                              / CAST(s.s_micro AS DOUBLE) + 0.5) AS BIGINT)
+         END AS qv
+  FROM u JOIN s ON u.vec_id = s.vec_id
+)
+SELECT vec_id, s_micro,
+       CAST(sum(qv) AS BIGINT) AS q_sum,
+       CAST(sum(qv * qv) AS BIGINT) AS q_sumsq,
+       min(qv) AS q_min, max(qv) AS q_max
+FROM q GROUP BY vec_id, s_micro
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "max_drawdown_per_user": q_max_drawdown_per_user,
+    "wow_change_per_type": q_wow_change_per_type,
+    "quantize_embeddings": q_quantize_embeddings,
     "version_churn_per_path": q_version_churn_per_path,
     "lang_source_chi2": q_lang_source_chi2,
     "readability_documents": q_readability_documents,
@@ -13353,6 +13580,9 @@ QUERIES = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES} | {
 }
 
 ORACLE_SQL = {
+    "max_drawdown_per_user": ORACLE_MAX_DRAWDOWN,
+    "wow_change_per_type": ORACLE_WOW_CHANGE,
+    "quantize_embeddings": ORACLE_QUANTIZE,
     "version_churn_per_path": ORACLE_VERSION_CHURN,
     "lang_source_chi2": ORACLE_LANG_SOURCE_CHI2,
     "readability_documents": ORACLE_READABILITY,
