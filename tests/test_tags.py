@@ -1,0 +1,110 @@
+"""Named generation tags (Iceberg-tag analogue): pin a committed
+snapshot under a stable name.  The contracts under test:
+
+- a tagged generation survives ``gc_generations`` — manifest AND every
+  file it references — and stays byte-identical readable via
+  ``lake_table(tag=...)`` / ``read_lake(tag=...)`` even after the
+  parent-chain links past it are GC'd;
+- deleting the tag makes the generation collectable again;
+- only committed-chain generations can be tagged (a staged-only
+  manifest written by a crashed writer is invisible to tagging, like
+  it is to every other read path);
+- duplicate tag names refuse to move silently.
+"""
+
+import json
+import os
+
+import pytest
+
+from web3research_etl_ray.oracle import oracle_fold, tables_equal
+from web3research_etl_ray.pipelines.replay import lake_table, read_lake, replay
+from web3research_etl_ray.state.manifest import (
+    create_tag,
+    delete_tag,
+    gc_generations,
+    list_tags,
+    resolve_tag,
+)
+
+UPTO = 999
+
+
+@pytest.fixture()
+def three_gen_lake(tiny_stream, lake_dir):
+    replay(tiny_stream, lake_dir, num_partitions=8, upto_seq=UPTO)  # gen 0
+    replay(tiny_stream, lake_dir, num_partitions=8, upto_seq=1500)  # gen 1
+    replay(tiny_stream, lake_dir, num_partitions=8)  # gen 2
+    return lake_dir
+
+
+def test_tag_pins_generation_across_gc(tiny_stream, three_gen_lake):
+    lake = three_gen_lake
+    assert create_tag(lake, "v0", 0) == 0
+    snap = lake_table(lake, generation=0)
+    assert tables_equal(snap, oracle_fold(tiny_stream, upto_seq=UPTO))
+
+    # keep=1 would normally leave only gen 2; the tag must pin gen 0
+    removed = gc_generations(lake, keep=1)
+    assert 1 in removed and 0 not in removed and 2 not in removed
+
+    assert resolve_tag(lake, "v0") == 0
+    again = lake_table(lake, tag="v0")
+    assert tables_equal(again, snap)
+    assert read_lake(lake, tag="v0").count() == snap.num_rows
+    # the untagged middle generation is really gone
+    with pytest.raises(ValueError):
+        lake_table(lake, generation=1)
+
+
+def test_delete_tag_releases_pin(three_gen_lake):
+    lake = three_gen_lake
+    create_tag(lake, "v0", 0)
+    gc_generations(lake, keep=1)
+    assert delete_tag(lake, "v0") == 0
+    assert list_tags(lake) == {}
+    removed = gc_generations(lake, keep=1)
+    assert 0 in removed
+    with pytest.raises(ValueError):
+        lake_table(lake, generation=0)
+    with pytest.raises(KeyError):
+        resolve_tag(lake, "v0")
+
+
+def test_tag_latest_by_default_and_duplicate_refused(three_gen_lake):
+    lake = three_gen_lake
+    assert create_tag(lake, "release") == 2
+    # same name, same generation: idempotent no-op
+    assert create_tag(lake, "release") == 2
+    with pytest.raises(ValueError):
+        create_tag(lake, "release", 0)
+    assert create_tag(lake, "release", 0, replace=True) == 0
+    assert list_tags(lake) == {"release": 0}
+
+
+def test_staged_only_generation_cannot_be_tagged(three_gen_lake):
+    lake = three_gen_lake
+    # simulate a crashed writer: manifest file exists, LATEST never
+    # swapped to it — invisible to reads, must be invisible to tags
+    with open(os.path.join(lake, "manifest-000002.json")) as fh:
+        doc = json.load(fh)
+    doc["generation"] = 99
+    doc["parent_generation"] = 2
+    ghost = os.path.join(lake, "manifest-000099.json")
+    with open(ghost, "w") as fh:
+        json.dump(doc, fh)
+    with pytest.raises(ValueError):
+        create_tag(lake, "ghost", 99)
+    os.remove(ghost)
+
+
+def test_gc_keeps_files_referenced_by_tagged_manifest(three_gen_lake):
+    lake = three_gen_lake
+    create_tag(lake, "v0", 0)
+    gc_generations(lake, keep=1)
+    # every file the tagged manifest lists must still exist on disk
+    from web3research_etl_ray.state.manifest import load_manifest
+
+    m = load_manifest(lake, 0)
+    for f in m.data_files(lake):
+        assert os.path.exists(f), f

@@ -89,6 +89,22 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--lake", required=True)
     c.add_argument("--keep", type=int, default=2)
 
+    tg = sub.add_parser(
+        "tag",
+        help="pin / list / unpin named snapshots (Iceberg-tag analogue): "
+             "tagged generations survive compact and stay readable via "
+             "scan --tag",
+    )
+    tg.add_argument("--lake", required=True)
+    tg.add_argument("--name", default=None,
+                    help="tag to create (default: list existing tags)")
+    tg.add_argument("--gen", type=int, default=None,
+                    help="generation to pin (default: LATEST)")
+    tg.add_argument("--delete", action="store_true",
+                    help="unpin --name instead of creating it")
+    tg.add_argument("--replace", action="store_true",
+                    help="move --name if it already pins another generation")
+
     sp = sub.add_parser(
         "split",
         help="double the file count of the given (or all oversized) base "
@@ -220,6 +236,9 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--table", default=None,
                     help="scan this table of a multi-table fan-out lake "
                          "instead of a single-table lake")
+    sc.add_argument("--tag", default=None,
+                    help="scan the snapshot pinned by this tag instead of "
+                         "LATEST (single-table lakes)")
 
     ex = sub.add_parser(
         "export",
@@ -321,6 +340,21 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"removed_generations": removed}))
         return 0
 
+    if args.cmd == "tag":
+        from .state.manifest import create_tag, delete_tag, list_tags
+
+        if args.name is None:
+            print(json.dumps({"tags": list_tags(args.lake)}))
+        elif args.delete:
+            gen = delete_tag(args.lake, args.name)
+            print(json.dumps({"deleted": args.name, "generation": gen}))
+        else:
+            gen = create_tag(
+                args.lake, args.name, args.gen, replace=args.replace
+            )
+            print(json.dumps({"tag": args.name, "generation": gen}))
+        return 0
+
     if args.cmd == "backup":
         from .state.manifest import backup_lake
 
@@ -384,6 +418,8 @@ def main(argv: list[str] | None = None) -> int:
             val = raw
         cols = args.columns.split(",") if args.columns else None
         if args.table:
+            if args.tag:
+                p.error("--tag applies to single-table lakes")
             from .pipelines.fanout import fanout_scan
 
             ds, read, total = fanout_scan(
@@ -391,8 +427,14 @@ def main(argv: list[str] | None = None) -> int:
                 columns=cols,
             )
         else:
+            gen = None
+            if args.tag:
+                from .state.manifest import resolve_tag
+
+                gen = resolve_tag(args.lake, args.tag)
             ds, read, total = lake_scan(
-                args.lake, predicate=(col, op, val), columns=cols
+                args.lake, predicate=(col, op, val), columns=cols,
+                generation=gen,
             )
         if args.out:
             import pyarrow as _pa

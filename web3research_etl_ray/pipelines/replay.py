@@ -64,10 +64,12 @@ from ..state.manifest import (
     commit_manifest,
     committed_chain,
     extended_pids,
+    list_tags,
     load_latest,
     load_manifest,
     partition_relpath,
     release_lease,
+    resolve_tag,
 )
 
 DEFAULT_NUM_PARTITIONS = 32
@@ -857,10 +859,15 @@ def _manifest_at(lake_dir: str, generation: int | None) -> Manifest:
         raise FileNotFoundError(f"no committed manifest under {lake_dir}")
     if generation is None or generation == latest.generation:
         return latest
-    if generation not in committed_chain(lake_dir):
+    if generation not in committed_chain(lake_dir) and generation not in set(
+        list_tags(lake_dir).values()
+    ):
+        # a TAGGED generation stays readable even after GC removed the
+        # chain links past it — its membership was checked at tag time
         raise ValueError(
             f"generation {generation} is not on the committed chain of "
-            f"{lake_dir} (staged-only, GC'd, or never existed)"
+            f"{lake_dir} and is not tagged (staged-only, GC'd, or never "
+            f"existed)"
         )
     return load_manifest(lake_dir, generation)
 
@@ -870,11 +877,17 @@ def read_lake(
     columns: list[str] | None = None,
     *,
     generation: int | None = None,
+    tag: str | None = None,
 ) -> ray.data.Dataset:
     """Dataset over a committed lake state (manifest-listed files only
     — staged/orphaned files are invisible).  ``generation`` time-travels
     to any snapshot still on the committed chain (bounded by
-    ``gc_generations`` retention)."""
+    ``gc_generations`` retention); ``tag`` reads a pinned snapshot by
+    name (``create_tag``) — pinned generations outlive GC."""
+    if tag is not None:
+        if generation is not None:
+            raise ValueError("pass generation= or tag=, not both")
+        generation = resolve_tag(lake_dir, tag)
     manifest = _manifest_at(lake_dir, generation)
     files = manifest.data_files(lake_dir)
     if not files:
@@ -1335,8 +1348,12 @@ def lookup_key(
     return t.to_pylist()[0] if t.num_rows else None
 
 
-def lake_table(lake_dir: str, *, generation: int | None = None):
+def lake_table(
+    lake_dir: str, *, generation: int | None = None, tag: str | None = None
+):
     """Driver-side pyarrow.Table of the lake (tests / small results only)."""
+    if tag is not None:
+        generation = resolve_tag(lake_dir, tag)
     try:
         manifest = _manifest_at(lake_dir, generation)
     except FileNotFoundError:

@@ -311,11 +311,99 @@ def committed_chain(lake_dir: str) -> list[int]:
     return chain[::-1]
 
 
+# ---------------------------------------------------------------------------
+# Named generation tags (Iceberg tag / Git tag analogue): pin a
+# committed snapshot under a stable name.  Tagged generations survive
+# ``gc_generations`` (manifest + every file it references) and stay
+# readable via ``read_lake(tag=...)`` even after the parent-chain walk
+# past them is GC'd — the membership check happened once, at tag time.
+# ---------------------------------------------------------------------------
+
+_TAGS_NAME = "TAGS.json"
+
+
+def _tags_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, _TAGS_NAME)
+
+
+def list_tags(lake_dir: str) -> dict[str, int]:
+    """name → pinned generation (empty if no tag was ever created)."""
+    try:
+        with open(_tags_path(lake_dir)) as fh:
+            return {str(k): int(v) for k, v in json.load(fh).items()}
+    except FileNotFoundError:
+        return {}
+
+
+def _write_tags(lake_dir: str, tags: dict[str, int]) -> None:
+    # same tmp+rename protocol as the manifest documents: readers see
+    # the old or the new tag set, never a torn file
+    tmp = _tags_path(lake_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(tags, fh, sort_keys=True)
+    os.replace(tmp, _tags_path(lake_dir))
+
+
+def create_tag(
+    lake_dir: str,
+    name: str,
+    generation: int | None = None,
+    *,
+    replace: bool = False,
+) -> int:
+    """Pin ``generation`` (default: LATEST) under ``name``.  The
+    generation must be on the committed chain NOW — a staged-only or
+    already-GC'd manifest cannot be tagged.  Refuses to move an
+    existing tag unless ``replace=True``.  Returns the pinned
+    generation.  The TAGS.json swap is atomic; concurrent taggers
+    last-write-win on the whole file (tags are read-side metadata —
+    the writer lease governs data commits, not pins)."""
+    latest = load_latest(lake_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    if generation is None:
+        generation = latest.generation
+    if generation not in committed_chain(lake_dir):
+        raise ValueError(
+            f"generation {generation} is not on the committed chain of "
+            f"{lake_dir} (staged-only, GC'd, or never existed)"
+        )
+    tags = list_tags(lake_dir)
+    if name in tags and tags[name] != generation and not replace:
+        raise ValueError(
+            f"tag {name!r} already pins generation {tags[name]} "
+            f"(pass replace=True to move it)"
+        )
+    tags[name] = int(generation)
+    _write_tags(lake_dir, tags)
+    return int(generation)
+
+
+def delete_tag(lake_dir: str, name: str) -> int:
+    """Unpin ``name`` (its generation becomes GC-collectable again
+    once it leaves the keep window).  Returns the generation it
+    pinned; KeyError if the tag does not exist."""
+    tags = list_tags(lake_dir)
+    gen = tags.pop(name)  # KeyError propagates
+    _write_tags(lake_dir, tags)
+    return gen
+
+
+def resolve_tag(lake_dir: str, name: str) -> int:
+    tags = list_tags(lake_dir)
+    if name not in tags:
+        raise KeyError(
+            f"no tag {name!r} on {lake_dir} (have: {sorted(tags)})"
+        )
+    return tags[name]
+
+
 def gc_generations(lake_dir: str, keep: int = 2) -> list[int]:
     """Snapshot GC — the analogue of the reference's backup rotation
     (scripts/backup_db.py keeps per-table BACKUPs): keep the newest
     ``keep`` generations' files + manifests, delete older ones.  Never
-    touches the generation LATEST points to."""
+    touches the generation LATEST points to, nor any generation pinned
+    by a tag (``create_tag``)."""
     latest = load_latest(lake_dir)
     if latest is None:
         return []
@@ -327,6 +415,7 @@ def gc_generations(lake_dir: str, keep: int = 2) -> list[int]:
         for p in glob.glob(os.path.join(lake_dir, "manifest-*.json"))
     )
     chain_keep = set(gens[-keep:]) | {latest.generation}
+    chain_keep |= {g for g in list_tags(lake_dir).values() if g in gens}
     # a kept manifest may reference files carried forward from older
     # generations (untouched partitions) — those FILES must survive,
     # but nothing else in an old gen dir may: file-level GC here is
