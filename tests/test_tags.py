@@ -108,3 +108,28 @@ def test_gc_keeps_files_referenced_by_tagged_manifest(three_gen_lake):
     m = load_manifest(lake, 0)
     for f in m.data_files(lake):
         assert os.path.exists(f), f
+
+
+def test_fanout_tag_pins_multi_generation_across_gc(tiny_stream, lake_dir):
+    """Fan-out analogue: a multi-table tag pins ONE mutually
+    consistent snapshot of every table past GC."""
+    from tests.test_fanout import _tables
+    from web3research_etl_ray.pipelines.fanout import fanout_table
+    from web3research_etl_ray.pipelines.tail import sync_fanout
+    from web3research_etl_ray.state.manifest import (
+        create_tag_multi,
+        gc_multi_generations,
+    )
+
+    sync_fanout(tiny_stream, lake_dir, _tables(), max_ticks=3,
+                num_partitions=8)
+    assert create_tag_multi(lake_dir, "tick0", 0) == 0
+    snap = fanout_table(lake_dir, "repo_heads", generation=0)
+    removed = gc_multi_generations(lake_dir, keep=1)
+    assert 1 in removed and 0 not in removed
+    again = fanout_table(lake_dir, "repo_heads", tag="tick0")
+    assert again.sort_by("repo").equals(snap.sort_by("repo"))
+    with pytest.raises(FileNotFoundError):
+        fanout_table(lake_dir, "repo_heads", generation=1)
+    with pytest.raises(ValueError):
+        create_tag_multi(lake_dir, "ghost", 77)

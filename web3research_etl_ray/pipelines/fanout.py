@@ -657,14 +657,19 @@ def split_fanout_partitions(
 
 def read_fanout_table(
     lake_dir: str, table: str, columns: list[str] | None = None,
-    *, generation: int | None = None,
+    *, generation: int | None = None, tag: str | None = None,
 ) -> ray.data.Dataset:
     """Dataset over one table of the committed multi-table lake;
     ``generation`` time-travels to any generation on the committed
     chain (tables stay mutually consistent — one multi-manifest pins
-    every table's file set together)."""
-    from ..state.manifest import multi_manifest_at
+    every table's file set together); ``tag`` reads the snapshot
+    pinned by ``create_tag_multi`` (survives GC)."""
+    from ..state.manifest import multi_manifest_at, resolve_tag
 
+    if tag is not None:
+        if generation is not None:
+            raise ValueError("pass generation= or tag=, not both")
+        generation = resolve_tag(lake_dir, tag)
     manifest = multi_manifest_at(lake_dir, generation)
     if table not in manifest.tables:
         raise FileNotFoundError(f"no committed table {table} under {lake_dir}")
@@ -676,10 +681,13 @@ def read_fanout_table(
 
 
 def fanout_table(lake_dir: str, table: str,
-                 *, generation: int | None = None) -> pa.Table:
+                 *, generation: int | None = None,
+                 tag: str | None = None) -> pa.Table:
     """Driver-side pyarrow.Table of one lake table (tests/small results)."""
-    from ..state.manifest import multi_manifest_at
+    from ..state.manifest import multi_manifest_at, resolve_tag
 
+    if tag is not None:
+        generation = resolve_tag(lake_dir, tag)
     manifest = multi_manifest_at(lake_dir, generation)
     if table not in manifest.tables:
         raise FileNotFoundError(f"no committed table {table} under {lake_dir}")

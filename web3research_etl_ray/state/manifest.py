@@ -657,9 +657,42 @@ def restore_lake(backup_dir: str, lake_dir: str) -> dict:
     return {"generation": m.generation}
 
 
+def create_tag_multi(
+    lake_dir: str,
+    name: str,
+    generation: int | None = None,
+    *,
+    replace: bool = False,
+) -> int:
+    """Fan-out-lake analogue of :func:`create_tag`: pin one committed
+    MULTI generation (= a mutually consistent snapshot of EVERY table)
+    under a stable name.  Same TAGS.json document and the same
+    read/GC semantics."""
+    latest = load_latest_multi(lake_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed multi-manifest under {lake_dir}")
+    if generation is None:
+        generation = latest.generation
+    if generation not in committed_chain_multi(lake_dir):
+        raise ValueError(
+            f"generation {generation} is not on the committed multi chain "
+            f"of {lake_dir} (staged-only, GC'd, or never existed)"
+        )
+    tags = list_tags(lake_dir)
+    if name in tags and tags[name] != generation and not replace:
+        raise ValueError(
+            f"tag {name!r} already pins generation {tags[name]} "
+            f"(pass replace=True to move it)"
+        )
+    tags[name] = int(generation)
+    _write_tags(lake_dir, tags)
+    return int(generation)
+
+
 def gc_multi_generations(lake_dir: str, keep: int = 2) -> list[int]:
     """Snapshot GC for multi-table lakes: keep the newest ``keep``
-    generations' manifests and every table data dir they reference."""
+    generations' manifests and every table data dir they reference.
+    Tagged generations (``create_tag_multi``) are pinned like LATEST."""
     latest = load_latest_multi(lake_dir)
     if latest is None:
         return []
@@ -671,6 +704,7 @@ def gc_multi_generations(lake_dir: str, keep: int = 2) -> list[int]:
         for p in glob.glob(os.path.join(lake_dir, "manifest-*.json"))
     )
     chain_keep = set(gens[-keep:]) | {latest.generation}
+    chain_keep |= {g for g in list_tags(lake_dir).values() if g in gens}
     # (table, gen) dirs still referenced by any kept manifest survive
     referenced: set[tuple[str, int]] = set()
     for g in chain_keep:
@@ -719,8 +753,13 @@ def multi_manifest_at(lake_dir: str, generation: int | None):
         raise FileNotFoundError(f"no committed multi-manifest under {lake_dir}")
     if generation is None or generation == latest.generation:
         return latest
-    if generation not in committed_chain_multi(lake_dir):
+    if generation not in committed_chain_multi(lake_dir) and generation not in (
+        set(list_tags(lake_dir).values())
+    ):
+        # tagged generations stay readable after GC breaks the chain
+        # walk past them (membership was checked at tag time)
         raise FileNotFoundError(
-            f"generation {generation} is not on the committed chain"
+            f"generation {generation} is not on the committed chain and "
+            f"is not tagged"
         )
     return load_multi_manifest(lake_dir, generation)
