@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "vocab_richness_per_source",
     "pmi_collocations",
     "first_touch_attribution",
+    "max_drawdown_per_user",
+    "quantize_embeddings",
 ]
 
 
