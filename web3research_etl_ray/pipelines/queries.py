@@ -13340,11 +13340,180 @@ FROM q GROUP BY vec_id, s_micro
 """
 
 
+def q_decile_doc_lengths(sf_dir: str) -> pa.Table:
+    """Lorenz-curve cells of corpus concentration: split docs into 10
+    exact NTILE groups by (n_chars, doc_id) and report each decile's
+    doc count and char mass — 'what share of the corpus is its longest
+    10% of docs'.  No global sort: a composite unique order key
+    (n_chars · (max_id+1) + doc_id) rides the range-partitioned
+    two-pass rank (the `user_value_percent_rank` shape — driver holds
+    R integers), row_number is exact because the key is unique, and
+    the SQL NTILE group boundary (first N mod 10 tiles get one extra
+    row) is the same integer formula on both sides.  Per-tile sums
+    fold from ≤ 10-row batch partials."""
+    from ..functions.window import default_num_buckets, keyed_window, \
+        segment_starts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    agg = ds.aggregate(
+        Max("doc_id", alias_name="max_id"),
+        Count(alias_name="n"),
+    )
+    max_id, n_total = int(agg["max_id"]), int(agg["n"])
+    M = max_id + 1
+
+    def keyed(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").cast(pa.int64())
+        nch = t.column("n_chars").cast(pa.int64())
+        key = pc.add(pc.multiply(nch, pa.scalar(M, pa.int64())), did)
+        return pa.table({"key": key, "n_chars": nch})
+
+    withkey = ds.map_batches(keyed, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    kagg = withkey.aggregate(
+        Min("key", alias_name="lo"), Max("key", alias_name="hi")
+    )
+    lo, hi = int(kagg["lo"]), int(kagg["hi"])
+    R = default_num_buckets()
+    span = max(hi - lo, 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("key").to_numpy(zero_copy_only=False)
+        rid = np.clip((v - lo) * R // (span + 1), 0, R - 1)
+        return t.append_column("__r", pa.array(rid.astype(np.int64)))
+
+    ranged = withkey.map_batches(tag, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    counts_rows = (
+        ranged.map_batches(
+            lambda t: t.select(["__r"]).group_by("__r").aggregate(
+                [("__r", "count")]
+            ).rename_columns(["__r", "c"]),
+            batch_format="pyarrow",
+        )
+        .groupby("__r")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    ct = _from_rows(
+        counts_rows, {"__r": pa.int64(), "c": pa.int64()}
+    ).sort_by("__r")
+    offsets_arr = np.zeros(R, dtype=np.int64)
+    offsets_arr[ct.column("__r").to_numpy(zero_copy_only=False)] = (
+        ct.column("c").to_numpy(zero_copy_only=False)
+    )
+    offsets_arr = np.concatenate(([0], np.cumsum(offsets_arr)[:-1]))
+    offsets = {int(r): int(offsets_arr[r]) for r in range(R)}
+    # SQL NTILE(10): q = N // 10 rows per tile, the first r = N % 10
+    # tiles take one extra row
+    q10, r10 = divmod(n_total, 10)
+
+    def per_range(g: pa.Table) -> pa.Table:
+        rid = g.column("__r").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        nch = g.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, rid))
+        rid, key, nch = rid[order], key[order], nch[order]
+        starts = np.flatnonzero(segment_starts(rid))
+        rownum = np.empty(len(key), dtype=np.int64)
+        for s, e in zip(starts, np.append(starts[1:], len(rid))):
+            rownum[s:e] = (
+                offsets[int(rid[s])] + np.arange(1, e - s + 1)
+            )  # keys are globally unique → local order IS row_number
+        cut = r10 * (q10 + 1)
+        if q10 > 0:
+            tile = np.where(
+                rownum <= cut,
+                (rownum - 1) // (q10 + 1) + 1,
+                r10 + (rownum - cut - 1) // q10 + 1,
+            )
+        else:  # fewer docs than tiles: first r10 tiles get one row each
+            tile = rownum
+        t10 = np.bincount(tile, minlength=11)[1:]
+        s10 = np.bincount(tile, weights=nch.astype(np.float64),
+                          minlength=11)[1:].astype(np.int64)
+        keep = np.flatnonzero(t10)
+        return pa.table(
+            {
+                "tile": pa.array(keep + 1, pa.int64()),
+                "n_docs": pa.array(t10[keep], pa.int64()),
+                "sum_chars": pa.array(s10[keep], pa.int64()),
+            }
+        )
+
+    rows = (
+        keyed_window(ranged, "__r", per_range)
+        .groupby("tile")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .take_all()
+    )
+    return _from_rows(
+        rows,
+        {"tile": pa.int64(), "n_docs": pa.int64(), "sum_chars": pa.int64()},
+    ).sort_by("tile")
+
+
+ORACLE_DECILE_LENGTHS = """
+WITH t AS (
+  SELECT n_chars,
+         CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+  FROM documents
+)
+SELECT tile, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM t GROUP BY tile ORDER BY tile
+"""
+
+
+def q_k_anonymity_documents(sf_dir: str) -> pa.Table:
+    """k-anonymity audit over the (lang, source) quasi-identifier:
+    groups holding fewer than k=10 docs are re-identification risks a
+    release pipeline must generalize or drop (Sweeney 2002) — the
+    compliance sibling of the purge verb.  Per-batch partial counts
+    (≤ |langs|×|sources| rows), one tiny fold, driver-side filter."""
+    K = 10
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["lang", "source"])
+            .aggregate([("lang", "count")])
+            .rename_columns(["lang", "source", "n_docs"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .take_all()
+    )
+    t = _from_rows(
+        rows,
+        {"lang": pa.string(), "source": pa.string(), "n_docs": pa.int64()},
+    )
+    return t.filter(pc.less(t.column("n_docs"), pa.scalar(K))).sort_by(
+        [("lang", "ascending"), ("source", "ascending")]
+    )
+
+
+ORACLE_K_ANONYMITY = """
+SELECT lang, source, count(*) AS n_docs
+FROM documents
+GROUP BY lang, source
+HAVING count(*) < 10
+ORDER BY lang, source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "decile_doc_lengths": q_decile_doc_lengths,
+    "k_anonymity_documents": q_k_anonymity_documents,
     "max_drawdown_per_user": q_max_drawdown_per_user,
     "wow_change_per_type": q_wow_change_per_type,
     "quantize_embeddings": q_quantize_embeddings,
@@ -13580,6 +13749,8 @@ QUERIES = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES} | {
 }
 
 ORACLE_SQL = {
+    "decile_doc_lengths": ORACLE_DECILE_LENGTHS,
+    "k_anonymity_documents": ORACLE_K_ANONYMITY,
     "max_drawdown_per_user": ORACLE_MAX_DRAWDOWN,
     "wow_change_per_type": ORACLE_WOW_CHANGE,
     "quantize_embeddings": ORACLE_QUANTIZE,
