@@ -346,7 +346,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.name is None:
             print(json.dumps({"tags": list_tags(args.lake)}))
         elif args.delete:
-            gen = delete_tag(args.lake, args.name)
+            try:
+                gen = delete_tag(args.lake, args.name)
+            except KeyError:
+                print(
+                    json.dumps(
+                        {
+                            "error": f"no tag {args.name!r}",
+                            "tags": sorted(list_tags(args.lake)),
+                        }
+                    )
+                )
+                return 1
             print(json.dumps({"deleted": args.name, "generation": gen}))
         else:
             gen = create_tag(

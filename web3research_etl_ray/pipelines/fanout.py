@@ -687,6 +687,8 @@ def fanout_table(lake_dir: str, table: str,
     from ..state.manifest import multi_manifest_at, resolve_tag
 
     if tag is not None:
+        if generation is not None:
+            raise ValueError("pass generation= or tag=, not both")
         generation = resolve_tag(lake_dir, tag)
     manifest = multi_manifest_at(lake_dir, generation)
     if table not in manifest.tables:

@@ -13293,6 +13293,15 @@ def q_quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
         offs = np.asarray(emb.offsets)
         starts = offs[:-1].astype(np.int64)
         lens = np.diff(offs).astype(np.int64)
+        # reduceat misbehaves on zero-length segments (an empty vector
+        # would steal its neighbour's first element; an empty LAST
+        # vector would index past the end) — fixtures are fixed-dim,
+        # so assert rather than silently mis-aggregate (ADVICE r03)
+        if n and lens.min() == 0:
+            raise ValueError(
+                "quantize_embeddings: empty embedding vectors are not "
+                "supported (drop or pad zero-length lists upstream)"
+            )
         m = _micro(pc.list_flatten(emb)).to_numpy(zero_copy_only=False)
         s = np.maximum.reduceat(np.abs(m), starts)
         s_row = np.repeat(s, lens)
@@ -13477,9 +13486,11 @@ def q_k_anonymity_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["lang", "source"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # count_all (not a column count): matches SQL count(*) even
+        # when the counted column holds nulls (ADVICE r03)
         return (
             t.group_by(["lang", "source"])
-            .aggregate([("lang", "count")])
+            .aggregate([([], "count_all")])
             .rename_columns(["lang", "source", "n_docs"])
         )
 
@@ -13731,7 +13742,7 @@ _PRIORITY = [
     "tpch_q6",
     "tpch_q5",
     "tpch_q10",
-    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
     "exact_dedup_documents",
     "lww_upsert_events",
     "hash_join_orders_customer",
@@ -13747,6 +13758,11 @@ _PRIORITY = [
 QUERIES = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES} | {
     k: v for k, v in QUERIES.items() if k not in _PRIORITY
 }
+# The driver verifies the FIRST 50 registry entries each round
+# (CORRECTNESS_r03 == registry head).  A final reorder below (after
+# ORACLE_SQL is defined) pushes rows-only entries past every
+# oracle-bearing one so no verification slot is spent on a
+# ``no_oracle`` row (VERDICT r03 Next #2).
 
 ORACLE_SQL = {
     "decile_doc_lengths": ORACLE_DECILE_LENGTHS,
@@ -13929,3 +13945,12 @@ ORACLE_SQL = {
     # multimodal: model-scoring / probabilistic / media ops → rows-only
     # check
 }
+
+# Final registry order: oracle-bearing entries first (priority head
+# preserved), rows-only entries last — the driver's 50-entry sample
+# window then contains only exact-oracle rows (VERDICT r03 Next #2).
+QUERIES = (
+    {k: QUERIES[k] for k in _PRIORITY if k in QUERIES}
+    | {k: v for k, v in QUERIES.items() if k in ORACLE_SQL}
+    | {k: v for k, v in QUERIES.items() if k not in ORACLE_SQL}
+)

@@ -1353,6 +1353,8 @@ def lake_table(
 ):
     """Driver-side pyarrow.Table of the lake (tests / small results only)."""
     if tag is not None:
+        if generation is not None:
+            raise ValueError("pass generation= or tag=, not both")
         generation = resolve_tag(lake_dir, tag)
     try:
         manifest = _manifest_at(lake_dir, generation)

@@ -344,6 +344,72 @@ def _write_tags(lake_dir: str, tags: dict[str, int]) -> None:
     os.replace(tmp, _tags_path(lake_dir))
 
 
+class _tags_lock:
+    """Short-critical-section mutex serialising the TAGS.json
+    read-modify-write against concurrent taggers AND against
+    ``gc_generations`` (which reads tags to decide what to delete).
+    Without it, (a) two concurrent ``create_tag`` calls can silently
+    drop one tag, and (b) a GC that read TAGS.json before a tag write
+    lands can delete the generation being tagged, leaving a dangling
+    tag.  Same O_EXCL + same-host-pid-staleness protocol as the writer
+    lease, but a SEPARATE file: tags must remain creatable while a
+    replay holds the writer lease."""
+
+    _NAME = "TAGS.lock"
+    _TTL_S = 30.0
+
+    def __init__(self, lake_dir: str):
+        self._path = os.path.join(lake_dir, self._NAME)
+        os.makedirs(lake_dir, exist_ok=True)
+
+    def __enter__(self) -> "_tags_lock":
+        import socket
+        import time
+
+        me = _lease_owner()
+        deadline = time.monotonic() + self._TTL_S
+        while True:
+            try:
+                fd = os.open(self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(me)
+                return self
+            except FileExistsError:
+                try:
+                    with open(self._path) as fh:
+                        owner = fh.read().strip()
+                    age = time.time() - os.path.getmtime(self._path)
+                except FileNotFoundError:
+                    continue  # released between probe and read — retry
+                host, _, pid = owner.rpartition(":")
+                stale = age > self._TTL_S
+                if host == socket.gethostname() and pid.isdigit():
+                    try:
+                        os.kill(int(pid), 0)
+                    except ProcessLookupError:
+                        stale = True
+                    except PermissionError:
+                        pass
+                if stale:
+                    tmp = self._path + f".takeover.{os.getpid()}"
+                    with open(tmp, "w") as fh:
+                        fh.write(me)
+                    os.replace(tmp, self._path)
+                    return self
+                if time.monotonic() > deadline:
+                    raise ConcurrentWriterError(
+                        f"could not acquire tags lock under "
+                        f"{os.path.dirname(self._path)} (held by {owner})"
+                    )
+                time.sleep(0.02)
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.remove(self._path)
+        except FileNotFoundError:
+            pass
+
+
 def create_tag(
     lake_dir: str,
     name: str,
@@ -358,24 +424,27 @@ def create_tag(
     generation.  The TAGS.json swap is atomic; concurrent taggers
     last-write-win on the whole file (tags are read-side metadata —
     the writer lease governs data commits, not pins)."""
-    latest = load_latest(lake_dir)
-    if latest is None:
-        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
-    if generation is None:
-        generation = latest.generation
-    if generation not in committed_chain(lake_dir):
-        raise ValueError(
-            f"generation {generation} is not on the committed chain of "
-            f"{lake_dir} (staged-only, GC'd, or never existed)"
-        )
-    tags = list_tags(lake_dir)
-    if name in tags and tags[name] != generation and not replace:
-        raise ValueError(
-            f"tag {name!r} already pins generation {tags[name]} "
-            f"(pass replace=True to move it)"
-        )
-    tags[name] = int(generation)
-    _write_tags(lake_dir, tags)
+    with _tags_lock(lake_dir):
+        latest = load_latest(lake_dir)
+        if latest is None:
+            raise FileNotFoundError(
+                f"no committed manifest under {lake_dir}"
+            )
+        if generation is None:
+            generation = latest.generation
+        if generation not in committed_chain(lake_dir):
+            raise ValueError(
+                f"generation {generation} is not on the committed chain "
+                f"of {lake_dir} (staged-only, GC'd, or never existed)"
+            )
+        tags = list_tags(lake_dir)
+        if name in tags and tags[name] != generation and not replace:
+            raise ValueError(
+                f"tag {name!r} already pins generation {tags[name]} "
+                f"(pass replace=True to move it)"
+            )
+        tags[name] = int(generation)
+        _write_tags(lake_dir, tags)
     return int(generation)
 
 
@@ -383,9 +452,10 @@ def delete_tag(lake_dir: str, name: str) -> int:
     """Unpin ``name`` (its generation becomes GC-collectable again
     once it leaves the keep window).  Returns the generation it
     pinned; KeyError if the tag does not exist."""
-    tags = list_tags(lake_dir)
-    gen = tags.pop(name)  # KeyError propagates
-    _write_tags(lake_dir, tags)
+    with _tags_lock(lake_dir):
+        tags = list_tags(lake_dir)
+        gen = tags.pop(name)  # KeyError propagates
+        _write_tags(lake_dir, tags)
     return gen
 
 
@@ -410,6 +480,14 @@ def gc_generations(lake_dir: str, keep: int = 2) -> list[int]:
     import glob
     import shutil
 
+    with _tags_lock(lake_dir):
+        return _gc_locked(lake_dir, keep, latest, glob, shutil)
+
+
+def _gc_locked(lake_dir, keep, latest, glob, shutil) -> list[int]:
+    # body runs under _tags_lock: the tag set read below cannot change
+    # while generations are being deleted, so a concurrent create_tag
+    # can never tag a generation this pass removes
     gens = sorted(
         int(os.path.basename(p).split("-")[1].split(".")[0])
         for p in glob.glob(os.path.join(lake_dir, "manifest-*.json"))
