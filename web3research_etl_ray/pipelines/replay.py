@@ -237,6 +237,15 @@ def replay(stream_dir: str, lake_dir: str, **kw) -> Manifest:
             release_lease(lake_dir)
 
 
+#: wall seconds per phase of the LAST replay in this process —
+#: planning (manifest load, file pruning, stage build), spool (the
+#: map-side write execution), merge (reduce execution + lineage
+#: collection), commit (manifest publish + splits).  Written for the
+#: scaling work: fixed cost here dilutes the high-parallelism leg 4x
+#: harder than the low one, so each phase must be visible per run.
+LAST_PHASES: dict[str, float] = {}
+
+
 def _replay_impl(
     stream_dir: str,
     lake_dir: str,
@@ -259,6 +268,10 @@ def _replay_impl(
     incremental tick past the stored watermark (reference ``sync``),
     including rollback repair for newly-seen orphan ranges.
     """
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    LAST_PHASES.clear()
     files = event_files(stream_dir)
     if not files:
         raise FileNotFoundError(f"no events-*.parquet under {stream_dir}")
@@ -402,42 +415,67 @@ def _replay_impl(
             t = t.append_column("salt", pa.array(salt))
         return t
 
-    ds = ray.data.read_parquet(
-        files, override_num_blocks=len(files), **read_kwargs
-    )
-    # instance closure (not class) → stateless, elastic tasks; the tiny
-    # rollback-range table is broadcast once per task in the closure
-    ds = ds.map_batches(
-        norm_partial,
+    # Hand-rolled per-file read fused INTO the normalize stage (one
+    # task opens its own footer, prunes row groups by the watermark
+    # filter, normalizes and partial-folds in place).  Equivalent to
+    # ray.data.read_parquet(override_num_blocks=len(files)) + a
+    # map_batches, minus read_parquet's driver-side fixed cost — the
+    # serial ParquetDataset open, the metadata-prefetch task wave and
+    # the encoding-ratio sampling read cost a measured 2-3 s per job
+    # regardless of input size, which dilutes the high-parallelism leg
+    # of the scaling rule 4x harder than the low one.  Footer work here
+    # is per-task, so it parallelizes with the cluster instead of
+    # serializing on the driver.
+    _filter_expr = read_kwargs.get("filter")
+    refold_keys = tuple(spec.key) + ("part_id",)
+
+    def _refold(t: pa.Table) -> pa.Table:
+        return fold_lww(t, "n_events", refold_keys, spec.order_col,
+                        **agg_kwargs(spec))
+
+    def read_norm_partial(t: pa.Table):
+        # STREAM each file through the fold in scanner-batch chunks
+        # (one-table-per-file output blocks collapse under object-store
+        # memory pressure — measured 3x slower end-to-end), and run the
+        # second-level combiner INLINE on an ~256k-row accumulator of
+        # winner chunks.  Inline beats a separate map_batches(second_
+        # fold, batch_size=256k) stage decisively: Ray's batcher re-
+        # concatenates the string-heavy remainder once per incoming
+        # chunk to cut exact-size batches (quadratic payload copying —
+        # measured 80 s of an old 92 s run at 50M events), while this
+        # accumulator concats each winner chunk exactly once.
+        buf: list[pa.Table] = []
+        nbuf = 0
+        for path in t.column("path").to_pylist():
+            scanner = pads.dataset(path).scanner(
+                filter=_filter_expr, batch_size=128 * 1024
+            )
+            for rb in scanner.to_batches():
+                if not rb.num_rows:
+                    continue
+                w = norm_partial(pa.Table.from_batches([rb]))
+                buf.append(w)
+                nbuf += w.num_rows
+                if nbuf >= (1 << 18):
+                    yield _refold(pa.concat_tables(buf))
+                    buf, nbuf = [], 0
+        if buf:
+            yield _refold(pa.concat_tables(buf))
+
+    ds = ray.data.from_items(
+        [{"path": f} for f in files], override_num_blocks=len(files)
+    ).map_batches(
+        read_norm_partial,
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,
     )
-    # second-level combiner: winner blocks are SMALL (≤ keys per
-    # block), so re-folding ~256k-row concatenations of them cuts
-    # spool rows/files by the coalescing factor before the exchange
-    # (at 50M events: ~2M spool rows → ~100k).  part_id joins the key
-    # so per-partition orphan-counter rows never collapse across
-    # partitions; for real rows part_id is a function of the key, so
-    # the fold semantics are unchanged.  Skipped for small pruned
-    # inputs (few winner blocks to coalesce — the stage would only add
-    # its fixed cost).
+    # (the second-level combiner lives INLINE in read_norm_partial's
+    # accumulator above: part_id joins the refold key so per-partition
+    # orphan-counter rows never collapse across partitions; for real
+    # rows part_id is a function of the key, so fold semantics are
+    # unchanged.  At 50M events the combined spool is ~0.7M rows.)
     input_bytes = sum(os.path.getsize(f) for f in files)
-    if input_bytes >= (256 << 20):
-        refold_keys = tuple(spec.key) + ("part_id",)
-
-        def second_fold(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t
-            return fold_lww(t, "n_events", refold_keys, spec.order_col,
-                            **agg_kwargs(spec))
-
-        ds = ds.map_batches(
-            second_fold,
-            batch_format="pyarrow",
-            batch_size=1 << 18,
-            zero_copy_batch=True,
-        )
 
     prior_files = {
         pid: (os.path.join(lake_dir, e.file) if e.file else None)
@@ -477,6 +515,7 @@ def _replay_impl(
     # ticks where the delta is tiny.
     import shutil
 
+    LAST_PHASES["plan"] = _time.perf_counter() - _t0
     entries_rows: list[dict] = []
     if exchange == "auto":
         # small pruned inputs (fresh tail ticks, small backfills) win
@@ -518,6 +557,9 @@ def _replay_impl(
         # (OMP_NUM_THREADS=1); snappy decode of the content column
         # dominated merge CPU before (measured 6.4s of a 9s unit)
         ds.write_parquet(spool_dir, partition_cols=spool_cols, compression="lz4")
+        LAST_PHASES["spool"] = (
+            _time.perf_counter() - _t0 - sum(LAST_PHASES.values())
+        )
 
         try:
             spooled_pids = sorted(
@@ -539,9 +581,12 @@ def _replay_impl(
                 repair_pids,
                 spec,
             )
+            # one block per pid directly — a .repartition() here would
+            # add a whole extra (tiny) Ray execution to every tick
             pid_ds = ray.data.from_items(
-                [{"pid": p} for p in merge_pids]
-            ).repartition(len(merge_pids))
+                [{"pid": p} for p in merge_pids],
+                override_num_blocks=len(merge_pids),
+            )
             if merge_compute == "actors":
                 if merge_concurrency is None:
                     # leave headroom: a pool reserving every CPU starves
@@ -568,6 +613,7 @@ def _replay_impl(
             _write_gen_stats(lake_dir, generation, entries_ds)
         shutil.rmtree(spool_dir, ignore_errors=True)
     rows = entries_rows
+    LAST_PHASES["merge"] = _time.perf_counter() - _t0 - sum(LAST_PHASES.values())
 
     partitions: dict[int, PartitionEntry] = {}
     for r in rows:
@@ -625,6 +671,7 @@ def _replay_impl(
         if not over:
             break
         manifest = split_partitions(lake_dir, over, spec=spec)
+    LAST_PHASES["commit"] = _time.perf_counter() - _t0 - sum(LAST_PHASES.values())
     return manifest
 
 
