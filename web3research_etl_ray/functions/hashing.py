@@ -91,11 +91,37 @@ def key_hash64(*cols: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
     import pyarrow.compute as pc
 
-    cols = [
-        c if pa.types.is_string(c.type) else c.cast(pa.string()) for c in cols
-    ]
+    def _prep(c):
+        t = c.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return c
+        if (
+            pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+            or pa.types.is_fixed_size_binary(t)
+        ):
+            # binary keys (e.g. a binary(20) address) hash over their
+            # raw bytes — same offsets+data layout as string after a
+            # (zero-copy for var-binary) cast, so the crc loop below
+            # is shared
+            return c.cast(pa.binary())
+        return c.cast(pa.string())
+
+    cols = [_prep(c) for c in cols]
+    if len(cols) > 1 and any(
+        pa.types.is_binary(c.type) or pa.types.is_large_binary(c.type)
+        for c in cols
+    ):
+        # join requires one family: strings cast to binary zero-copy
+        cols = [
+            c if pa.types.is_binary(c.type) else c.cast(pa.binary())
+            for c in cols
+        ]
+        sep: str | bytes = b"\x00"
+    else:
+        sep = "\x00"
     joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(
-        *cols, "\x00"
+        *cols, sep
     )
     n = len(joined)
     out = np.empty(n, dtype=np.uint64)
@@ -103,11 +129,16 @@ def key_hash64(*cols: pa.Array | pa.ChunkedArray) -> np.ndarray:
     crc32 = zlib.crc32
     for chunk in _iter_chunks(joined):
         if chunk.null_count:
-            chunk = chunk.fill_null("")
+            filler: str | bytes = (
+                b"" if pa.types.is_binary(chunk.type)
+                or pa.types.is_large_binary(chunk.type) else ""
+            )
+            chunk = chunk.fill_null(filler)
         buffers = chunk.buffers()
         odt = (
             np.int64
             if pa.types.is_large_string(chunk.type)
+            or pa.types.is_large_binary(chunk.type)
             else np.int32
         )
         offs = np.frombuffer(buffers[1], dtype=odt)[

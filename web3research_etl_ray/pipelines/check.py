@@ -128,6 +128,17 @@ def _conformance_rows(
     order = spec.order_col
     vcols = _value_cols(spec)
     cmp_cols = key + [c for c in vcols if c not in key]
+    # Compare groups are sub-bucketed S-ways by the key hash's HIGH
+    # bits (part_id uses the low bits via % P): every key still lands
+    # wholly inside one group, but per-group task memory is bounded by
+    # partition/S instead of O(partition) — this was the last
+    # O(partition) task-memory site in the engine (VERDICT r03 #6).
+    SUB = 16
+
+    def _gid_of(t: pa.Table, pid: np.ndarray) -> pa.Array:
+        h = key_hash64(*[t.column(k) for k in key])
+        sub = ((h // np.uint64(max(P, 1))) % np.uint64(SUB)).astype(np.int64)
+        return pa.array(pid * SUB + sub)
 
     def _exp_stage(t: pa.Table) -> pa.Table:
         t = exp_prepare(t)
@@ -136,6 +147,10 @@ def _conformance_rows(
                 spec.hash_col, sha256_binary(t.column(spec.hash_source))
             )
         t = t.select(cmp_cols + [spec.op_col, "part_id", "n_events"])
+        t = t.append_column(
+            "gid",
+            _gid_of(t, t.column("part_id").to_numpy(zero_copy_only=False)),
+        )
         return t.append_column("src", pa.array(["e"] * t.num_rows))
 
     exp_ds = ray.data.read_parquet(
@@ -153,6 +168,7 @@ def _conformance_rows(
         t = t.append_column(spec.op_col, pa.array(["upsert"] * n))
         t = t.append_column("part_id", pa.array(pid))
         t = t.append_column("n_events", pa.array(np.zeros(n, dtype=np.int64)))
+        t = t.append_column("gid", _gid_of(t, pid))
         return t.append_column("src", pa.array(["l"] * n))
 
     lake_ds = lake_ds.map_batches(
@@ -170,13 +186,33 @@ def _conformance_rows(
     val_sel = [c for c in cmp_cols if c not in key]
 
     def _key_of(t: pa.Table) -> pa.Array:
-        cols = [
-            t.column(k).cast(pa.string()) if not pa.types.is_string(t.column(k).type)
-            else t.column(k)
-            for k in key
-        ]
+        cols = []
+        any_bin = False
+        for k in key:
+            c = t.column(k)
+            ty = c.type
+            if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+                pass
+            elif (
+                pa.types.is_binary(ty)
+                or pa.types.is_large_binary(ty)
+                or pa.types.is_fixed_size_binary(ty)
+            ):
+                c = c.cast(pa.binary())  # binary keys join/compare raw
+                any_bin = True
+            else:
+                c = c.cast(pa.string())
+            cols.append(c)
+        if any_bin and len(cols) > 1:
+            cols = [
+                c if pa.types.is_binary(c.type) else c.cast(pa.binary())
+                for c in cols
+            ]
+            sep: str | bytes = b"\x00"
+        else:
+            sep = "\x00"
         out = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(
-            *cols, "\x00"
+            *cols, sep
         )
         return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
@@ -208,7 +244,22 @@ def _conformance_rows(
             m_np = matched.to_numpy(zero_copy_only=False)
             for c in val_sel:
                 lv = pc.take(lake.column(c), idx)  # null where missing
-                neq = pc.fill_null(pc.not_equal(exp.column(c), lv), False)
+                try:
+                    neq = pc.fill_null(
+                        pc.not_equal(exp.column(c), lv), False
+                    )
+                except pa.lib.ArrowNotImplementedError:
+                    # nested types (list/struct/map payloads) have no
+                    # compare kernel — Python-object equality on the
+                    # (sub-bucket-bounded) group instead
+                    ev = exp.column(c).to_pylist()
+                    lp = lv.to_pylist()
+                    mism |= np.fromiter(
+                        (m and a != b for m, a, b in zip(m_np, ev, lp)),
+                        dtype=bool,
+                        count=len(ev),
+                    )
+                    continue
                 # null-vs-value asymmetry (not_equal(null, x) is null):
                 # a matched row where exactly one side is null mismatches
                 na = pc.is_null(exp.column(c)).to_numpy(zero_copy_only=False)
@@ -227,13 +278,15 @@ def _conformance_rows(
             }
         )
 
-    return ds.groupby("part_id").map_groups(
+    return ds.groupby("gid").map_groups(
         _compare_groups, batch_format="pyarrow"
     ).take_all()
 
 
 def _rows_to_report(rows: list[dict]) -> CheckReport:
-    report = CheckReport(partitions_checked=len(rows))
+    report = CheckReport(
+        partitions_checked=len({int(r["part_id"]) for r in rows})
+    )
     for r in rows:
         report.rows_expected += int(r["n_expected"])
         report.rows_in_lake += int(r["n_lake"])
@@ -242,7 +295,8 @@ def _rows_to_report(rows: list[dict]) -> CheckReport:
         report.mismatched += int(r["mismatched"])
         if r["missing"] or r["extra"] or r["mismatched"]:
             report.bad_partitions.append(int(r["part_id"]))
-    report.bad_partitions.sort()
+    # sub-bucketed compare groups emit up to SUB rows per partition
+    report.bad_partitions = sorted(set(report.bad_partitions))
     return report
 
 

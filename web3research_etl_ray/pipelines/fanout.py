@@ -448,13 +448,6 @@ def _replay_fanout_impl(
         tables, num_partitions, ranges, base_spec, wm_by_table, repair_pids,
         p_by_table, depths_by_table,
     )
-    ds = ray.data.read_parquet(
-        files, override_num_blocks=len(files), **read_kwargs
-    )
-    ds = ds.map_batches(
-        stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
-
     # second-level combiner (same win as single-table replay): fold
     # coalesced winner blocks per (__table, key, part_id) before the
     # spool — cuts exchange rows/files by the coalescing factor
@@ -475,8 +468,38 @@ def _replay_fanout_impl(
                 )
         return pa.concat_tables(outs) if outs else t.slice(0, 0)
 
-    ds = ds.map_batches(
-        second_fold, batch_format="pyarrow", batch_size=1 << 18,
+    # Fused per-file read → FanoutNormalize → inline combine (the same
+    # shape as replay.read_norm_partial, and for the same reasons:
+    # ray.data.read_parquet's driver-side metadata/sampling is 2-3 s of
+    # per-job fixed cost, and a separate exact-size rebatching combiner
+    # stage re-concatenates the string-heavy remainder quadratically).
+    _filter_expr = read_kwargs.get("filter")
+
+    def read_stage(t: pa.Table):
+        buf: list[pa.Table] = []
+        nbuf = 0
+        for path in t.column("path").to_pylist():
+            scanner = pads.dataset(path).scanner(
+                filter=_filter_expr, batch_size=128 * 1024
+            )
+            for rb in scanner.to_batches():
+                if not rb.num_rows:
+                    continue
+                w = stage(pa.Table.from_batches([rb]))
+                if not w.num_rows:
+                    continue
+                buf.append(w)
+                nbuf += w.num_rows
+                if nbuf >= (1 << 18):
+                    yield second_fold(pa.concat_tables(buf))
+                    buf, nbuf = [], 0
+        if buf:
+            yield second_fold(pa.concat_tables(buf))
+
+    ds = ray.data.from_items(
+        [{"path": f} for f in files], override_num_blocks=len(files)
+    ).map_batches(
+        read_stage, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
 
@@ -501,7 +524,7 @@ def _replay_fanout_impl(
 
     entries: list[dict] = []
     if units:
-        unit_ds = ray.data.from_items(units).repartition(len(units))
+        unit_ds = ray.data.from_items(units, override_num_blocks=len(units))
         merger = FanoutMerger(
             spool_dir, lake_dir, generation, tables, prior, repair_pids
         )

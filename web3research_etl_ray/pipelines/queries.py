@@ -2842,6 +2842,203 @@ FROM eff GROUP BY repo ORDER BY repo
 
 
 # ---------------------------------------------------------------------------
+# 5b. Tron-width 44-table fan-out (pipelines/wide.py) — the reference's
+# widest shape (one block → 44 tables, src/ch_tron/init.rs:76-214) with
+# its hairiest types: decimal256 (UInt256), binary(20) key
+# (FixedString(20)), and list<struct<..., map_>> (Map-inside-Nested,
+# src/ch_tron/schema.rs:1976-1984).  One shared read, ONE MultiManifest
+# commit for all 44.
+# ---------------------------------------------------------------------------
+
+
+_WIDE_LAKES: dict[str, str] = {}
+
+
+def _wide_lake(sf_dir: str) -> str:
+    import shutil
+
+    from .fanout import replay_fanout
+    from .wide import tron_width_tables
+
+    stream = _derive_cdc_stream(sf_dir)
+    lake_dir = stream + "-wlake"
+    if _WIDE_LAKES.get(sf_dir) != lake_dir:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        # the documents-derived stream carries natural-language codes
+        # (vs gen.py's code langs) — same 44-table registry, lang set
+        # matched to the input
+        replay_fanout(
+            stream,
+            lake_dir,
+            tron_width_tables(
+                langs=("en", "zh", "es", "de", "fr", "py", "rs")
+            ),
+            num_partitions=8,
+        )
+        _WIDE_LAKES[sf_dir] = lake_dir
+    return lake_dir
+
+
+def q_fanout_wide_valuations(sf_dir: str) -> pa.Table:
+    """decimal256(76,0) payload (UInt256 analogue) through the full
+    44-table fan-out merge; compared against DuckDB DECIMAL(38,0) after
+    a width-only downcast (values fit well inside 38 digits)."""
+    from .fanout import fanout_table
+
+    t = fanout_table(_wide_lake(sf_dir), "w_valuations")
+    assert t.schema.field("value_wei").type == pa.decimal256(76, 0)
+    # compare as int64: the fixture values fit, and DuckDB's DECIMAL
+    # comes back float64 through pandas — the decimal256 AT-REST type
+    # is what this query certifies (assert above)
+    return pa.table(
+        {
+            "repo": t.column("repo"),
+            "path": t.column("path"),
+            "value_wei": t.column("value_wei").cast(pa.int64()),
+            "commit_seq": t.column("commit_seq"),
+        }
+    ).sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+ORACLE_FANOUT_WIDE_VAL = f"""
+WITH {_EV_CTE},
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM eff
+)
+SELECT repo, path,
+       CAST(length(content) * 1000000000 + commit_seq AS BIGINT) AS value_wei,
+       commit_seq
+FROM win WHERE rn = 1 AND op <> 'delete'
+ORDER BY repo, path
+"""
+
+
+def q_fanout_wide_addr(sf_dir: str) -> pa.Table:
+    """binary(20) KEY (FixedString(20) address analogue): the partition
+    router hashes raw key bytes; the stored key round-trips to the hex
+    the oracle derives with sha256()."""
+    from .fanout import fanout_table
+
+    t = fanout_table(_wide_lake(sf_dir), "w_addresses")
+    assert t.schema.field("addr").type == pa.binary(20)
+    addr_hex = pa.array(
+        [v.hex() for v in t.column("addr").to_pylist()], pa.string()
+    )
+    return pa.table(
+        {
+            "addr_hex": addr_hex,
+            "repo": t.column("repo"),
+            "path": t.column("path"),
+            "commit_seq": t.column("commit_seq"),
+        }
+    ).sort_by([("addr_hex", "ascending")])
+
+
+ORACLE_FANOUT_WIDE_ADDR = f"""
+WITH {_EV_CTE},
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM eff
+)
+SELECT substr(sha256(repo || '/' || path), 1, 40) AS addr_hex,
+       repo, path, commit_seq
+FROM win WHERE rn = 1 AND op <> 'delete'
+ORDER BY addr_hex
+"""
+
+
+def q_fanout_wide_refs(sf_dir: str) -> pa.Table:
+    """Map-inside-Nested payload (list<struct<name, counts:
+    map<string,int64>>>) stored at rest in the wide lake; scalars are
+    extracted AFTER the parquet round-trip, so equality with the oracle
+    proves the nested encoding survived spool, merge and commit."""
+    from .fanout import fanout_table
+
+    t = fanout_table(_wide_lake(sf_dir), "w_refs")
+    refs = t.column("refs").combine_chunks()
+    structs = refs.flatten()  # one element per row by construction
+    names = structs.field("name")
+    counts = structs.field("counts")
+    # map entries are ("len", "seq") per row by construction
+    items = counts.items
+    ref_len = items.take(pa.array(np.arange(0, 2 * len(t), 2)))
+    ref_seq = items.take(pa.array(np.arange(1, 2 * len(t), 2)))
+    return pa.table(
+        {
+            "repo": t.column("repo"),
+            "path": t.column("path"),
+            "ref_name": names,
+            "ref_len": ref_len,
+            "ref_seq": ref_seq,
+            "commit_seq": t.column("commit_seq"),
+        }
+    ).sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+ORACLE_FANOUT_WIDE_REFS = f"""
+WITH {_EV_CTE},
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM eff
+)
+SELECT repo, path,
+       lang AS ref_name,
+       length(content) AS ref_len,
+       commit_seq AS ref_seq,
+       commit_seq
+FROM win WHERE rn = 1 AND op <> 'delete'
+ORDER BY repo, path
+"""
+
+
+def q_fanout_wide_shards(sf_dir: str) -> pa.Table:
+    """Union of the 10 repo-hash-sharded min/max watermark tables —
+    shards are disjoint and together must reproduce the global per-repo
+    first/last fold exactly (AggregatingMergeTree semantics at Tron
+    width)."""
+    from .fanout import fanout_table
+    from .wide import N_SHARDS
+
+    lake = _wide_lake(sf_dir)
+    parts = []
+    for s in range(N_SHARDS):
+        st = fanout_table(lake, f"w_shard_{s}")
+        if st.num_rows:
+            parts.append(st.select(["repo", "first_seq", "last_seq"]))
+    return pa.concat_tables(parts).sort_by([("repo", "ascending")])
+
+
+ORACLE_FANOUT_WIDE_SHARDS = f"""
+WITH {_EV_CTE}
+SELECT repo, min(commit_seq) AS first_seq, max(commit_seq) AS last_seq
+FROM eff GROUP BY repo ORDER BY repo
+"""
+
+
+def q_fanout_wide_langstat(sf_dir: str) -> pa.Table:
+    """One of the 7 per-lang ADDITIVE tables of the 44-table registry
+    (SummingMergeTree at Tron width): per-repo change count + content
+    chars for lang='en' only (the documents-derived stream's lang set)."""
+    from .fanout import fanout_table
+
+    t = fanout_table(_wide_lake(sf_dir), "w_langstat_en")
+    return t.select(
+        ["repo", "n_changes", "content_chars", "commit_seq"]
+    ).sort_by([("repo", "ascending")])
+
+
+ORACLE_FANOUT_WIDE_LANGSTAT = f"""
+WITH {_EV_CTE}
+SELECT repo,
+       count(*) AS n_changes,
+       CAST(sum(length(content)) AS BIGINT) AS content_chars,
+       max(commit_seq) AS commit_seq
+FROM eff WHERE lang = 'en' GROUP BY repo ORDER BY repo
+"""
+
+
+# ---------------------------------------------------------------------------
 # 6. Rows-only operators (no SQL-expressible oracle)
 # ---------------------------------------------------------------------------
 
@@ -13727,6 +13924,11 @@ QUERIES = {
     "fanout_repo_heads": q_fanout_repo_heads,
     "fanout_repo_langs": q_fanout_repo_langs,
     "fanout_repo_activity": q_fanout_repo_activity,
+    "fanout_wide_valuations": q_fanout_wide_valuations,
+    "fanout_wide_addr": q_fanout_wide_addr,
+    "fanout_wide_refs": q_fanout_wide_refs,
+    "fanout_wide_shards": q_fanout_wide_shards,
+    "fanout_wide_langstat": q_fanout_wide_langstat,
     "curate_documents": q_curate_documents,
 }
 
@@ -13908,6 +14110,11 @@ ORACLE_SQL = {
     "fanout_repo_heads": ORACLE_FANOUT_HEADS,
     "fanout_repo_langs": ORACLE_FANOUT_LANGS,
     "fanout_repo_activity": ORACLE_FANOUT_ACTIVITY,
+    "fanout_wide_valuations": ORACLE_FANOUT_WIDE_VAL,
+    "fanout_wide_addr": ORACLE_FANOUT_WIDE_ADDR,
+    "fanout_wide_refs": ORACLE_FANOUT_WIDE_REFS,
+    "fanout_wide_shards": ORACLE_FANOUT_WIDE_SHARDS,
+    "fanout_wide_langstat": ORACLE_FANOUT_WIDE_LANGSTAT,
     "curate_documents": ORACLE_CURATE,
     # the incremental index must reproduce the batch result exactly
     # (ticks arrive in doc_id order), so it shares the batch oracle

@@ -116,6 +116,15 @@ def auto_partitions(files: list[str], target_bytes: int = 32 << 20) -> int:
     return int(min(1024, max(DEFAULT_NUM_PARTITIONS, total // target_bytes)))
 
 
+def _leaf_index(md, col: str) -> int:
+    """PARQUET LEAF index of a top-level primitive column: nested
+    columns (maps/lists/structs) flatten into multiple leaves, so the
+    arrow schema position is NOT the statistics index."""
+    return next(
+        i for i in range(md.num_columns) if md.schema.column(i).path == col
+    )
+
+
 def _find_repair_pids(
     lake_dir: str,
     prior: Manifest | dict,
@@ -137,7 +146,7 @@ def _find_repair_pids(
         if not entry.file:
             continue
         md = pq.ParquetFile(os.path.join(lake_dir, entry.file)).metadata
-        schema_idx = md.schema.to_arrow_schema().get_field_index(order_col)
+        schema_idx = _leaf_index(md, order_col)
         lo, hi = None, None
         for rg in range(md.num_row_groups):
             col = md.row_group(rg).column(schema_idx)
@@ -183,7 +192,7 @@ def _file_seq_ranges(
         key = f"{os.path.abspath(f)}|{st_f.st_size}|{st_f.st_mtime_ns}"
         if key not in cache:
             md = pq.ParquetFile(f).metadata
-            idx = md.schema.to_arrow_schema().get_field_index(order_col)
+            idx = _leaf_index(md, order_col)
             lo, hi = None, None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
