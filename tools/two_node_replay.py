@@ -7,9 +7,9 @@ two ``ray start`` raylets on this box (head + worker, each with its own
 plasma object store), a driver that connects via ``ray.init(address=
 ...)``, and one 10M-event replay.  It then asserts
 
-* tasks genuinely ran on BOTH nodes (per-node CPU usage via
-  ``ray._private.state.state`` task placement → we check both node IDs
-  appear among the merge tasks' raylets),
+* tasks genuinely ran on BOTH nodes (``W3R_NODE_TRACE``: map and merge
+  tasks touch one marker per raylet node id — the dashboard state API
+  is disabled in this sandbox),
 * the lake equals the single-process oracle fold — i.e. the spool
   exchange and the two-phase manifest commit are correct when map and
   merge tasks live in different object stores / processes.
@@ -55,10 +55,15 @@ def main() -> None:
         )
         time.sleep(2)
 
+        env["W3R_NODE_TRACE"] = trace_dir = "/tmp/w3r_twonode_trace"
+        shutil.rmtree(trace_dir, ignore_errors=True)
         driver = f"""
 import json, os, shutil, time
 import ray
-ray.init(address="127.0.0.1:6379", logging_level="ERROR")
+ray.init(
+    address="127.0.0.1:6379", logging_level="ERROR",
+    runtime_env={{"env_vars": {{"W3R_NODE_TRACE": "{trace_dir}"}}}},
+)
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 nodes = [n for n in ray.nodes() if n["Alive"]]
@@ -72,17 +77,18 @@ shutil.rmtree(lake, ignore_errors=True)
 t0 = time.perf_counter()
 m = replay(stream, lake, num_partitions=64)
 wall = time.perf_counter() - t0
-# which raylets executed tasks: poll the GCS task table
-from ray.util.state import list_tasks
-tasks = list_tasks(limit=10000, filters=[("state", "=", "FINISHED")])
-node_ids = {{t.node_id for t in tasks if t.node_id}}
+# which raylets executed map/merge tasks: node-trace markers
+marks = sorted(os.listdir("{trace_dir}"))
+map_nodes = {{m.split("-", 1)[1] for m in marks if m.startswith("map-")}}
+merge_nodes = {{m.split("-", 1)[1] for m in marks if m.startswith("merge-")}}
 small = {n_events} <= 1_000_000
 result = {{
     "wall_s": round(wall, 2),
     "n_events": {n_events},
     "events_per_sec": round({n_events} / wall, 1),
     "alive_nodes": len(nodes),
-    "task_nodes": len(node_ids),
+    "map_task_nodes": len(map_nodes),
+    "merge_task_nodes": len(merge_nodes),
     "lake_rows": m.totals()["rows"],
 }}
 if small:

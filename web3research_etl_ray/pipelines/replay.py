@@ -453,6 +453,9 @@ def _replay_impl(
         # chunk to cut exact-size batches (quadratic payload copying —
         # measured 80 s of an old 92 s run at 50M events), while this
         # accumulator concats each winner chunk exactly once.
+        from ..stages.merge import _trace_node
+
+        _trace_node("map")
         buf: list[pa.Table] = []
         nbuf = 0
         for path in t.column("path").to_pylist():

@@ -278,6 +278,24 @@ def _empty_group(spec: TableSpec = REPO_FILES) -> pa.Table:
     return pa.table(cols)
 
 
+def _trace_node(kind: str) -> None:
+    """Multi-node execution evidence (W3R_NODE_TRACE=<dir>): touch one
+    file per (stage kind, raylet node id) so a cluster run can prove
+    which nodes executed map/merge tasks without the dashboard state
+    API (disabled in this sandbox).  No-op unless the env var is set."""
+    trace = os.environ.get("W3R_NODE_TRACE")
+    if not trace:
+        return
+    try:
+        import ray as _ray
+
+        nid = _ray.get_runtime_context().get_node_id()
+        os.makedirs(trace, exist_ok=True)
+        open(os.path.join(trace, f"{kind}-{nid}"), "w").close()
+    except Exception:  # noqa: BLE001 - tracing is best-effort
+        pass
+
+
 class SpoolMerger:
     """Dataset stage over partition-id rows: read the partition's spool
     files (hive-partitioned combined rows written by the map side of
@@ -288,6 +306,7 @@ class SpoolMerger:
         self.merger = Merger(*merger_args)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        _trace_node("merge")
         entries = []
         for pid in batch.column("pid").to_pylist():
             pid = int(pid)
