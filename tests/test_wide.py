@@ -10,6 +10,9 @@
 * check_fanout conformance passes over the wide lake.
 """
 
+import os
+import shutil
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -211,3 +214,39 @@ def test_check_fanout_conformance(wide_lake, tiny_stream):
     report = check_fanout(tiny_stream, d, tron_width_tables())
     bad = {name: r for name, r in report.items() if not r.ok}
     assert not bad, bad
+
+
+def test_sync_fanout_at_width(tiny_stream, tmp_path):
+    """Multi-tick incremental sync over the full 44-table registry: a
+    growing landing zone absorbed tick by tick, every tick one
+    cross-table-atomic generation, final state == one-shot."""
+    from web3research_etl_ray.pipelines.tail import sync_fanout
+
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for f in os.listdir(tiny_stream):
+        if not f.startswith("events-"):
+            shutil.copy(os.path.join(tiny_stream, f), os.path.join(live, f))
+    segs = event_files(tiny_stream)
+    tables = tron_width_tables()
+    lake = str(tmp_path / "mlake")
+
+    def land(tick, manifest):
+        if tick < len(segs) - 1:
+            nxt = segs[tick + 1]
+            shutil.copy(nxt, os.path.join(live, os.path.basename(nxt)))
+
+    shutil.copy(segs[0], os.path.join(live, os.path.basename(segs[0])))
+    m = sync_fanout(live, lake, tables, max_ticks=len(segs),
+                    num_partitions=8, on_tick=land)
+    assert m.generation == len(segs) - 1
+    one_shot = str(tmp_path / "oneshot")
+    replay_fanout(tiny_stream, one_shot, tables, num_partitions=8)
+    for name in ("repo_files", "w_valuations", "w_addresses", "w_refs",
+                 "w_repo_activity", "w_shard_3", "w_repo_firstlast"):
+        ta = fanout_table(one_shot, name)
+        tb = fanout_table(lake, name)
+        cols = sorted(ta.column_names)
+        ra = sorted(tuple(str(r[c]) for c in cols) for r in ta.to_pylist())
+        rb = sorted(tuple(str(r[c]) for c in cols) for r in tb.to_pylist())
+        assert ra == rb, name
