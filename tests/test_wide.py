@@ -250,3 +250,26 @@ def test_sync_fanout_at_width(tiny_stream, tmp_path):
         ra = sorted(tuple(str(r[c]) for c in cols) for r in ta.to_pylist())
         rb = sorted(tuple(str(r[c]) for c in cols) for r in tb.to_pylist())
         assert ra == rb, name
+
+
+def test_crash_before_commit_at_width(tiny_stream, tmp_path):
+    """A crash after the merge work but BEFORE the multi-manifest
+    pointer swap leaves NO table advanced (44-way lockstep), and the
+    rerun converges to the one-shot state."""
+    lake = str(tmp_path / "mlake")
+    tables = tron_width_tables()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        replay_fanout(tiny_stream, lake, tables, num_partitions=8,
+                      _crash_before_commit=True)
+    assert load_latest_multi(lake) is None  # nothing committed
+    m = replay_fanout(tiny_stream, lake, tables, num_partitions=8)
+    assert len(m.tables) == 44 and m.generation == 0
+    ref = str(tmp_path / "ref")
+    replay_fanout(tiny_stream, ref, tables, num_partitions=8)
+    for name in ("repo_files", "w_valuations", "w_refs", "w_repo_activity"):
+        ta = fanout_table(ref, name)
+        tb = fanout_table(lake, name)
+        cols = sorted(ta.column_names)
+        ra = sorted(tuple(str(r[c]) for c in cols) for r in ta.to_pylist())
+        rb = sorted(tuple(str(r[c]) for c in cols) for r in tb.to_pylist())
+        assert ra == rb, name
