@@ -13955,6 +13955,8 @@ _PRIORITY = [
     "heavy_hitter_users",
     "incremental_curate",
     "fanout_repo_heads",
+    "fanout_wide_valuations",
+    "fanout_wide_refs",
     "seq_pack_documents",
 ]
 QUERIES = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES} | {
