@@ -95,3 +95,54 @@ def test_fold_associative_partial_then_final(events, split):
     parts = [fold_lww(_table(p)) for p in (a, b) if p]
     two_level = fold_lww(pa.concat_tables(parts))
     assert _state(two_level) == _state(fold_lww(_table(events)))
+
+
+# --- combiner associativity across ALL aggregate modes ----------------
+# The inline map-side refold (replay.read_norm_partial) folds arbitrary
+# prefixes of the stream before the exchange, and the merge folds the
+# folded pieces again — correctness at Tron width (LWW + additive +
+# min/max in one registry) rests on fold being associative per mode:
+# fold(fold(A) ++ fold(B)) == fold(A ++ B) for ANY split point.
+
+def _agg_table(events):
+    n = len(events)
+    return pa.table(
+        {
+            "repo": [k[0] for k, _ in events],
+            "path": [k[1] for k, _ in events],
+            "commit_seq": pa.array([s for _, s in events], pa.int64()),
+            "op": ["upsert"] * n,
+            "n_events": pa.array([1] * n, pa.int64()),
+            "val": pa.array([s * 3 + 1 for _, s in events], pa.int64()),
+            "lo": pa.array([s for _, s in events], pa.int64()),
+            "hi": pa.array([s for _, s in events], pa.int64()),
+        }
+    )
+
+
+def _agg_state(t):
+    return {
+        (r["repo"], r["path"]): (
+            r["commit_seq"], r["n_events"], r["val"], r["lo"], r["hi"]
+        )
+        for r in t.to_pylist()
+    }
+
+
+def _fold_modes(t):
+    return fold_lww(
+        t, "n_events", ("repo", "path"), "commit_seq",
+        sum_cols=("val",), min_cols=("lo",), max_cols=("hi",),
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(events=events_strategy, split=st.integers(0, 40))
+def test_partial_fold_associative_all_modes(events, split):
+    k = split % (len(events) + 1)
+    t = _agg_table(events)
+    whole = _fold_modes(t)
+    a = _fold_modes(t.slice(0, k))
+    b = _fold_modes(t.slice(k))
+    refolded = _fold_modes(pa.concat_tables([a, b]))
+    assert _agg_state(whole) == _agg_state(refolded)
