@@ -155,10 +155,32 @@ def _conformance_rows(
         )
         return t.append_column("src", pa.array(["e"] * t.num_rows))
 
-    exp_ds = ray.data.read_parquet(
-        files, override_num_blocks=len(files)
+    # fused per-file read (same shape/rationale as replay.read_norm_
+    # partial: no driver-side metadata/sampling fixed cost), with the
+    # trailing-window bound PUSHED into the scanner so a windowed check
+    # prunes row groups at the read instead of scanning full history.
+    # The post-union from_seq filter below still runs (the LAKE side
+    # needs it, and it keeps the window semantics in one place).
+    _exp_filter = (
+        pc.field(order) >= from_seq if from_seq is not None else None
+    )
+
+    def _read_exp(t: pa.Table):
+        import pyarrow.dataset as pads
+
+        for path in t.column("path").to_pylist():
+            scanner = pads.dataset(path).scanner(
+                filter=_exp_filter, batch_size=128 * 1024
+            )
+            for rb in scanner.to_batches():
+                if rb.num_rows:
+                    yield _exp_stage(pa.Table.from_batches([rb]))
+
+    exp_ds = ray.data.from_items(
+        [{"path": f} for f in files], override_num_blocks=len(files)
     ).map_batches(
-        _exp_stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        _read_exp, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
 
     def _tag_lake(t: pa.Table) -> pa.Table:
