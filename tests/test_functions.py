@@ -151,9 +151,22 @@ def test_connected_components_ds_matches_union_find():
         (r["doc_id"], r["cluster_id"])
         for r in connected_components(pairs).to_pylist()
     }
-    got_ds = connected_components_ds(ray.data.from_arrow(pairs))
+    # force the DISTRIBUTED label-propagation path (small_threshold=0);
+    # the default size-adaptive path collapses small graphs to the
+    # driver union-find, which would make this equality vacuous
+    got_ds = connected_components_ds(
+        ray.data.from_arrow(pairs), small_threshold=0
+    )
     got = {(r["doc_id"], r["cluster_id"]) for r in got_ds.take_all()}
     assert got == want
+    # and the adaptive path must agree too
+    got_small = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_ds(
+            ray.data.from_arrow(pairs)
+        ).take_all()
+    }
+    assert got_small == want
 
 
 def test_connected_components_ds_empty():

@@ -782,7 +782,10 @@ def connected_components(pairs: pa.Table) -> pa.Table:
 
 
 def connected_components_ds(
-    pairs: ray.data.Dataset, *, max_iters: int = 64
+    pairs: ray.data.Dataset,
+    *,
+    max_iters: int = 64,
+    small_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Distributed connected components over an (id_a, id_b) pair
     Dataset: (doc_id, cluster_id) with cluster_id = min doc_id of the
@@ -815,13 +818,29 @@ def connected_components_ds(
     edges = pairs.map_batches(
         both_directions, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(
             pa.table(
                 {"doc_id": pa.array([], pa.int64()),
                  "cluster_id": pa.array([], pa.int64())}
             )
         )
+    # Size-adaptive path (the same shape as replay's exchange="auto"):
+    # a small edge set pays more in per-round Ray executions (2 keyed
+    # exchanges + a convergence aggregate per round) than the whole
+    # problem costs on the driver, so below the threshold collapse to
+    # the exact union-find over the SAME edges.  The label-propagation
+    # path stays the 10^10-corpus route (no driver state); equality of
+    # the two is covered by the adversarial-graph tests.
+    if n_edges <= small_threshold:
+        import ray as _ray
+
+        blocks = [
+            t for t in _ray.get(edges.to_arrow_refs()) if t.num_rows
+        ]  # empty blocks may carry a null-typed placeholder schema
+        et = pa.concat_tables(blocks).rename_columns(["id_a", "id_b"])
+        return ray.data.from_arrow(connected_components(et))
 
     # label(x) = min(x, min neighbor)
     def seed_label(t: pa.Table) -> pa.Table:
