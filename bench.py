@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "first_touch_attribution",
     "max_drawdown_per_user",
     "quantize_embeddings",
+    # Tron-width 44-table fan-out (first one pays the whole lake
+    # build — ~1.1 s at sf0.1 including all 44 tables' merge+commit)
+    "fanout_wide_valuations",
+    "fanout_wide_refs",
+    "fanout_wide_shards",
 ]
 
 
