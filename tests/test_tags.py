@@ -133,3 +133,41 @@ def test_fanout_tag_pins_multi_generation_across_gc(tiny_stream, lake_dir):
         fanout_table(lake_dir, "repo_heads", generation=1)
     with pytest.raises(ValueError):
         create_tag_multi(lake_dir, "ghost", 77)
+
+
+def test_concurrent_taggers_drop_no_tag(three_gen_lake):
+    """ADVICE r03: two concurrent ``create_tag`` calls must not lose
+    either tag (the unlocked read-modify-write did), and tag writes
+    must serialize against ``gc_generations``.  N processes tag
+    concurrently while one runs GC; afterwards every tag exists and
+    resolves to a live, readable generation."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_tag_proc, args=(three_gen_lake, f"t{i}", i % 3))
+        for i in range(6)
+    ] + [ctx.Process(target=_gc_proc, args=(three_gen_lake,))]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(60)
+        assert p.exitcode == 0
+    tags = list_tags(three_gen_lake)
+    assert set(tags) == {f"t{i}" for i in range(6)}
+    # every pinned generation still readable (GC never collected one
+    # that a tagger was pinning)
+    for name in tags:
+        assert lake_table(three_gen_lake, tag=name).num_rows > 0
+
+
+def _tag_proc(lake, name, gen):
+    from web3research_etl_ray.state.manifest import create_tag
+
+    create_tag(lake, name, gen)
+
+
+def _gc_proc(lake):
+    from web3research_etl_ray.state.manifest import gc_generations
+
+    gc_generations(lake, keep=1)
