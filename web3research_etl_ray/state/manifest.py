@@ -358,21 +358,33 @@ class _tags_lock:
     _NAME = "TAGS.lock"
     _TTL_S = 30.0
 
+    #: grace between a stale-takeover ``os.replace`` and the ownership
+    #: verify read.  Racing takers decide "stale" within one poll
+    #: interval (20 ms) of each other, so any competing replace lands
+    #: well inside this window; whoever's token survives the grace owns
+    #: the lock, everyone else loops back.
+    _TAKEOVER_GRACE_S = 0.1
+
     def __init__(self, lake_dir: str):
+        import uuid
+
         self._path = os.path.join(lake_dir, self._NAME)
+        # unique per-acquisition token: staleness checks parse host/pid,
+        # the uuid disambiguates two acquisitions by the same process
+        # (and makes release owner-checked — see __exit__)
+        self._token = f"{_lease_owner()}:{uuid.uuid4().hex}"
         os.makedirs(lake_dir, exist_ok=True)
 
     def __enter__(self) -> "_tags_lock":
         import socket
         import time
 
-        me = _lease_owner()
         deadline = time.monotonic() + self._TTL_S
         while True:
             try:
                 fd = os.open(self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 with os.fdopen(fd, "w") as fh:
-                    fh.write(me)
+                    fh.write(self._token)
                 return self
             except FileExistsError:
                 try:
@@ -381,7 +393,8 @@ class _tags_lock:
                     age = time.time() - os.path.getmtime(self._path)
                 except FileNotFoundError:
                     continue  # released between probe and read — retry
-                host, _, pid = owner.rpartition(":")
+                parts = owner.split(":")
+                host, pid = (parts[0], parts[1]) if len(parts) >= 2 else ("", "")
                 stale = age > self._TTL_S
                 if host == socket.gethostname() and pid.isdigit():
                     try:
@@ -391,11 +404,23 @@ class _tags_lock:
                     except PermissionError:
                         pass
                 if stale:
+                    # ADVICE r04: the bare check-then-replace let two
+                    # waiters both claim a stale lock.  Replace with OUR
+                    # unique token, wait out the racing-replace window,
+                    # then verify the file still carries it — exactly
+                    # one racer's token survives, the rest loop back.
                     tmp = self._path + f".takeover.{os.getpid()}"
                     with open(tmp, "w") as fh:
-                        fh.write(me)
+                        fh.write(self._token)
                     os.replace(tmp, self._path)
-                    return self
+                    time.sleep(self._TAKEOVER_GRACE_S)
+                    try:
+                        with open(self._path) as fh:
+                            if fh.read().strip() == self._token:
+                                return self
+                    except FileNotFoundError:
+                        pass
+                    continue  # another taker overwrote us — re-race
                 if time.monotonic() > deadline:
                     raise ConcurrentWriterError(
                         f"could not acquire tags lock under "
@@ -404,7 +429,14 @@ class _tags_lock:
                 time.sleep(0.02)
 
     def __exit__(self, *exc) -> None:
+        # only release a lock we still own: a holder that overran the
+        # TTL and lost a takeover race must NOT delete its successor's
+        # lock (ADVICE r04 — the unconditional remove reopened the
+        # lost-tag window under stalls)
         try:
+            with open(self._path) as fh:
+                if fh.read().strip() != self._token:
+                    return
             os.remove(self._path)
         except FileNotFoundError:
             pass
