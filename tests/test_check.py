@@ -187,3 +187,92 @@ def test_query_cli_verb(tmp_path, capsys):
     assert main(["query", "watermark_events",
                  "--sf-dir", "/root/testdata/sf0.001", "--out", out]) == 0
     assert pq.read_table(out).num_rows == 1
+
+
+# --- nested_equal: vectorized structural equality (VERDICT r04) ------
+
+def _ne(a, b):
+    import pyarrow as pa
+
+    from web3research_etl_ray.pipelines.check import nested_equal
+
+    return nested_equal(pa.array(a[0], a[1]) if isinstance(a, tuple) else a,
+                        pa.array(b[0], b[1]) if isinstance(b, tuple) else b)
+
+
+def test_nested_equal_lists_structs_maps():
+    import numpy as np
+    import pyarrow as pa
+
+    # plain lists: equal, value diff, length diff, null semantics
+    a = pa.array([[1, 2], [3], None, [], [5, None]],
+                 pa.list_(pa.int64()))
+    b = pa.array([[1, 2], [3, 4], None, [], [5, 6]],
+                 pa.list_(pa.int64()))
+    assert _ne(a, b).tolist() == [True, False, True, True, False]
+    # struct with nested list
+    ty = pa.struct([("x", pa.int64()), ("ys", pa.list_(pa.string()))])
+    a = pa.array([{"x": 1, "ys": ["a"]}, {"x": 2, "ys": []}, None],
+                 ty)
+    b = pa.array([{"x": 1, "ys": ["a"]}, {"x": 2, "ys": ["b"]}, None],
+                 ty)
+    assert _ne(a, b).tolist() == [True, False, True]
+    # map inside list-of-struct — the w_refs shape
+    mty = pa.list_(pa.struct([("tag", pa.string()),
+                              ("counts", pa.map_(pa.string(), pa.int64()))]))
+    a = pa.array([[{"tag": "t", "counts": [("len", 3), ("seq", 7)]}],
+                  [{"tag": "u", "counts": [("len", 1), ("seq", 2)]}]], mty)
+    b = pa.array([[{"tag": "t", "counts": [("len", 3), ("seq", 7)]}],
+                  [{"tag": "u", "counts": [("len", 1), ("seq", 99)]}]], mty)
+    got = _ne(a, b)
+    assert got.tolist() == [True, False]
+    assert got.dtype == np.bool_
+
+
+def test_nested_equal_matches_pylist_on_slices_and_chunks():
+    """Offset/chunk-layout independence: sliced and chunked inputs must
+    compare by VALUE exactly like to_pylist equality did."""
+    import pyarrow as pa
+
+    ty = pa.list_(pa.struct([("k", pa.string()), ("v", pa.int64())]))
+    rows = [[{"k": "a", "v": i}] if i % 3 else None for i in range(10)]
+    rows2 = [([{"k": "a", "v": -i}] if i % 4 == 0 else r)
+             for i, r in enumerate(rows)]
+    a = pa.array(rows, ty).slice(2, 6)
+    b0 = pa.array(rows2, ty)
+    b = pa.chunked_array([b0.slice(2, 3), b0.slice(5, 3)])
+    want = [x == y for x, y in
+            zip(a.to_pylist(), b.combine_chunks().to_pylist())]
+    assert _ne(a, b).tolist() == want
+
+
+def test_nested_equal_binary_and_decimal_leaves():
+    import pyarrow as pa
+
+    a = pa.array([[b"\x00\x01"], [b"\xff"]], pa.list_(pa.binary()))
+    b = pa.array([[b"\x00\x01"], [b"\xfe"]], pa.list_(pa.binary()))
+    assert _ne(a, b).tolist() == [True, False]
+    d = pa.decimal256(76, 0)
+    a = pa.array([[10 ** 40], [2]], pa.list_(d))
+    b = pa.array([[10 ** 40], [3]], pa.list_(d))
+    assert _ne(a, b).tolist() == [True, False]
+
+
+def test_length_prefixed_join_unambiguous():
+    """ADVICE r04: with a \\x00 separator, ('a\\x00','b') and
+    ('a','\\x00b') joined identically — framing must distinguish
+    them, and equal tuples must still join equally."""
+    import pyarrow as pa
+
+    from web3research_etl_ray.functions.hashing import length_prefixed_join
+
+    k1 = length_prefixed_join(
+        [pa.array([b"a\x00", b"x"], pa.binary()),
+         pa.array([b"b", b"y"], pa.binary())]
+    )
+    k2 = length_prefixed_join(
+        [pa.array([b"a", b"x"], pa.binary()),
+         pa.array([b"\x00b", b"y"], pa.binary())]
+    )
+    assert k1[0].as_py() != k2[0].as_py()  # distinct tuples differ
+    assert k1[1].as_py() == k2[1].as_py()  # identical tuples agree

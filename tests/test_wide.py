@@ -273,3 +273,43 @@ def test_crash_before_commit_at_width(tiny_stream, tmp_path):
         ra = sorted(tuple(str(r[c]) for c in cols) for r in ta.to_pylist())
         rb = sorted(tuple(str(r[c]) for c in cols) for r in tb.to_pylist())
         assert ra == rb, name
+
+
+def test_check_fanout_detects_nested_mismatch(tiny_stream, tmp_path):
+    """The vectorized nested compare (check.nested_equal) must still
+    DETECT a corrupted map-inside-nested payload: flip one map value in
+    one w_refs data file and the conformance check flags exactly that
+    partition as mismatched."""
+    from web3research_etl_ray.pipelines.check import check_fanout
+    from web3research_etl_ray.state.manifest import load_latest_multi
+
+    refs_only = [t for t in tron_width_tables() if t.spec.name == "w_refs"]
+    assert len(refs_only) == 1
+    lake = str(tmp_path / "mlake")
+    replay_fanout(tiny_stream, lake, refs_only, num_partitions=8)
+    clean = check_fanout(tiny_stream, lake, refs_only)["w_refs"]
+    assert clean.ok, clean
+
+    # corrupt one row's counts["seq"] inside one parquet file
+    import pyarrow.parquet as pq
+
+    ts = load_latest_multi(lake).tables["w_refs"]
+    victim = next(f for f in ts.data_files(lake) if pq.read_table(f).num_rows)
+    t = pq.read_table(victim)
+    rows = t.column("refs").to_pylist()
+    ref0 = dict(rows[0][0])
+    ref0["counts"] = [(k, v + 1 if k == "seq" else v)
+                     for k, v in ref0["counts"]]
+    rows[0] = [ref0] + list(rows[0][1:])
+    t = t.set_column(
+        t.schema.get_field_index("refs"),
+        t.schema.field("refs"),
+        pa.array(rows, t.schema.field("refs").type),
+    )
+    pq.write_table(t, victim)
+
+    report = check_fanout(tiny_stream, lake, refs_only)["w_refs"]
+    assert not report.ok
+    assert report.mismatched >= 1
+    assert report.missing == 0 and report.extra == 0
+    assert report.bad_partitions

@@ -74,6 +74,37 @@ def sha256_hex(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array(hexes, pa.string())
 
 
+def length_prefixed_join(cols: list[pa.Array | pa.ChunkedArray]) -> pa.Array:
+    """Unambiguous concatenation of binary key components: each value
+    is framed as a 4-byte big-endian length prefix + payload, then the
+    frames are concatenated row-wise.  Unlike a separator join, two
+    distinct key tuples can never produce identical bytes, whatever
+    bytes the components contain (ADVICE r04 — binary(20) addresses
+    contain NULs).  Vectorized: the prefix column is built straight
+    from the length buffer, the concat is one
+    ``binary_join_element_wise`` call."""
+    import pyarrow.compute as pc
+
+    framed: list[pa.Array] = []
+    for c in cols:
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if c.null_count:
+            c = c.fill_null(b"")
+        ln = (
+            pc.binary_length(c)
+            .cast(pa.uint32())
+            .to_numpy(zero_copy_only=False)
+            .astype(">u4")
+        )
+        prefix = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(4), len(c), [None, pa.py_buffer(ln.tobytes())]
+        ).cast(pa.binary())
+        framed += [prefix, c]
+    out = pc.binary_join_element_wise(*framed, b"")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def key_hash64(*cols: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Deterministic 64-bit hash of the row-wise key tuple.
 
@@ -112,17 +143,23 @@ def key_hash64(*cols: pa.Array | pa.ChunkedArray) -> np.ndarray:
         pa.types.is_binary(c.type) or pa.types.is_large_binary(c.type)
         for c in cols
     ):
-        # join requires one family: strings cast to binary zero-copy
-        cols = [
-            c if pa.types.is_binary(c.type) else c.cast(pa.binary())
-            for c in cols
-        ]
-        sep: str | bytes = b"\x00"
+        # join requires one family: strings cast to binary zero-copy.
+        # Binary components can contain ANY byte (a binary(20) address
+        # routinely holds \x00), so a separator join is ambiguous —
+        # ('a\x00','b') vs ('a','\x00b') would collide.  Length-prefix
+        # framing instead (ADVICE r04).  String-only multi-col keys
+        # keep the historical \x00 join: changing it would re-route
+        # part_id for every existing lake's resumed ticks.
+        joined = length_prefixed_join(
+            [
+                c if pa.types.is_binary(c.type) else c.cast(pa.binary())
+                for c in cols
+            ]
+        )
     else:
-        sep = "\x00"
-    joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(
-        *cols, sep
-    )
+        joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(
+            *cols, "\x00"
+        )
     n = len(joined)
     out = np.empty(n, dtype=np.uint64)
     pos = 0

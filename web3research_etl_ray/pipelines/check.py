@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..functions.hashing import key_hash64, sha256_binary
+from ..functions.hashing import key_hash64, length_prefixed_join, sha256_binary
 from ..oracle import load_rollback_ranges
 from ..schema import REPO_FILES, TableSpec
 from ..stages.lww import ORPHAN_OP, agg_kwargs, fold_lww, partial_lww
@@ -60,6 +60,93 @@ class CheckReport:
     @property
     def ok(self) -> bool:
         return not (self.missing or self.extra or self.mismatched or self.corrupt)
+
+
+def nested_equal(
+    a: pa.Array | pa.ChunkedArray, b: pa.Array | pa.ChunkedArray
+) -> np.ndarray:
+    """Exact row-wise structural equality for arbitrarily nested Arrow
+    arrays (list / struct / map / fixed-size-list over any leaf) — the
+    vectorized replacement for the ``to_pylist()`` equality fallback in
+    the conformance compare (VERDICT r04).  Matches Python-object
+    semantics: null == null at every nesting level; maps compare as
+    their ordered list<struct<key,value>> storage (exactly what
+    ``MapArray.to_pylist()`` yields).  The equality path is pure Arrow
+    kernels + numpy segment reductions: lists reduce their flattened
+    children with one prefix-sum per level, structs AND their fields —
+    no per-row Python objects.
+    """
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    an = pc.is_null(a).to_numpy(zero_copy_only=False)
+    bn = pc.is_null(b).to_numpy(zero_copy_only=False)
+    both_null = an & bn
+    both_valid = ~an & ~bn
+    ty = a.type
+    if pa.types.is_struct(ty):
+        inner = np.ones(n, dtype=bool)
+        for i in range(ty.num_fields):
+            # struct_field (not StructArray.field) — offset-aware and
+            # null-propagating on sliced parents
+            inner &= nested_equal(pc.struct_field(a, i), pc.struct_field(b, i))
+        return both_null | (both_valid & inner)
+    if pa.types.is_map(ty):
+        # compare as the ordered list<struct<key,value>> storage; the
+        # cast is offset-aware (unlike MapArray.items — ADVICE r04)
+        lst = pa.list_(
+            pa.struct([("key", ty.key_type), ("value", ty.item_type)])
+        )
+        return nested_equal(a.cast(lst), b.cast(lst))
+    if (
+        pa.types.is_list(ty)
+        or pa.types.is_large_list(ty)
+        or pa.types.is_fixed_size_list(ty)
+    ):
+        la = (
+            pc.list_value_length(a)
+            .cast(pa.int64())
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+        )
+        lb = (
+            pc.list_value_length(b)
+            .cast(pa.int64())
+            .fill_null(-2)
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = both_valid & (la == lb)
+        mask = pa.array(keep)
+        af, bf = a.filter(mask), b.filter(mask)
+        # identical per-row lengths ⇒ the flattened children align
+        ca, cb = pc.list_flatten(af), pc.list_flatten(bf)
+        ceq = nested_equal(ca, cb)
+        lens = la[keep]
+        ends = np.cumsum(lens)
+        csum = np.concatenate(
+            [[0], np.cumsum((~ceq).astype(np.int64))]
+        )
+        row_ok = (csum[ends] - csum[ends - lens]) == 0
+        out = np.zeros(n, dtype=bool)
+        out[keep] = row_ok
+        return both_null | out
+    try:
+        eq = pc.fill_null(pc.equal(a, b), False).to_numpy(
+            zero_copy_only=False
+        )
+    except pa.lib.ArrowNotImplementedError:
+        # leaf type without an equality kernel — last-resort Python
+        # path (none of the engine's schemas reach this)
+        eq = np.fromiter(
+            (x == y for x, y in zip(a.to_pylist(), b.to_pylist())),
+            dtype=bool,
+            count=n,
+        )
+    return both_null | (both_valid & eq)
 
 
 def _value_cols(spec: TableSpec) -> list[str]:
@@ -228,15 +315,17 @@ def _conformance_rows(
                 c = c.cast(pa.string())
             cols.append(c)
         if any_bin and len(cols) > 1:
-            cols = [
-                c if pa.types.is_binary(c.type) else c.cast(pa.binary())
-                for c in cols
-            ]
-            sep: str | bytes = b"\x00"
-        else:
-            sep = "\x00"
+            # binary components may contain any byte — a separator join
+            # would let distinct tuples collide (ADVICE r04); frame by
+            # length prefix instead, same protocol as key_hash64
+            return length_prefixed_join(
+                [
+                    c if pa.types.is_binary(c.type) else c.cast(pa.binary())
+                    for c in cols
+                ]
+            )
         out = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(
-            *cols, sep
+            *cols, "\x00"
         )
         return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
@@ -274,15 +363,10 @@ def _conformance_rows(
                     )
                 except pa.lib.ArrowNotImplementedError:
                     # nested types (list/struct/map payloads) have no
-                    # compare kernel — Python-object equality on the
-                    # (sub-bucket-bounded) group instead
-                    ev = exp.column(c).to_pylist()
-                    lp = lv.to_pylist()
-                    mism |= np.fromiter(
-                        (m and a != b for m, a, b in zip(m_np, ev, lp)),
-                        dtype=bool,
-                        count=len(ev),
-                    )
+                    # not_equal kernel — vectorized structural equality
+                    # instead (VERDICT r04: the to_pylist() fallback
+                    # was a per-row Python loop at scale)
+                    mism |= ~nested_equal(exp.column(c), lv) & m_np
                     continue
                 # null-vs-value asymmetry (not_equal(null, x) is null):
                 # a matched row where exactly one side is null mismatches
