@@ -165,6 +165,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                     while fh.read(1 << 22):
                         pass
         for name in BENCH_QUERIES:
+            if name == "fanout_wide_valuations":
+                # the 44-table lake build is its own bench row (VERDICT
+                # r04 Wrong #3): per-table derive/merge regressions must
+                # not hide inside whichever wide query runs first — the
+                # fanout_wide_* rows below all read the cached lake
+                from web3research_etl_ray.pipelines.queries import _wide_lake
+
+                t0 = time.perf_counter()
+                _wide_lake(sf_dir)
+                q_secs["fanout_wide_build"] = round(
+                    time.perf_counter() - t0, 3
+                )
             t0 = time.perf_counter()
             _consume(QUERIES[name](sf_dir))
             q_secs[name] = round(time.perf_counter() - t0, 3)
