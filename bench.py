@@ -396,10 +396,45 @@ def run_control() -> dict:
     }
 
 
+def run_two_node(n_events: int = 10_000_000) -> dict:
+    """Re-prove the cross-object-store exchange every round (VERDICT
+    r04 Next #6): run tools/two_node_replay.py — two raylets with
+    separate plasma stores, tasks verified on both node ids, lake
+    oracle-exact — in a clean subprocess (it manages its own `ray
+    start`/`ray stop`, so it must NOT run inside a live session)."""
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tools",
+                "two_node_replay.py",
+            ),
+            str(n_events),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--control" in sys.argv:
         print(json.dumps(run_control()))
+    elif "--two-node" in sys.argv:
+        i = sys.argv.index("--two-node")
+        n = (
+            int(sys.argv[i + 1])
+            if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit()
+            else 10_000_000
+        )
+        print(json.dumps(run_two_node(n)))
     else:
         print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

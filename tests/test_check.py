@@ -276,3 +276,77 @@ def test_length_prefixed_join_unambiguous():
     )
     assert k1[0].as_py() != k2[0].as_py()  # distinct tuples differ
     assert k1[1].as_py() == k2[1].as_py()  # identical tuples agree
+
+
+def test_sync_watch_applies_heads_as_they_land(tmp_path, tiny_stream):
+    """Push-per-head mode (VERDICT r04 Next #5, reference
+    src/ch_eth/sync.rs:118-145): a background producer lands one
+    segment at a time; sync(watch=True) blocks on the landing zone and
+    applies each head as it arrives.  Converges to the full-replay
+    oracle with one generation per landed head."""
+    import shutil
+    import threading
+    import time as _time
+
+    stream = str(tmp_path / "stream")
+    os.makedirs(stream)
+    segs = sorted(glob.glob(f"{tiny_stream}/events-*.parquet"))
+    shutil.copy(f"{tiny_stream}/rollbacks.parquet", stream)
+    shutil.copy(segs[0], stream)
+
+    def producer():
+        for s in segs[1:]:
+            _time.sleep(0.3)
+            shutil.copy(s, stream + "/.tmp-" + os.path.basename(s))
+            os.replace(
+                stream + "/.tmp-" + os.path.basename(s),
+                os.path.join(stream, os.path.basename(s)),
+            )
+
+    lake = str(tmp_path / "lake")
+    t = threading.Thread(target=producer)
+    t.start()
+    sync(
+        stream,
+        lake,
+        watch=True,
+        max_ticks=len(segs),
+        watch_timeout_s=2.0,
+        num_partitions=8,
+    )
+    t.join()
+    m = load_latest(lake)
+    # every landed head applied (coalescing ticks is legal, so the
+    # generation count is >= 1 and <= one per head); the loop must
+    # have woken at least once on a pushed head
+    assert 1 <= m.generation <= len(segs) - 1
+    assert tables_equal(lake_table(lake), oracle_fold(tiny_stream))
+
+
+def test_sync_watch_idle_timeout_returns(tmp_path, tiny_stream):
+    """With no new heads, watch mode returns after watch_timeout_s
+    instead of ticking on a timer (and instead of blocking forever)."""
+    import shutil
+    import time as _time
+
+    stream = str(tmp_path / "stream")
+    os.makedirs(stream)
+    segs = sorted(glob.glob(f"{tiny_stream}/events-*.parquet"))
+    shutil.copy(f"{tiny_stream}/rollbacks.parquet", stream)
+    shutil.copy(segs[0], stream)
+    lake = str(tmp_path / "lake")
+    t0 = _time.monotonic()
+    sync(
+        stream,
+        lake,
+        watch=True,
+        max_ticks=10,
+        watch_timeout_s=0.3,
+        num_partitions=8,
+    )
+    elapsed = _time.monotonic() - t0
+    # tick 0 applied the backlog; the loop then idled out once —
+    # nowhere near 10 ticks' worth of work
+    assert elapsed < 10.0
+    m = load_latest(lake)
+    assert m is not None and m.generation == 0

@@ -297,3 +297,58 @@ def test_retyped_column_mid_stream_unifies(tiny_stream, tmp_path):
     lt = lake_table(lake)
     assert lt.schema.field("commit_seq").type == pa.int64()
     assert lt.schema.field("size_bytes").type == pa.int64()
+
+
+def test_driver_tick_paths_equivalent(tiny_stream, tmp_path, monkeypatch):
+    """The driver-local tick's three merge legs (fused single-pass,
+    serial per-partition, distributed groupby) must produce identical
+    lakes AND identical lineage counters per partition.  Replays the
+    same growing stream tick-by-tick under each forced leg and
+    compares manifests row-for-row."""
+    segs = sorted(glob.glob(f"{tiny_stream}/events-*.parquet"))
+
+    def run(env: dict[str, str], sub: str):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        stream = str(tmp_path / f"s-{sub}")
+        os.makedirs(stream)
+        shutil.copy(f"{tiny_stream}/rollbacks.parquet", stream)
+        lake = str(tmp_path / f"l-{sub}")
+        for s in segs:
+            shutil.copy(s, stream)
+            replay(stream, lake, num_partitions=8)
+        for k in env:
+            monkeypatch.delenv(k)
+        return lake
+
+    fused = run({"W3R_FUSED_MERGE_BYTES": str(1 << 30)}, "fused")
+    serial = run(
+        {"W3R_FUSED_MERGE_BYTES": "0", "W3R_DRIVER_REMOTE_ROWS": str(1 << 40)},
+        "serial",
+    )
+    dist = run({"W3R_DRIVER_TICK_BYTES": "0"}, "dist")  # Ray groupby path
+
+    t_f, t_s, t_d = (lake_table(x) for x in (fused, serial, dist))
+    assert tables_equal(t_f, t_s)
+    assert tables_equal(t_f, t_d)
+    assert tables_equal(t_f, oracle_fold(tiny_stream))
+    m_f, m_s, m_d = (load_latest(x) for x in (fused, serial, dist))
+    for pid in m_f.partitions:
+        ef, es, ed = (
+            m.partitions[pid] for m in (m_f, m_s, m_d)
+        )
+        for attr in (
+            "num_rows",
+            "watermark_seq",
+            "events_applied",
+            "events_superseded",
+            "events_rolled_back",
+            "schema_version",
+        ):
+            assert getattr(ef, attr) == getattr(es, attr) == getattr(ed, attr), (
+                pid,
+                attr,
+                getattr(ef, attr),
+                getattr(es, attr),
+                getattr(ed, attr),
+            )

@@ -218,6 +218,21 @@ def _file_seq_ranges(
     return out
 
 
+@ray.remote
+def _merge_groups_task(
+    merger: Merger, groups: list[pa.Table]
+) -> list[dict]:
+    """A BATCH of per-partition merges as one raw Ray task — the
+    parallel leg of the driver-local tick (exchange='driver' branch).
+    Batching ~P/num_cpus merges per task amortizes the per-task
+    scheduling cost (~2-3 ms) that dominated a one-task-per-partition
+    fan-out at tail-tick scale."""
+    rows: list[dict] = []
+    for g in groups:
+        rows.extend(merger(g).to_pylist())
+    return rows
+
+
 def _write_gen_stats(lake_dir: str, generation: int, entries_ds) -> None:
     """Persist the execution profile beside the lake (observability:
     per-stage wall/cpu/rows — the engine's answer to the reference's
@@ -534,12 +549,151 @@ def _replay_impl(
         # from the single streaming execution (~0.5s less fixed glue);
         # large backfills win ~3x from the spool.  `files` is already
         # watermark-pruned, so a tiny tick over a huge lake still
-        # picks groupby.
-        exchange = "groupby" if input_bytes < (512 << 20) else "spool"
-    use_spool = exchange != "groupby" or bool(salt_buckets) or (
-        merge_compute == "actors"
+        # picks groupby.  TINY incremental ticks (a freshly landed head
+        # segment) skip Ray entirely: even the single groupby execution
+        # pays ~0.3 s of task-scheduling fixed cost, which dominated the
+        # tail-latency soak's p50 (VERDICT r04 Next #5) — the driver
+        # path below runs the SAME norm_partial→refold→Merger code
+        # in-process, so a watch-mode tick commits in tens of ms.
+        if (
+            prior is not None
+            and not salt_buckets
+            and merge_compute == "tasks"
+            and input_bytes
+            < int(os.environ.get("W3R_DRIVER_TICK_BYTES", 32 << 20))
+        ):
+            exchange = "driver"
+        else:
+            exchange = "groupby" if input_bytes < (512 << 20) else "spool"
+    use_driver = (
+        exchange == "driver"
+        and not salt_buckets
+        and merge_compute == "tasks"
     )
-    if not use_spool:
+    use_spool = not use_driver and (
+        exchange != "groupby"
+        or bool(salt_buckets)
+        or (merge_compute == "actors")
+    )
+    if use_driver:
+        # Driver-local tick: identical pipeline, zero Ray executions.
+        # Correctness-equivalent by construction — the exact same
+        # closures the distributed path maps over blocks run here over
+        # the same scanner batches, and the same Merger folds each
+        # partition group.
+        merger = Merger(
+            lake_dir, generation, prior_files, prior_entries, repair_pids, spec
+        )
+        winners: list[pa.Table] = []
+        buf: list[pa.Table] = []
+        nbuf = 0
+        for path in files:
+            scanner = pads.dataset(path).scanner(
+                filter=_filter_expr, batch_size=128 * 1024
+            )
+            for rb in scanner.to_batches():
+                if not rb.num_rows:
+                    continue
+                w = norm_partial(pa.Table.from_batches([rb]))
+                buf.append(w)
+                nbuf += w.num_rows
+                if nbuf >= (1 << 18):
+                    # unlike the one-file-per-task Ray path, this loop
+                    # mixes schema versions in one buffer — promote
+                    # unifies the nullability deltas
+                    winners.append(
+                        _refold(
+                            pa.concat_tables(
+                                buf, promote_options="default"
+                            )
+                        )
+                    )
+                    buf, nbuf = [], 0
+        if buf:
+            winners.append(
+                _refold(pa.concat_tables(buf, promote_options="default"))
+            )
+        folded = (
+            _refold(
+                pa.concat_tables(winners, promote_options="default")
+            )
+            if winners
+            else None
+        )
+        LAST_PHASES["fold"] = (
+            _time.perf_counter() - _t0 - sum(LAST_PHASES.values())
+        )
+        if folded is not None and folded.num_rows:
+            folded = folded.sort_by("part_id")
+            pids_np = folded.column("part_id").to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(pids_np)) + 1, [len(pids_np)]]
+            )
+            groups = [
+                folded.slice(starts[i], starts[i + 1] - starts[i])
+                for i in range(len(starts) - 1)
+            ]
+            # Three ways to run the P merges, by prior-lake size:
+            # (1) FUSED: total prior bytes of the touched partitions is
+            #     tiny → one read + one fold + P slice-writes
+            #     (fused_tiny_merge) — removes the ~5 ms × P fixed
+            #     pyarrow cost that dominated push-tail latency;
+            # (2) RAW RAY TASKS: lake big enough that the rewrite work
+            #     itself matters → batch the merges over ~num_cpus
+            #     tasks (scheduling ~10 ms total, far under a Ray Data
+            #     execution's fixed cost);
+            # (3) SERIAL: in between / no Ray — plain loop (measured
+            #     faster than a thread pool: merges are bursts of small
+            #     GIL-holding pyarrow calls).
+            touched = {
+                int(pids_np[s]) for s in starts[:-1]
+            }
+            prior_bytes = 0
+            for pid in touched:
+                f = prior_files.get(pid)
+                if f and pid not in repair_pids:
+                    try:
+                        prior_bytes += os.path.getsize(f)
+                    except OSError:
+                        pass
+            prior_rows = sum(
+                e.num_rows for e in prior.partitions.values()
+            ) if prior is not None else 0
+            if prior_bytes + input_bytes < int(
+                os.environ.get("W3R_FUSED_MERGE_BYTES", 16 << 20)
+            ):
+                from ..stages.merge import fused_tiny_merge
+
+                entries_rows.extend(fused_tiny_merge(merger, folded))
+            elif prior_rows >= int(
+                os.environ.get("W3R_DRIVER_REMOTE_ROWS", 100_000)
+            ) and ray.is_initialized():
+                cpus = int(ray.cluster_resources().get("CPU", 4))
+                n_tasks = max(1, min(len(groups), cpus))
+                buckets: list[list[pa.Table]] = [
+                    [] for _ in range(n_tasks)
+                ]
+                for i, g in enumerate(groups):
+                    buckets[i % n_tasks].append(g)
+                mref = ray.put(merger)
+                futures = [
+                    _merge_groups_task.remote(mref, b)
+                    for b in buckets
+                    if b
+                ]
+                for rows in ray.get(futures):
+                    entries_rows.extend(rows)
+            else:
+                for g in groups:
+                    entries_rows.extend(merger(g).to_pylist())
+        seen_pids = {int(r["part_id"]) for r in entries_rows}
+        for pid in sorted(set(repair_pids) - seen_pids):
+            entries_rows.extend(
+                merger.merge(pid, _empty_group(spec)).to_pylist()
+            )
+    elif not use_spool:
         merger = Merger(
             lake_dir, generation, prior_files, prior_entries, repair_pids, spec
         )

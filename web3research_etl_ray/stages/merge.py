@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -80,9 +81,12 @@ def _lex_le(cols: list, bounds: list) -> "np.ndarray":
 
 def _prior_as_events(prior: pa.Table, spec: TableSpec) -> pa.Table:
     """Lift a stored partition back into in-flight form (op=upsert,
-    n_events=0 so lineage doesn't double count)."""
-    if spec.hash_col and spec.hash_col in prior.column_names:
-        prior = prior.drop_columns([spec.hash_col])  # recomputed on write
+    n_events=0 so lineage doesn't double count).  The stored hash
+    column rides along: a prior row that wins again keeps its stored
+    digest, so per-tick sha256 work is O(fresh winners), not
+    O(partition) — and a merge can no longer silently re-bless
+    bitrotten content with a recomputed hash (verify_integrity stays
+    the one place that compares stored vs recomputed)."""
     n = prior.num_rows
     t = prior.append_column(spec.op_col, pa.array(["upsert"] * n, pa.string()))
     t = t.append_column("orphaned", pa.array([False] * n))
@@ -128,9 +132,51 @@ class Merger:
             [c for c in flight_only if c in live.column_names]
         )
         if spec.hash_source and spec.hash_col:
-            live = live.append_column(
-                spec.hash_col, sha256_binary(live.column(spec.hash_source))
-            )
+            if spec.hash_col in live.column_names:
+                # mixed winners: prior rows carry their stored digest,
+                # fresh event winners have null — hash only the fresh
+                # ones and scatter into the stored column
+                h = live.column(spec.hash_col)
+                if isinstance(h, pa.ChunkedArray):
+                    h = h.combine_chunks()
+                if isinstance(h, pa.ChunkedArray):
+                    h = (
+                        h.chunk(0)
+                        if h.num_chunks
+                        else pa.array([], type=h.type)
+                    )
+                mask = pc.is_null(h).to_numpy(zero_copy_only=False)
+                if mask.any():
+                    fresh = sha256_binary(
+                        live.column(spec.hash_source).filter(pa.array(mask))
+                    )
+                    n = len(h)
+                    buf = h.buffers()[1]
+                    out = (
+                        np.frombuffer(buf, dtype=np.uint8)[
+                            h.offset * 32 : (h.offset + n) * 32
+                        ]
+                        .reshape(n, 32)
+                        .copy()
+                        if buf is not None
+                        else np.zeros((n, 32), np.uint8)
+                    )
+                    out[mask] = np.frombuffer(
+                        fresh.buffers()[1], dtype=np.uint8
+                    ).reshape(-1, 32)
+                    h = pa.FixedSizeBinaryArray.from_buffers(
+                        pa.binary(32), n, [None, pa.py_buffer(out.tobytes())]
+                    )
+                live = live.set_column(
+                    live.schema.get_field_index(spec.hash_col),
+                    spec.hash_col,
+                    h,
+                )
+            else:
+                live = live.append_column(
+                    spec.hash_col,
+                    sha256_binary(live.column(spec.hash_source)),
+                )
         return live.select(spec.schema.names).cast(spec.schema)
 
     def _stream_prior_merge(self, folded: pa.Table, prior_path: str, emit):
@@ -339,3 +385,153 @@ class SpoolMerger:
             winners = fold_lww(merged, "n_events", spec.key, spec.order_col,
                                **agg_kwargs(spec))
         return winners if winners is not None else _empty_group(spec)
+
+
+def fused_tiny_merge(merger: Merger, folded: pa.Table) -> list[dict]:
+    """ALL touched partitions merged in ONE pass — the tiny-lake leg of
+    the driver-local tick (pipelines/replay.py, exchange='driver').
+
+    The per-partition ``Merger.merge`` costs ~5 ms of FIXED pyarrow
+    call overhead (file open, per-group folds, writer setup) regardless
+    of how little data a partition holds; at push-tail cadence over a
+    small lake that fixed cost × P dominated the land→commit latency
+    (VERDICT r04 Next #5).  Here the prior files of every touched
+    partition are read as one table, concatenated with the incoming
+    winners (incoming FIRST — same tie-break as the streaming merge),
+    folded ONCE, and written back as per-partition slices; the lineage
+    counters are vectorized per-pid sums.  Semantically identical to
+    calling ``merger.merge(pid, group)`` per partition: same fold, same
+    tie order, same counter arithmetic, same repair handling (repair
+    pids skip their prior file).  Gated by total prior bytes — a grown
+    lake takes the per-partition path instead.
+    """
+    spec = merger.spec
+    is_counter = pc.equal(folded.column(spec.op_col), ORPHAN_OP)
+    counters = folded.filter(is_counter)
+    real = folded.filter(pc.invert(is_counter))
+    pids_touched = sorted(
+        set(folded.column("part_id").to_pylist())
+    )
+    pid_index = {p: i for i, p in enumerate(pids_touched)}
+    n_pids = len(pids_touched)
+
+    def _per_pid_sum(t: pa.Table, col: str) -> np.ndarray:
+        if t.num_rows == 0:
+            return np.zeros(n_pids, dtype=np.int64)
+        pids = t.column("part_id").to_numpy(zero_copy_only=False)
+        idx = np.fromiter(
+            (pid_index[p] for p in pids), dtype=np.int64, count=len(pids)
+        )
+        w = t.column(col).to_numpy(zero_copy_only=False)
+        return np.bincount(idx, weights=w, minlength=n_pids).astype(
+            np.int64
+        )
+
+    def _per_pid_max(t: pa.Table, col: str, fill: int) -> np.ndarray:
+        out = np.full(n_pids, fill, dtype=np.int64)
+        if t.num_rows == 0:
+            return out
+        pids = t.column("part_id").to_numpy(zero_copy_only=False)
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        for p, v in zip(pids, vals):
+            i = pid_index[p]
+            if v > out[i]:
+                out[i] = v
+        return out
+
+    new_events = _per_pid_sum(real, "n_events")
+    rolled_back = _per_pid_sum(counters, "n_events")
+    grp_max_seq = _per_pid_max(folded, spec.order_col, -1)
+    grp_sv = _per_pid_max(folded, "schema_version", 1)
+
+    # prior files of every touched, non-repair partition → one table
+    prior_parts: list[pa.Table] = []
+    for pid in pids_touched:
+        if pid in merger.repair_pids:
+            continue
+        f = merger.prior_files.get(pid)
+        if f:
+            t = pq.read_table(f)
+            prior_parts.append(
+                _prior_as_events(t, spec).append_column(
+                    "part_id", pa.array([pid] * t.num_rows, pa.int64())
+                )
+            )
+    merged = pa.concat_tables(
+        [real, *prior_parts], promote_options="default"
+    )
+    out = fold_lww(merged, "n_events", spec.key, spec.order_col,
+                   **agg_kwargs(spec))
+
+    # stable per-pid segmentation preserving fold key order
+    out_pids = out.column("part_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(out_pids, kind="stable")
+    out = out.take(pa.array(order))
+    out_pids = out_pids[order]
+    bounds = np.flatnonzero(np.diff(out_pids)) + 1
+    starts = np.concatenate([[0], bounds, [len(out_pids)]])
+
+    rows: list[dict] = []
+    applied = np.zeros(n_pids, dtype=np.int64)
+    seg_of = {}
+    for s, e in zip(starts[:-1], starts[1:]):
+        pid = int(out_pids[s])
+        seg = out.slice(s, e - s)
+        seg_of[pid] = seg
+        ne = seg.column("n_events").to_numpy(zero_copy_only=False)
+        applied[pid_index[pid]] = int((ne > 0).sum())
+    for pid in pids_touched:
+        i = pid_index[pid]
+        seg = seg_of.get(pid)
+        relpath = partition_relpath(merger.generation, pid)
+        path = os.path.join(merger.lake_dir, relpath)
+        nrows = 0
+        if seg is not None:
+            live = merger._live_rows(seg.drop_columns(["part_id"]))
+            nrows = live.num_rows
+            if nrows:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                pq.write_table(
+                    live, path, row_group_size=_ROW_GROUP_ROWS
+                )
+        if nrows == 0:
+            relpath = None
+        repair = pid in merger.repair_pids
+        prior_entry = (
+            {} if repair else (merger.prior_entries.get(pid) or {})
+        )
+        wm_prior = (merger.prior_entries.get(pid) or {}).get(
+            "watermark_seq"
+        )
+        watermark = max(
+            [v for v in (int(grp_max_seq[i]), wm_prior) if v is not None]
+            or [-1]
+        )
+        rows.append(
+            {
+                "part_id": pid,
+                "file": relpath,
+                "num_rows": nrows,
+                "watermark_seq": int(watermark),
+                "events_applied": int(prior_entry.get("events_applied", 0))
+                + int(applied[i]),
+                "events_superseded": int(
+                    prior_entry.get("events_superseded", 0)
+                )
+                + int(new_events[i] - applied[i]),
+                "events_rolled_back": int(
+                    prior_entry.get("events_rolled_back", 0)
+                )
+                + int(rolled_back[i]),
+                "schema_version": max(
+                    int(grp_sv[i]),
+                    int(
+                        (merger.prior_entries.get(pid) or {}).get(
+                            "schema_version", 1
+                        )
+                    ),
+                ),
+                "last_gen_events": int(new_events[i] + rolled_back[i]),
+            }
+        )
+    return rows
