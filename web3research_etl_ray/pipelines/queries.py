@@ -2960,10 +2960,24 @@ def q_fanout_wide_refs(sf_dir: str) -> pa.Table:
     structs = refs.flatten()  # one element per row by construction
     names = structs.field("name")
     counts = structs.field("counts")
-    # map entries are ("len", "seq") per row by construction
-    items = counts.items
-    ref_len = items.take(pa.array(np.arange(0, 2 * len(t), 2)))
-    ref_seq = items.take(pa.array(np.arange(1, 2 * len(t), 2)))
+    # ADVICE r04: derive entry positions from the map's OWN offsets —
+    # .items ignores parent offset/slice, and hard-coded stride
+    # arithmetic silently misaligns on sliced/chunked arrays or
+    # reordered keys.  offsets values index the RAW items child, so
+    # this stays exact under any layout; keys are matched by NAME.
+    offs = counts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    assert (lens == 2).all(), "w_refs counts must carry exactly 2 entries"
+    keys, items = counts.keys, counts.items
+    first_is_len = pc.equal(
+        keys.take(pa.array(offs[:-1])), "len"
+    ).to_numpy(zero_copy_only=False)
+    ref_len = items.take(
+        pa.array(np.where(first_is_len, offs[:-1], offs[:-1] + 1))
+    )
+    ref_seq = items.take(
+        pa.array(np.where(first_is_len, offs[:-1] + 1, offs[:-1]))
+    )
     return pa.table(
         {
             "repo": t.column("repo"),
