@@ -268,7 +268,13 @@ def test_version_churn_kernel_planted(ray_session, tmp_path, monkeypatch):
         ),
         str(stream / "events-00000.parquet"),
     )
-    monkeypatch.setattr(Q, "_derive_cdc_stream", lambda sf: str(stream))
+    # patch the DEFINING module (queries.code) — the registry package
+    # re-exports the name, but the kernel resolves it in its own module
+    from web3research_etl_ray.pipelines.queries import code as Qcode
+
+    monkeypatch.setattr(
+        Qcode, "_derive_cdc_stream", lambda sf: str(stream)
+    )
     got = {
         (r["repo"], r["path"]): (
             r["n_versions"], r["sum_inter"], r["sum_union"])
