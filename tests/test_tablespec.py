@@ -196,3 +196,63 @@ def test_additive_spec_single_table_replay_and_tail(tmp_path):
     # one more empty tick: still unchanged (incl. running max)
     replay(stream, lake, num_partitions=4, spec=ADD_SPEC)
     assert rows() == want
+
+
+def test_multi_column_binary_key_end_to_end(tmp_path):
+    """ADVICE r04: a multi-column key with a binary component must stay
+    collision-free under the length-prefixed framing — the adversarial
+    pair ('a\\x00','b') vs ('a','\\x00b') joined identically under the
+    old \\x00-separator join.  Replays both keys through the full
+    engine (they must land as TWO rows) and runs the conformance check
+    over the binary-keyed spec."""
+    from web3research_etl_ray.pipelines.check import check
+
+    BK_LAKE = pa.schema(
+        [
+            pa.field("addr", pa.binary(), nullable=False),
+            pa.field("slot", pa.binary(), nullable=False),
+            pa.field("val", pa.int64(), nullable=True),
+            pa.field("seq", pa.int64(), nullable=False),
+        ]
+    )
+    BK_SPEC = TableSpec(
+        name="bk_state",
+        schema=BK_LAKE,
+        key=("addr", "slot"),
+        order_col="seq",
+        event_schema=BK_LAKE.append(pa.field("op", pa.string())),
+    )
+    stream = str(tmp_path / "bk_stream")
+    os.makedirs(stream)
+    rows = [
+        # the adversarial colliding pair + NUL-heavy binary values
+        (b"a\x00", b"b", 1, 0, "upsert"),
+        (b"a", b"\x00b", 2, 1, "upsert"),
+        (b"\x00\x00", b"\x00", 3, 2, "upsert"),
+        (b"a\x00", b"b", 10, 3, "upsert"),  # LWW update of key 1
+        (b"\x00\x00", b"\x00", 0, 4, "delete"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "addr": pa.array([r[0] for r in rows], pa.binary()),
+                "slot": pa.array([r[1] for r in rows], pa.binary()),
+                "val": pa.array([r[2] for r in rows], pa.int64()),
+                "seq": pa.array([r[3] for r in rows], pa.int64()),
+                "op": pa.array([r[4] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(stream, "events-00000.parquet"),
+    )
+    lake = str(tmp_path / "bk_lake")
+    replay(stream, lake, num_partitions=4, spec=BK_SPEC)
+    t = lake_table(lake, spec=BK_SPEC) if "spec" in (
+        lake_table.__code__.co_varnames
+    ) else lake_table(lake)
+    got = {
+        (r["addr"], r["slot"]): r["val"] for r in t.to_pylist()
+    }
+    # distinct keys stayed distinct; LWW applied; delete applied
+    assert got == {(b"a\x00", b"b"): 10, (b"a", b"\x00b"): 2}
+    report = check(stream, lake, spec=BK_SPEC)
+    assert report.ok, report

@@ -28,8 +28,9 @@ import ray
 
 
 def main() -> None:
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    n_ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_events = int(args[0]) if len(args) > 0 else 2_000_000
+    n_ticks = int(args[1]) if len(args) > 1 else 100
 
     if not ray.is_initialized():
         ray.init(
@@ -67,13 +68,69 @@ def main() -> None:
 
     lat = []
     segs = event_files(src)
-    for i, seg in enumerate(segs[:n_ticks]):
-        shutil.copy(seg, os.path.join(live, os.path.basename(seg)))
-        t0 = time.perf_counter()
-        tail_once(live, lake, num_partitions=64)
-        lat.append(time.perf_counter() - t0)
-        m = load_latest(lake)
-        assert m is not None
+    if "--watch" in sys.argv:
+        # TRUE push-tail latency: a producer thread lands heads on its
+        # own clock while sync(watch=True) blocks on the landing zone —
+        # per-head latency = (commit covering its max seq) − (land
+        # time), so the number INCLUDES detection, not just the tick.
+        import threading
+
+        import pyarrow.parquet as pqt
+
+        from web3research_etl_ray.pipelines.tail import sync
+
+        seg_max = {
+            os.path.basename(s): int(
+                pqt.read_table(s, columns=["commit_seq"])
+                .column("commit_seq")[-1]
+                .as_py()
+            )
+            for s in segs[:n_ticks]
+        }
+        land_t: dict[str, float] = {}
+        done_t: dict[str, float] = {}
+
+        def producer():
+            for s in segs[:n_ticks]:
+                b = os.path.basename(s)
+                shutil.copy(s, os.path.join(live, ".tmp-" + b))
+                os.replace(
+                    os.path.join(live, ".tmp-" + b), os.path.join(live, b)
+                )
+                land_t[b] = time.perf_counter()
+                time.sleep(0.05)
+
+        def on_tick(_tick, manifest):
+            now = time.perf_counter()
+            wm = manifest.max_watermark
+            for b, mx in seg_max.items():
+                if b not in done_t and b in land_t and wm >= mx:
+                    done_t[b] = now
+
+        t = threading.Thread(target=producer)
+        t.start()
+        sync(
+            live,
+            lake,
+            watch=True,
+            max_ticks=n_ticks,
+            watch_timeout_s=10.0,
+            on_tick=on_tick,
+            num_partitions=64,
+        )
+        t.join()
+        assert set(done_t) == set(seg_max), (
+            f"unapplied heads: {sorted(set(seg_max) - set(done_t))[:5]}"
+        )
+        lat = [done_t[b] - land_t[b] for b in seg_max]
+    else:
+        for i, seg in enumerate(segs[:n_ticks]):
+            shutil.copy(seg, os.path.join(live, os.path.basename(seg)))
+            t0 = time.perf_counter()
+            tail_once(live, lake, num_partitions=64)
+            lat.append(time.perf_counter() - t0)
+            m = load_latest(lake)
+            assert m is not None
 
     # backlog check: every non-orphaned event applied
     import pyarrow.dataset as pads
@@ -92,7 +149,14 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "tail event->queryable latency (land->commit)",
+                "metric": (
+                    "tail event->queryable latency "
+                    + (
+                        "(watch mode: land->detect->commit)"
+                        if "--watch" in sys.argv
+                        else "(land->commit)"
+                    )
+                ),
                 "n_events": n_events,
                 "n_ticks": len(lat),
                 "p50_s": pct(0.50),

@@ -80,6 +80,10 @@ def nested_equal(
         a = a.combine_chunks()
     if isinstance(b, pa.ChunkedArray):
         b = b.combine_chunks()
+    if len(a) != len(b):
+        raise ValueError(
+            f"nested_equal: length mismatch {len(a)} vs {len(b)}"
+        )
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=bool)
