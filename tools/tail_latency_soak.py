@@ -90,6 +90,11 @@ def main() -> None:
         land_t: dict[str, float] = {}
         done_t: dict[str, float] = {}
 
+        # land interval (s): above the tick wall ⇒ steady-state
+        # detect+commit latency per head; below it ⇒ overload mode
+        # (ticks coalesce the backlog; latency = queueing, bounded)
+        interval = float(os.environ.get("W3R_WATCH_LAND_INTERVAL", "0.5"))
+
         def producer():
             for s in segs[:n_ticks]:
                 b = os.path.basename(s)
@@ -98,7 +103,7 @@ def main() -> None:
                     os.path.join(live, ".tmp-" + b), os.path.join(live, b)
                 )
                 land_t[b] = time.perf_counter()
-                time.sleep(0.05)
+                time.sleep(interval)
 
         def on_tick(_tick, manifest):
             now = time.perf_counter()

@@ -60,12 +60,15 @@ def _wait_for_change(
     if wire is not None:
         wire.land_new()
     cur = _stream_signature(stream_dir)
-    if prev_sig is None or cur != prev_sig:
+    # first tick: apply the existing backlog — but an EMPTY landing
+    # zone means the producer hasn't landed anything yet; block for
+    # the first head instead of failing the tick
+    if (cur != prev_sig) and (prev_sig is not None or cur):
         return cur
     deadline = (
         None if timeout_s is None else time.monotonic() + timeout_s
     )
-    while cur == prev_sig:
+    while cur == prev_sig or not cur:
         if deadline is not None and time.monotonic() > deadline:
             return None
         time.sleep(poll_s)
