@@ -352,3 +352,44 @@ def test_driver_tick_paths_equivalent(tiny_stream, tmp_path, monkeypatch):
                 getattr(es, attr),
                 getattr(ed, attr),
             )
+
+
+@pytest.mark.parametrize("seed", [7, 11, 23])
+def test_driver_tick_paths_equivalent_randomized(tmp_path, monkeypatch, seed):
+    """Randomized twin of test_driver_tick_paths_equivalent: fresh
+    streams (different seeds → different rollback placement, schema
+    version boundaries, key skew) replayed tick-by-tick under the
+    fused leg vs the distributed groupby leg must converge to
+    identical lakes and identical counters."""
+    src = str(tmp_path / "src")
+    generate_events(src, n_events=3_000, seed=seed, n_segments=3)
+    segs = sorted(glob.glob(f"{src}/events-*.parquet"))
+
+    def run(env, sub):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        stream = str(tmp_path / f"s-{sub}")
+        os.makedirs(stream)
+        for f in os.listdir(src):
+            if not f.startswith("events-"):
+                shutil.copy(os.path.join(src, f), stream)
+        lake = str(tmp_path / f"l-{sub}")
+        for s in segs:
+            shutil.copy(s, stream)
+            replay(stream, lake, num_partitions=8)
+        for k in env:
+            monkeypatch.delenv(k)
+        return lake
+
+    fused = run({"W3R_FUSED_MERGE_BYTES": str(1 << 30)}, "fused")
+    dist = run({"W3R_DRIVER_TICK_BYTES": "0"}, "dist")
+    t_f, t_d = lake_table(fused), lake_table(dist)
+    assert tables_equal(t_f, t_d)
+    assert tables_equal(t_f, oracle_fold(src))
+    m_f, m_d = load_latest(fused), load_latest(dist)
+    for pid in m_f.partitions:
+        ef, ed = m_f.partitions[pid], m_d.partitions[pid]
+        for attr in ("num_rows", "watermark_seq", "events_applied",
+                     "events_superseded", "events_rolled_back",
+                     "schema_version"):
+            assert getattr(ef, attr) == getattr(ed, attr), (pid, attr)
