@@ -811,3 +811,50 @@ def test_fanout_check_repair_across_split(tiny_stream, lake_dir):
                   {"repo_files": reports["repo_files"].bad_partitions})
     reports = check_fanout(tiny_stream, lake_dir, tables)
     assert all(r.ok for r in reports.values()), reports
+
+
+def test_fanout_sync_watch_applies_heads(tiny_stream, tmp_path):
+    """sync_fanout(watch=True): a producer lands heads on its own
+    clock; every landed head is applied across all tables in lockstep
+    and the loop returns on idle timeout."""
+    import glob as _glob
+    import shutil as _shutil
+    import threading
+    import time as _time
+
+    from web3research_etl_ray.pipelines.tail import sync_fanout
+    from web3research_etl_ray.state.manifest import load_latest_multi
+
+    stream = str(tmp_path / "stream")
+    os.makedirs(stream)
+    segs = sorted(_glob.glob(f"{tiny_stream}/events-*.parquet"))
+    _shutil.copy(f"{tiny_stream}/rollbacks.parquet", stream)
+
+    def producer():
+        for s in segs:
+            _time.sleep(0.25)
+            _shutil.copy(s, stream + "/.tmp")
+            os.replace(
+                stream + "/.tmp", os.path.join(stream, os.path.basename(s))
+            )
+
+    lake = str(tmp_path / "mlake")
+    t = threading.Thread(target=producer)
+    t.start()
+    sync_fanout(
+        stream,
+        lake,
+        _tables(),
+        watch=True,
+        max_ticks=len(segs),
+        watch_timeout_s=3.0,
+        num_partitions=8,
+    )
+    t.join()
+    m = load_latest_multi(lake)
+    assert m is not None and 1 <= m.generation <= len(segs) - 1
+    want = _heads_oracle(tiny_stream)
+    heads = fanout_table(lake, "repo_heads")
+    got = {r: c for r, c in zip(heads["repo"].to_pylist(),
+                                heads["commit"].to_pylist())}
+    assert got == want
