@@ -393,3 +393,44 @@ def test_driver_tick_paths_equivalent_randomized(tmp_path, monkeypatch, seed):
                      "events_superseded", "events_rolled_back",
                      "schema_version"):
             assert getattr(ef, attr) == getattr(ed, attr), (pid, attr)
+
+
+def test_driver_tick_crash_before_commit_is_invisible(
+    tiny_stream, tmp_path, monkeypatch
+):
+    """Two-phase publish holds on the driver-local tick leg: a tick
+    that dies after writing its partition files but BEFORE the LATEST
+    swap leaves the lake readable at the prior generation, and the
+    rerun converges with no double-counted lineage."""
+    import web3research_etl_ray.pipelines.replay as R
+
+    lake = str(tmp_path / "lake")
+    replay(tiny_stream, lake, num_partitions=8, upto_seq=800)  # gen 0
+    m0 = load_latest(lake)
+    before = lake_table(lake)
+
+    real_commit = R.commit_manifest
+
+    def boom(lake_dir, manifest):
+        raise RuntimeError("injected crash before LATEST swap")
+
+    monkeypatch.setattr(R, "commit_manifest", boom)
+    try:
+        replay(tiny_stream, lake, num_partitions=8)
+        raise AssertionError("tick should have crashed")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(R, "commit_manifest", real_commit)
+
+    # crash invisible: same generation, same readable state
+    m1 = load_latest(lake)
+    assert m1.generation == m0.generation
+    assert tables_equal(lake_table(lake), before)
+
+    # rerun converges exactly; counters equal a clean two-tick run
+    replay(tiny_stream, lake, num_partitions=8)
+    assert tables_equal(lake_table(lake), oracle_fold(tiny_stream))
+    clean = str(tmp_path / "clean")
+    replay(tiny_stream, clean, num_partitions=8, upto_seq=800)
+    replay(tiny_stream, clean, num_partitions=8)
+    assert load_latest(lake).totals() == load_latest(clean).totals()
