@@ -16,7 +16,13 @@ batched idempotent insert) and of one ``sync`` head-handling tick
                                               # partition write (tasks or
                                               # actor pool); exchange=
                                               # "groupby" = single streaming
-                                              # execution for small ticks
+                                              # execution for small ticks;
+                                              # exchange="driver" = the
+                                              # whole tick in-process (the
+                                              # push-tail latency leg: same
+                                              # closures, zero Ray
+                                              # executions, fused tiny
+                                              # merge under 16 MB scope)
       → take_all()                  # P small lineage rows only
       → commit manifest             # two-phase exactly-once publish
 
@@ -291,6 +297,14 @@ def _replay_impl(
     First call = full backfill (reference ``init``); subsequent calls =
     incremental tick past the stored watermark (reference ``sync``),
     including rollback repair for newly-seen orphan ranges.
+
+    ``exchange``: "spool" (partitioned external shuffle — large
+    backfills), "groupby" (one streaming execution — small ticks),
+    "driver" (whole tick in-process, merges fused/serial/raw-task by
+    prior size — the push-tail latency leg), or "auto" (pick by pruned
+    input + prior-lake size).  All legs are semantically identical —
+    asserted down to per-partition lineage counters in
+    tests/test_replay.py.
     """
     import time as _time
 
