@@ -858,3 +858,52 @@ def test_fanout_sync_watch_applies_heads(tiny_stream, tmp_path):
     got = {r: c for r, c in zip(heads["repo"].to_pylist(),
                                 heads["commit"].to_pylist())}
     assert got == want
+
+
+def test_fanout_driver_tick_equivalent_to_distributed(tiny_stream, tmp_path, monkeypatch):
+    """The fanout driver-local tick leg must produce the same
+    multi-lake (every table, value-level) and the same per-partition
+    lineage as the distributed spool path, tick by tick."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from web3research_etl_ray.state.manifest import load_latest_multi
+
+    segs = sorted(_glob.glob(f"{tiny_stream}/events-*.parquet"))
+    tables = _tables()
+
+    def run(env, sub):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        stream = str(tmp_path / f"s-{sub}")
+        os.makedirs(stream)
+        _shutil.copy(f"{tiny_stream}/rollbacks.parquet", stream)
+        lake = str(tmp_path / f"l-{sub}")
+        for s in segs:
+            _shutil.copy(s, stream)
+            replay_fanout(stream, lake, tables, num_partitions=8)
+        for k in env:
+            monkeypatch.delenv(k)
+        return lake
+
+    drv = run({"W3R_FANOUT_DRIVER_TICK_BYTES": str(1 << 30),
+               "W3R_FUSED_MERGE_BYTES": str(1 << 30)}, "drv")
+    dist = run({"W3R_FANOUT_DRIVER_TICK_BYTES": "0"}, "dist")
+    m_v, m_d = load_latest_multi(drv), load_latest_multi(dist)
+    assert set(m_v.tables) == set(m_d.tables)
+    for name in m_v.tables:
+        tv = fanout_table(drv, name)
+        td = fanout_table(dist, name)
+        key = [c for c in ("repo", "path") if c in tv.column_names] or [
+            tv.column_names[0]
+        ]
+        assert tv.sort_by([(k, "ascending") for k in key]).equals(
+            td.sort_by([(k, "ascending") for k in key])
+        ), name
+        pv, pd_ = m_v.tables[name].partitions, m_d.tables[name].partitions
+        assert set(pv) == set(pd_), name
+        for pid in pv:
+            for attr in ("num_rows", "watermark_seq", "events_applied",
+                         "events_superseded", "events_rolled_back"):
+                assert getattr(pv[pid], attr) == getattr(pd_[pid], attr), (
+                    name, pid, attr)

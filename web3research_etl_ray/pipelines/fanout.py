@@ -496,46 +496,152 @@ def _replay_fanout_impl(
         if buf:
             yield second_fold(pa.concat_tables(buf))
 
-    ds = ray.data.from_items(
-        [{"path": f} for f in files], override_num_blocks=len(files)
-    ).map_batches(
-        read_stage, batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True,
+    # Driver-local tick (same rationale + gates as replay's
+    # exchange="driver" leg): a small pruned tick over an existing
+    # small multi-lake skips BOTH Ray Data executions (spool write +
+    # unit merge) — the whole tick runs in-process through the SAME
+    # FanoutNormalize/second_fold closures and the SAME per-table
+    # Mergers, with the per-table merges fused into one read + one
+    # fold + per-partition slice writes.  This is what makes
+    # sync_fanout(watch=True) a low-latency push tail at 44-table
+    # width.
+    input_bytes = sum(os.path.getsize(f) for f in files)
+    prior_bytes = 0
+    if prior is not None:
+        for name, ts in prior.tables.items():
+            for f in ts.data_files(table_dir(lake_dir, name)):
+                try:
+                    prior_bytes += os.path.getsize(f)
+                except OSError:
+                    pass
+    # Gate is TIGHTER than single-table replay's 32 MB: the driver leg
+    # pays the ~13-tables-per-event derive single-threaded, so it wins
+    # only for genuinely small heads (measured: 300 KB head 0.7 s vs
+    # 1.0 s distributed; 2.8 MB head loses 1.9 s vs 1.4 s).
+    use_driver = (
+        prior is not None
+        and input_bytes
+        < int(os.environ.get("W3R_FANOUT_DRIVER_TICK_BYTES", 1 << 20))
+        and prior_bytes
+        < int(os.environ.get("W3R_FUSED_MERGE_BYTES", 16 << 20)) * 4
     )
-
-    spool_dir = os.path.join(lake_dir, "_shuffle", f"gen={generation:06d}")
-    shutil.rmtree(spool_dir, ignore_errors=True)
-    ds.write_parquet(spool_dir, partition_cols=["__table", "part_id"], compression="lz4")
-
-    units: list[dict] = []
-    for ft in tables:
-        name = ft.spec.name
-        tdir = os.path.join(spool_dir, f"__table={name}")
-        try:
-            spooled = sorted(
-                int(d.split("=")[1])
-                for d in os.listdir(tdir)
-                if d.startswith("part_id=")
-            )
-        except FileNotFoundError:
-            spooled = []
-        for p in sorted(set(spooled) | set(repair_pids.get(name, frozenset()))):
-            units.append({"table": name, "pid": p})
-
     entries: list[dict] = []
-    if units:
-        unit_ds = ray.data.from_items(units, override_num_blocks=len(units))
-        merger = FanoutMerger(
-            spool_dir, lake_dir, generation, tables, prior, repair_pids
+    if use_driver:
+        from ..stages.merge import _empty_group, fused_tiny_merge
+
+        winners: list[pa.Table] = []
+        buf: list[pa.Table] = []
+        nbuf = 0
+        for path in files:
+            scanner = pads.dataset(path).scanner(
+                filter=_filter_expr, batch_size=128 * 1024
+            )
+            for rb in scanner.to_batches():
+                if not rb.num_rows:
+                    continue
+                w = stage(pa.Table.from_batches([rb]))
+                if not w.num_rows:
+                    continue
+                buf.append(w)
+                nbuf += w.num_rows
+                if nbuf >= (1 << 18):
+                    winners.append(
+                        second_fold(
+                            pa.concat_tables(buf, promote_options="default")
+                        )
+                    )
+                    buf, nbuf = [], 0
+        if buf:
+            winners.append(
+                second_fold(
+                    pa.concat_tables(buf, promote_options="default")
+                )
+            )
+        folded_all = (
+            pa.concat_tables(winners, promote_options="default")
+            if winners
+            else None
+        )
+        fm = FanoutMerger(
+            "", lake_dir, generation, tables, prior, repair_pids
+        )
+        for ft in tables:
+            name = ft.spec.name
+            merger = fm.mergers[name]
+            touched: set[int] = set()
+            sub = None
+            if folded_all is not None and folded_all.num_rows:
+                sub = folded_all.filter(
+                    pc.equal(folded_all.column("__table"), name)
+                )
+            if sub is not None and sub.num_rows:
+                keep = [f.name for f in ft.spec.flight_schema] + [
+                    "part_id",
+                    "orphaned",
+                    "schema_version",
+                    "n_events",
+                ]
+                sub = sub.select(
+                    [c for c in keep if c in sub.column_names]
+                )
+                rows = fused_tiny_merge(merger, sub)
+                for r in rows:
+                    r["table"] = name
+                entries.extend(rows)
+                touched = {int(r["part_id"]) for r in rows}
+            for pid in sorted(
+                set(repair_pids.get(name, frozenset())) - touched
+            ):
+                d = merger.merge(pid, _empty_group(ft.spec)).to_pylist()[0]
+                d["table"] = name
+                entries.append(d)
+    else:
+        ds = ray.data.from_items(
+            [{"path": f} for f in files], override_num_blocks=len(files)
+        ).map_batches(
+            read_stage, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
         )
 
-        def merge_fn(batch, _m=merger):
-            return _m(batch)
+        spool_dir = os.path.join(lake_dir, "_shuffle", f"gen={generation:06d}")
+        shutil.rmtree(spool_dir, ignore_errors=True)
+        ds.write_parquet(
+            spool_dir, partition_cols=["__table", "part_id"],
+            compression="lz4",
+        )
 
-        entries = unit_ds.map_batches(
-            merge_fn, batch_format="pyarrow", batch_size=None
-        ).take_all()  # one small lineage row per (table, pid)
-    shutil.rmtree(spool_dir, ignore_errors=True)
+        units: list[dict] = []
+        for ft in tables:
+            name = ft.spec.name
+            tdir = os.path.join(spool_dir, f"__table={name}")
+            try:
+                spooled = sorted(
+                    int(d.split("=")[1])
+                    for d in os.listdir(tdir)
+                    if d.startswith("part_id=")
+                )
+            except FileNotFoundError:
+                spooled = []
+            for p in sorted(
+                set(spooled) | set(repair_pids.get(name, frozenset()))
+            ):
+                units.append({"table": name, "pid": p})
+
+        if units:
+            unit_ds = ray.data.from_items(
+                units, override_num_blocks=len(units)
+            )
+            merger = FanoutMerger(
+                spool_dir, lake_dir, generation, tables, prior, repair_pids
+            )
+
+            def merge_fn(batch, _m=merger):
+                return _m(batch)
+
+            entries = unit_ds.map_batches(
+                merge_fn, batch_format="pyarrow", batch_size=None
+            ).take_all()  # one small lineage row per (table, pid)
+        shutil.rmtree(spool_dir, ignore_errors=True)
 
     states: dict[str, TableState] = {}
     for ft in tables:
