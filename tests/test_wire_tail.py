@@ -213,3 +213,50 @@ def test_debezium_grown_file_reland_never_duplicates_frames(tmp_path):
     t = pq.read_table(landed[0])
     assert t.num_rows == 50
     assert sorted(t["commit_seq"].to_pylist()) == list(range(50))
+
+
+def test_wal_tail_watch_mode_drains_wire_in_wait(tmp_path):
+    """watch=True with a wire source: the WAL grows on the PRODUCER's
+    clock (no on_tick callback), the watch wait itself drains the wire
+    each poll, and every appended frame converges into the lake."""
+    import threading
+    import time as _time
+
+    stream = ensure_stream(3_000)
+    rows, rbs = _stream_rows(stream)
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir)
+    seg = os.path.join(wal_dir, "wal-00000.log")
+    landing = str(tmp_path / "landing")
+    lake = str(tmp_path / "lake")
+
+    cuts = [0, 1000, 2200, len(rows)]
+    frames = [encode_record(r) for r in rows]
+    rb_frames = [
+        encode_rollback(r["barrier_seq"], r["orphan_from"], r["orphan_to"])
+        for r in rbs
+    ]
+
+    def producer():
+        for i in range(len(cuts) - 1):
+            lo, hi = cuts[i], cuts[i + 1]
+            extra = rb_frames if i == 1 else []
+            write_wal_segment(
+                seg, frames[lo:hi] + extra, append=(i > 0)
+            )
+            _time.sleep(0.4)
+
+    wire = WalTail(wal_dir, landing)
+    t = threading.Thread(target=producer)
+    t.start()
+    sync(
+        landing,
+        lake,
+        watch=True,
+        max_ticks=10,
+        watch_timeout_s=2.5,
+        wire=wire,
+        num_partitions=4,
+    )
+    t.join()
+    assert tables_equal(lake_table(lake), oracle_fold(stream))
