@@ -3,7 +3,7 @@ init / sync / check per chain; plus our gen / compact / bench helpers).
 
     python -m web3research_etl_ray gen     --out DIR --n-events N [--seed S]
     python -m web3research_etl_ray init    --stream DIR --lake DIR [--from-seq A --to-seq B]
-    python -m web3research_etl_ray sync    --stream DIR --lake DIR [--ticks K --check-every E --dedup-index DIR --wire wal|debezium --wire-src DIR]
+    python -m web3research_etl_ray sync    --stream DIR --lake DIR [--ticks K --check-every E --dedup-index DIR --wire wal|debezium --wire-src DIR --watch]
     python -m web3research_etl_ray check   --stream DIR --lake DIR [--repair]
     python -m web3research_etl_ray compact --lake DIR [--keep K]
     python -m web3research_etl_ray backup  --lake DIR --out DIR
@@ -82,6 +82,15 @@ def main(argv: list[str] | None = None) -> int:
                            help="publish each tick downstream as Debezium "
                                 "JSONL into this wire dir (continuous "
                                 "outbox; first tick = snapshot)")
+            s.add_argument("--watch", action="store_true",
+                           help="push mode: block on landing-zone "
+                                "changes (20 ms stat poll; the wire is "
+                                "drained inside the wait) instead of "
+                                "ticking immediately")
+            s.add_argument("--watch-timeout", type=float, default=None,
+                           help="give up after this many idle seconds "
+                                "in --watch mode (default: wait "
+                                "indefinitely)")
         if name == "check":
             s.add_argument("--repair", action="store_true")
 
@@ -321,6 +330,10 @@ def main(argv: list[str] | None = None) -> int:
             f.add_argument("--export-out", default=None,
                            help="publish each tick as per-table Debezium "
                                 "JSONL feeds (one cross-table cursor)")
+            f.add_argument("--watch", action="store_true",
+                           help="push mode: block on landing-zone "
+                                "changes instead of ticking immediately")
+            f.add_argument("--watch-timeout", type=float, default=None)
         if name == "check-fanout":
             f.add_argument("--repair", action="store_true")
 
@@ -642,6 +655,8 @@ def main(argv: list[str] | None = None) -> int:
                 dedup_index_root=args.dedup_index,
                 dedup_threshold=args.dedup_threshold,
                 export_out=args.export_out,
+                watch=args.watch,
+                watch_timeout_s=args.watch_timeout,
                 on_dedup_pairs=(
                     (lambda t, p: dedup_counts.append(p.num_rows))
                     if args.dedup_index
@@ -751,12 +766,16 @@ def main(argv: list[str] | None = None) -> int:
                     max_ticks=args.ticks, check_every=args.check_every,
                     num_partitions=args.partitions,
                     export_out=args.export_out,
+                    watch=args.watch,
+                    watch_timeout_s=args.watch_timeout,
                 )
-                # with check_every the loop returns (manifest, reports)
+                # with check_every the loop returns (manifest, reports);
+                # a --watch run that idles out before tick 0 has no
+                # manifest at all
                 m, reports = out if isinstance(out, tuple) else (out, [])
                 print(json.dumps({
                     "ticks": args.ticks,
-                    "generation": m.generation,
+                    "generation": m.generation if m is not None else None,
                     "checks": [
                         {n: r.__dict__ for n, r in rep.items()}
                         for rep in reports
