@@ -326,16 +326,22 @@ def test_driver_tick_paths_equivalent(tiny_stream, tmp_path, monkeypatch):
         {"W3R_FUSED_MERGE_BYTES": "0", "W3R_DRIVER_REMOTE_ROWS": str(1 << 40)},
         "serial",
     )
+    remote = run(  # batched raw-Ray-task leg
+        {"W3R_FUSED_MERGE_BYTES": "0", "W3R_DRIVER_REMOTE_ROWS": "0"},
+        "remote",
+    )
     dist = run({"W3R_DRIVER_TICK_BYTES": "0"}, "dist")  # Ray groupby path
 
-    t_f, t_s, t_d = (lake_table(x) for x in (fused, serial, dist))
+    lakes = (fused, serial, remote, dist)
+    t_f, t_s, t_r, t_d = (lake_table(x) for x in lakes)
     assert tables_equal(t_f, t_s)
+    assert tables_equal(t_f, t_r)
     assert tables_equal(t_f, t_d)
     assert tables_equal(t_f, oracle_fold(tiny_stream))
-    m_f, m_s, m_d = (load_latest(x) for x in (fused, serial, dist))
+    m_f, m_s, m_r, m_d = (load_latest(x) for x in lakes)
     for pid in m_f.partitions:
-        ef, es, ed = (
-            m.partitions[pid] for m in (m_f, m_s, m_d)
+        ef, es, er, ed = (
+            m.partitions[pid] for m in (m_f, m_s, m_r, m_d)
         )
         for attr in (
             "num_rows",
@@ -345,13 +351,8 @@ def test_driver_tick_paths_equivalent(tiny_stream, tmp_path, monkeypatch):
             "events_rolled_back",
             "schema_version",
         ):
-            assert getattr(ef, attr) == getattr(es, attr) == getattr(ed, attr), (
-                pid,
-                attr,
-                getattr(ef, attr),
-                getattr(es, attr),
-                getattr(ed, attr),
-            )
+            vals = {getattr(e, attr) for e in (ef, es, er, ed)}
+            assert len(vals) == 1, (pid, attr, vals)
 
 
 @pytest.mark.parametrize("seed", [7, 11, 23])
