@@ -15,7 +15,14 @@ segment file (the "arriving head batch") and immediately runs
 
 Prints one JSON line with p50/p95/max latency.  Run standalone:
 
-    python tools/tail_latency_soak.py [n_events] [n_ticks]
+    python tools/tail_latency_soak.py [n_events] [n_ticks] [--watch]
+
+``--watch`` measures the PUSH mode instead: a producer thread lands
+heads on its own clock (interval $W3R_WATCH_LAND_INTERVAL, default
+0.5 s) while ``sync(watch=True)`` blocks on the landing zone, so the
+reported latency is land→detect→commit per head.  An interval below
+the tick wall probes overload: ticks coalesce the backlog and latency
+stays bounded (measured, see BASELINE.md r05).
 """
 
 import json
