@@ -271,3 +271,66 @@ def test_empty_tick_is_safe(tmp_path):
         ray.data.from_arrow(_docs([], [])), threshold=0.5
     )
     assert out.num_rows == 0
+
+
+def test_driver_tick_equals_distributed_tick(tmp_path, monkeypatch):
+    """The size-adaptive driver tick must return the same pairs AND
+    leave the same logical index state (band rows, sig rows) as the
+    distributed path, tick by tick."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.pipelines.dedup_index import MinHashIndex
+
+    texts_a = [
+        BASE,
+        BASE + " extra tail words here",
+        "completely different content about database engines and arrow "
+        "record batches flowing through a streaming execution engine",
+    ]
+    texts_b = [
+        BASE + " with a small suffix change",
+        "fresh corpus text about deterministic replay engines and "
+        "manifest generations in a parquet lake with watermarks",
+        "fresh corpus text about deterministic replay engines and "
+        "manifest generations in a parquet lake with watermarks today",
+    ]
+
+    def run(sub):
+        idx = MinHashIndex(str(tmp_path / sub))
+        outs = []
+        outs.append(
+            idx.dedup_tick(ray.data.from_arrow(_docs([0, 1, 2], texts_a)))
+        )
+        outs.append(
+            idx.dedup_tick(
+                ray.data.from_arrow(_docs([100, 101, 102], texts_b))
+            )
+        )
+        return idx, outs
+
+    def index_state(root):
+        state = {}
+        for sub, cols in (("bands", ["band_key", "doc_id"]),
+                          ("sigs", ["doc_id", "sig"])):
+            rows = []
+            for f in glob.glob(f"{root}/{sub}/bucket=*/*.parquet"):
+                b = int(f.split("bucket=")[1].split("/")[0])
+                t = pq.read_table(f, columns=cols)
+                rows += [(b, *r.values()) for r in t.to_pylist()]
+            state[sub] = sorted(rows)
+        return state
+
+    monkeypatch.setenv("W3R_DEDUP_DRIVER_TICK_ROWS", "0")  # force distributed
+    idx_d, out_d = run("dist")
+    monkeypatch.delenv("W3R_DEDUP_DRIVER_TICK_ROWS")
+    idx_v, out_v = run("drv")
+
+    for td, tv in zip(out_d, out_v):
+        assert _pairs_set(td) == _pairs_set(tv)
+        # est values identical too (same estimator over same sigs)
+        dd = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in td.to_pylist()}
+        dv = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in tv.to_pylist()}
+        assert dd == dv
+    assert index_state(idx_d.root) == index_state(idx_v.root)

@@ -92,6 +92,89 @@ def _bucket_files(root: str, sub: str, buckets: set[int]) -> list[str]:
     return out
 
 
+def _new_aware_pairs_fn(root: str, max_bucket: int):
+    """Factory for the per-bucket candidate fn, shared by the
+    distributed groupby path and the driver-local tick path:
+    same pair semantics, same fused band-append side effect."""
+
+    def new_aware_pairs(group: pa.Table) -> pa.Table:
+        """Pairs within band_key runs that involve >=1 NEW doc —
+        old-old pairs were reported by the tick that made them.
+        Side effect: appends the bucket's NEW band rows to the
+        index right here (same bucket key — fusing the append into
+        this exchange saves shuffling the band rows twice)."""
+        is_new_col = group.column("is_new").to_numpy(zero_copy_only=False)
+        fresh = group.filter(pa.array(is_new_col == 1))
+        if fresh.num_rows:
+            k = int(fresh.column("__bucket")[0].as_py())
+            d = os.path.join(root, "bands", f"bucket={k}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                fresh.select(["band_key", "doc_id"]),
+                os.path.join(d, f"{uuid.uuid4().hex}.parquet"),
+            )
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        keys = group.column("band_key").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        new = group.column("is_new").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        keys, ids, new = keys[order], ids[order], new[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        lens = np.diff(np.concatenate((starts, [len(keys)])))
+        out_a, out_b = [], []
+        for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+            run_ids = ids[s : s + ln]
+            run_new = new[s : s + ln]
+            uids = np.unique(run_ids)
+            # a doc re-ingested as "new" wins the new flag
+            flags = np.zeros(len(uids), bool)
+            np.logical_or.at(
+                flags, np.searchsorted(uids, run_ids), run_new.astype(bool)
+            )
+            nids = uids[flags]
+            oids = uids[~flags]
+            if len(nids) == 0 or len(uids) < 2:
+                continue
+            if len(uids) > max_bucket:
+                # star around the global min keeps components
+                rep = uids[0]
+                others = uids[1:]
+                if flags[0]:
+                    lo, hi = np.full(len(others), rep), others
+                else:
+                    lo, hi = np.full(len(nids), rep), nids
+                    mask = hi != rep
+                    lo, hi = lo[mask], hi[mask]
+                out_a.append(lo.astype(np.int64))
+                out_b.append(hi.astype(np.int64))
+                continue
+            if len(nids) >= 2:
+                iu, ju = np.triu_indices(len(nids), k=1)
+                out_a.append(nids[iu])
+                out_b.append(nids[ju])
+            if len(oids):
+                gn = np.repeat(nids, len(oids))
+                go = np.tile(oids, len(nids))
+                out_a.append(np.minimum(gn, go))
+                out_b.append(np.maximum(gn, go))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    return new_aware_pairs
+
+
 class MinHashIndex:
     """Handle on the on-disk index; parameters are persisted on first
     use and validated on every subsequent tick (signatures from
@@ -212,6 +295,219 @@ class MinHashIndex:
         threshold: float,
         max_bucket: int,
     ) -> pa.Table:
+        # Size-adaptive tick (same move as the replay engine's
+        # exchange="driver" leg and the size-adaptive CC): a small tick
+        # spends ~10 s in SIX Ray-execution fixed costs (sig, bands,
+        # two-shuffle candidates, two-shuffle attach, sig append) for
+        # milliseconds of compute — stream the docs and, under the
+        # threshold, run the whole tick in-process on the same kernels.
+        # Oversized ticks fall through to the distributed path (the
+        # partial stream is discarded; Datasets re-execute lazily).
+        limit = int(os.environ.get("W3R_DEDUP_DRIVER_TICK_ROWS", 50_000))
+        batches: list[pa.Table] = []
+        nrows = 0
+        small = True
+        for rb in docs.iter_batches(batch_format="pyarrow", batch_size=None):
+            batches.append(rb)
+            nrows += rb.num_rows
+            if nrows > limit:
+                small = False
+                break
+        if small:
+            t_docs = (
+                pa.concat_tables(batches, promote_options="default")
+                if batches
+                else pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "text": pa.array([], pa.string())}
+                )
+            )
+            return self._dedup_tick_driver(
+                t_docs, threshold=threshold, max_bucket=max_bucket
+            )
+        return self._dedup_tick_distributed(
+            docs, threshold=threshold, max_bucket=max_bucket
+        )
+
+    def _dedup_tick_driver(
+        self,
+        t_docs: pa.Table,
+        *,
+        threshold: float,
+        max_bucket: int,
+    ) -> pa.Table:
+        """Driver-local tick: identical semantics, zero Ray executions.
+        Every kernel is the SAME one the distributed path maps over
+        blocks (MinHasher, explode_bands, the _new_aware_pairs_fn
+        bucket fn incl. its band-append side effect, the (va==vb).mean
+        estimator); forced-path equivalence is asserted in
+        tests/test_dedup_index.py."""
+        from ..functions.dedup import sig_matrix
+
+        sig_t = pa.binary(self.num_perm * 8)
+        empty_out = pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "est_jaccard": pa.array([], pa.float64())}
+        )
+        if t_docs.num_rows == 0:
+            return empty_out
+        hasher = MinHasher(
+            num_perm=self.num_perm, shingle_k=self.shingle_k,
+            scheme=self.scheme,
+        )
+        sigs_new = hasher(t_docs).select(["doc_id", "minhash"])
+        bands_new = explode_bands(
+            sigs_new, self.num_bands, self.num_perm,
+            num_buckets=self.band_buckets, sig_col="minhash",
+        )
+        bands_new = bands_new.append_column(
+            "is_new",
+            pa.array(np.ones(bands_new.num_rows, np.int8), pa.int8()),
+        )
+        new_keys = np.unique(
+            bands_new.column("band_key").to_numpy(zero_copy_only=False)
+        )
+        BB = self.band_buckets
+        touched = {int(k) for k in np.unique(new_keys % BB)}
+        old_files = _bucket_files(self.root, "bands", touched)
+        parts = [bands_new.select(["doc_id", "band_key", "__bucket", "is_new"])]
+        if old_files and len(new_keys):
+            old = pa.concat_tables(
+                [
+                    pq.read_table(f, columns=["band_key", "doc_id"])
+                    for f in old_files
+                ],
+                promote_options="default",
+            )
+            bk = old.column("band_key").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(new_keys, bk)
+            hit = (pos < len(new_keys)) & (
+                new_keys[np.minimum(pos, max(len(new_keys) - 1, 0))] == bk
+            )
+            old = old.filter(pa.array(hit))
+            if old.num_rows:
+                kept = old.column("band_key").to_numpy(zero_copy_only=False)
+                parts.append(
+                    pa.table(
+                        {
+                            "doc_id": old.column("doc_id"),
+                            "band_key": old.column("band_key"),
+                            "__bucket": pa.array(kept % BB, pa.int64()),
+                            "is_new": pa.array(
+                                np.zeros(old.num_rows, np.int8), pa.int8()
+                            ),
+                        }
+                    )
+                )
+        all_bands = pa.concat_tables(parts, promote_options="default")
+        pair_fn = _new_aware_pairs_fn(self.root, max_bucket)
+        ab = all_bands.sort_by("__bucket")
+        bn = ab.column("__bucket").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(bn)) + 1, [len(bn)]]
+        )
+        pairs_a: list[np.ndarray] = []
+        pairs_b: list[np.ndarray] = []
+        for i in range(len(starts) - 1):
+            pr = pair_fn(ab.slice(starts[i], starts[i + 1] - starts[i]))
+            if pr.num_rows:
+                pairs_a.append(
+                    pr.column("id_a").to_numpy(zero_copy_only=False)
+                )
+                pairs_b.append(
+                    pr.column("id_b").to_numpy(zero_copy_only=False)
+                )
+        # sig append — one file per touched doc bucket, like the
+        # distributed _write_bucketed
+        ids_new = (
+            sigs_new.column("doc_id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        DB = self.doc_buckets
+        sg = pa.table(
+            {
+                "doc_id": sigs_new.column("doc_id"),
+                "sig": sigs_new.column("minhash").cast(sig_t),
+                "bucket": pa.array(ids_new % DB, pa.int64()),
+            }
+        ).sort_by("bucket")
+        sb = sg.column("bucket").to_numpy(zero_copy_only=False)
+        ss = np.concatenate(
+            [[0], np.flatnonzero(np.diff(sb)) + 1, [len(sb)]]
+        )
+        for i in range(len(ss) - 1):
+            seg = sg.slice(ss[i], ss[i + 1] - ss[i])
+            k = int(seg.column("bucket")[0].as_py())
+            d = os.path.join(self.root, "sigs", f"bucket={k}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                seg.drop_columns(["bucket"]),
+                os.path.join(d, f"{uuid.uuid4().hex}.parquet"),
+            )
+        if not pairs_a:
+            return empty_out
+        pairs = np.unique(
+            np.stack(
+                [np.concatenate(pairs_a), np.concatenate(pairs_b)], axis=1
+            ),
+            axis=0,
+        )
+        # sig lookup: tick sigs first (one-row-per-doc like the attach
+        # exchange — identical bytes either way), then the candidate-
+        # touched old doc buckets
+        cand_dbs = {int(x) for x in np.unique(np.unique(pairs) % DB)}
+        lut_ids = [ids_new]
+        lut_sigs = [sig_matrix(sigs_new.column("minhash"), self.num_perm)]
+        sig_files = _bucket_files(self.root, "sigs", cand_dbs)
+        if sig_files:
+            old_sigs = pa.concat_tables(
+                [
+                    pq.read_table(f, columns=["doc_id", "sig"])
+                    for f in sig_files
+                ],
+                promote_options="default",
+            )
+            lut_ids.append(
+                old_sigs.column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            lut_sigs.append(
+                sig_matrix(old_sigs.column("sig"), self.num_perm)
+            )
+        ids_all = np.concatenate(lut_ids)
+        sigs_all = np.concatenate(lut_sigs, axis=0)
+        uniq, first = np.unique(ids_all, return_index=True)
+        sigs_u = sigs_all[first]
+        ia = np.searchsorted(uniq, pairs[:, 0])
+        ib = np.searchsorted(uniq, pairs[:, 1])
+        na = max(len(uniq) - 1, 0)
+        valid = (
+            (ia <= na)
+            & (uniq[np.minimum(ia, na)] == pairs[:, 0])
+            & (ib <= na)
+            & (uniq[np.minimum(ib, na)] == pairs[:, 1])
+        )
+        pairs, ia, ib = pairs[valid], ia[valid], ib[valid]
+        est = (sigs_u[ia] == sigs_u[ib]).mean(axis=1)
+        sel = est >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(pairs[sel, 0], pa.int64()),
+                "id_b": pa.array(pairs[sel, 1], pa.int64()),
+                "est_jaccard": pa.array(est[sel], pa.float64()),
+            }
+        ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+    def _dedup_tick_distributed(
+        self,
+        docs: ray.data.Dataset,
+        *,
+        threshold: float,
+        max_bucket: int,
+    ) -> pa.Table:
         sig_t = pa.binary(self.num_perm * 8)
 
         hasher = MinHasher(
@@ -298,82 +594,7 @@ class MinHashIndex:
         else:
             all_bands = bands_new
 
-        root = self.root
-
-        def new_aware_pairs(group: pa.Table) -> pa.Table:
-            """Pairs within band_key runs that involve >=1 NEW doc —
-            old-old pairs were reported by the tick that made them.
-            Side effect: appends the bucket's NEW band rows to the
-            index right here (same bucket key — fusing the append into
-            this exchange saves shuffling the band rows twice)."""
-            is_new_col = group.column("is_new").to_numpy(zero_copy_only=False)
-            fresh = group.filter(pa.array(is_new_col == 1))
-            if fresh.num_rows:
-                k = int(fresh.column("__bucket")[0].as_py())
-                d = os.path.join(root, "bands", f"bucket={k}")
-                os.makedirs(d, exist_ok=True)
-                pq.write_table(
-                    fresh.select(["band_key", "doc_id"]),
-                    os.path.join(d, f"{uuid.uuid4().hex}.parquet"),
-                )
-            empty = pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-            )
-            if group.num_rows < 2:
-                return empty
-            keys = group.column("band_key").to_numpy(zero_copy_only=False)
-            ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-            new = group.column("is_new").to_numpy(zero_copy_only=False)
-            order = np.lexsort((ids, keys))
-            keys, ids, new = keys[order], ids[order], new[order]
-            starts = np.flatnonzero(
-                np.concatenate(([True], keys[1:] != keys[:-1]))
-            )
-            lens = np.diff(np.concatenate((starts, [len(keys)])))
-            out_a, out_b = [], []
-            for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
-                run_ids = ids[s : s + ln]
-                run_new = new[s : s + ln]
-                uids = np.unique(run_ids)
-                # a doc re-ingested as "new" wins the new flag
-                flags = np.zeros(len(uids), bool)
-                np.logical_or.at(
-                    flags, np.searchsorted(uids, run_ids), run_new.astype(bool)
-                )
-                nids = uids[flags]
-                oids = uids[~flags]
-                if len(nids) == 0 or len(uids) < 2:
-                    continue
-                if len(uids) > max_bucket:
-                    # star around the global min keeps components
-                    rep = uids[0]
-                    others = uids[1:]
-                    if flags[0]:
-                        lo, hi = np.full(len(others), rep), others
-                    else:
-                        lo, hi = np.full(len(nids), rep), nids
-                        mask = hi != rep
-                        lo, hi = lo[mask], hi[mask]
-                    out_a.append(lo.astype(np.int64))
-                    out_b.append(hi.astype(np.int64))
-                    continue
-                if len(nids) >= 2:
-                    iu, ju = np.triu_indices(len(nids), k=1)
-                    out_a.append(nids[iu])
-                    out_b.append(nids[ju])
-                if len(oids):
-                    gn = np.repeat(nids, len(oids))
-                    go = np.tile(oids, len(nids))
-                    out_a.append(np.minimum(gn, go))
-                    out_b.append(np.maximum(gn, go))
-            if not out_a:
-                return empty
-            return pa.table(
-                {
-                    "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                    "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-                }
-            )
+        new_aware_pairs = _new_aware_pairs_fn(self.root, max_bucket)
 
         # cross-band duplicate pairs MUST collapse before the attach
         # exchange (attach_pair_values requires distinct pairs — dup
