@@ -265,3 +265,48 @@ def test_compact_crash_between_renames_recovers(tmp_path):
     shutil.copytree(base, base + ".old")
     idx3 = CurateIndex(root, quality_min=0.75, n_buckets=8)
     assert not os.path.isdir(base + ".old")
+
+
+def test_driver_tick_equals_distributed_tick(tmp_path, monkeypatch):
+    """The size-adaptive driver tick must return identical rows, commit
+    the same tick_id (cross-path replay compatibility), and leave the
+    same logical sha-index state as the distributed path."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t1 = _mk_texts(25, seed=5)
+    t2 = _mk_texts(25, seed=6, dup_of=t1[2])
+    ids1, ids2 = list(range(25)), list(range(200, 225))
+
+    def run(sub):
+        idx = CurateIndex(str(tmp_path / sub), quality_min=0.75,
+                          n_buckets=8)
+        o1 = idx.tick(_docs(ids1, t1))
+        o2 = idx.tick(_docs(ids2, t2))
+        return idx, o1, o2
+
+    monkeypatch.setenv("W3R_CURATE_DRIVER_TICK_ROWS", "0")
+    idx_d, d1, d2 = run("dist")
+    monkeypatch.delenv("W3R_CURATE_DRIVER_TICK_ROWS")
+    idx_v, v1, v2 = run("drv")
+
+    assert d1.equals(v1) and d2.equals(v2)
+
+    def state(root):
+        ticks = sorted(
+            p.split("/ticks/")[1] for p in glob.glob(f"{root}/ticks/*")
+        )
+        shas = sorted(
+            (f.split("/ticks/")[1].split("/bucket=")[0],
+             int(f.split("bucket=")[1].split("/")[0]), r["text_sha256"])
+            for f in glob.glob(f"{root}/ticks/*/bucket=*/*.parquet")
+            for r in pq.read_table(f).to_pylist()
+        )
+        return ticks, shas
+
+    assert state(idx_d.root) == state(idx_v.root)
+    # cross-path replay: the driver index replays a tick the
+    # distributed path committed (same tick_id scheme) as a no-op
+    replay_out = idx_v.tick(_docs(ids1, t1))
+    assert replay_out.equals(v1)

@@ -76,18 +76,44 @@ def filter_to_reps(
     return hash_join(ds, rep_keys, "doc_id", how="semi")
 
 
-def curate(
-    ds: ray.data.Dataset,
-    *,
-    quality_min: float = 0.75,
-    keep_text: bool = False,
-    broadcast_max: int = KEEP_BROADCAST_MAX,
-) -> ray.data.Dataset:
-    """Curated dataset: PII-free, quality ≥ ``quality_min``, language
-    identified, exact-deduplicated (representative = min doc_id per
-    text).  Columns: doc_id, lang_pred, n_tokens, quality (+ text when
-    ``keep_text``)."""
-    from ..functions.dedup import exact_dedup_groups
+def _probe_fn(root: str, committed: list[str]):
+    """Factory for the per-bucket index-membership probe — shared by
+    the distributed groupby path and the driver-local tick."""
+    import os
+
+    def probe(g: pa.Table) -> pa.Table:
+        # membership stays Arrow end to end: the bucket's sha files
+        # concat into ONE value set and pc.is_in does the lookup —
+        # no Python set / per-row loop (a 10^9-doc index bucket
+        # would otherwise build a ~10^7-entry set per tick bucket)
+        k = int(g.column("bucket")[0].as_py())
+        parts: list[pa.Array] = []
+
+        def _extend(path: str) -> None:
+            col = pq.read_table(path).column("text_sha256")
+            parts.extend(col.chunks)
+
+        base_f = os.path.join(root, "base", f"bucket={k}", "shas.parquet")
+        if os.path.exists(base_f):
+            _extend(base_f)
+        for tid in committed:
+            d = os.path.join(root, "ticks", tid, f"bucket={k}")
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    _extend(os.path.join(d, f))
+        if not parts:
+            return g
+        seen = pa.concat_arrays(parts)
+        hit = pc.is_in(g.column("text_sha256"), value_set=seen)
+        return g.filter(pc.invert(hit))
+
+    return probe
+
+
+def _curate_stage_fn(quality_min: float):
+    """The fused per-batch scan (lang-ID → PII → quality → filter) —
+    ONE closure shared by the distributed `curate` pipeline and the
+    CurateIndex driver-local tick, so the two paths cannot diverge."""
     from ..functions.text import lang_id, pii_scan, quality_score
 
     out_cols = ["doc_id", "text", "lang_pred", "n_tokens", "quality"]
@@ -109,6 +135,23 @@ def curate(
         )
         return t.filter(mask).select(out_cols)
 
+    return stage
+
+
+def curate(
+    ds: ray.data.Dataset,
+    *,
+    quality_min: float = 0.75,
+    keep_text: bool = False,
+    broadcast_max: int = KEEP_BROADCAST_MAX,
+) -> ray.data.Dataset:
+    """Curated dataset: PII-free, quality ≥ ``quality_min``, language
+    identified, exact-deduplicated (representative = min doc_id per
+    text).  Columns: doc_id, lang_pred, n_tokens, quality (+ text when
+    ``keep_text``)."""
+    from ..functions.dedup import exact_dedup_groups
+
+    stage = _curate_stage_fn(quality_min)
     survivors = ds.map_batches(
         stage, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
@@ -323,6 +366,31 @@ class CurateIndex:
 
         from ..functions.dedup import add_text_sha, exact_dedup_groups
 
+        # Size-adaptive tick (same move as the dedup index / replay
+        # driver legs): a small tick pays ~6 Ray-execution fixed costs
+        # for milliseconds of compute — stream the docs and run the
+        # whole tick in-process under the threshold.
+        limit = int(os.environ.get("W3R_CURATE_DRIVER_TICK_ROWS", 50_000))
+        batches: list[pa.Table] = []
+        nrows = 0
+        small = True
+        for rb in docs.iter_batches(batch_format="pyarrow", batch_size=None):
+            batches.append(rb)
+            nrows += rb.num_rows
+            if nrows > limit:
+                small = False
+                break
+        if small:
+            t_docs = (
+                pa.concat_tables(batches, promote_options="default")
+                if batches
+                else pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "text": pa.array([], pa.string())}
+                )
+            )
+            return self._tick_driver(t_docs, tick_id)
+
         if tick_id is None:
             b = docs.aggregate(
                 Min("doc_id", alias_name="lo"),
@@ -349,36 +417,9 @@ class CurateIndex:
             batch_format="pyarrow", zero_copy_batch=True,
         )
 
-        root = self.root
         folded = self._folded()
         committed = [t for t in self._committed_ticks() if t not in folded]
-
-        def probe(g: pa.Table) -> pa.Table:
-            # membership stays Arrow end to end: the bucket's sha files
-            # concat into ONE value set and pc.is_in does the lookup —
-            # no Python set / per-row loop (a 10^9-doc index bucket
-            # would otherwise build a ~10^7-entry set per tick bucket)
-            k = int(g.column("bucket")[0].as_py())
-            parts: list[pa.Array] = []
-
-            def _extend(path: str) -> None:
-                col = pq.read_table(path).column("text_sha256")
-                parts.extend(col.chunks)
-
-            base_f = os.path.join(root, "base", f"bucket={k}",
-                                  "shas.parquet")
-            if os.path.exists(base_f):
-                _extend(base_f)
-            for tid in committed:
-                d = os.path.join(root, "ticks", tid, f"bucket={k}")
-                if os.path.isdir(d):
-                    for f in os.listdir(d):
-                        _extend(os.path.join(d, f))
-            if not parts:
-                return g
-            seen = pa.concat_arrays(parts)
-            hit = pc.is_in(g.column("text_sha256"), value_set=seen)
-            return g.filter(pc.invert(hit))
+        probe = _probe_fn(self.root, committed)
 
         out = with_sha.groupby("bucket").map_groups(
             probe, batch_format="pyarrow"
@@ -389,6 +430,83 @@ class CurateIndex:
             if blocks
             else pa.table({})
         )
+        return self._finish_tick(t, tick_id)
+
+    def _tick_driver(self, t_docs: pa.Table,
+                     tick_id: str | None) -> pa.Table:
+        """Driver-local tick: identical semantics, zero Ray executions.
+        Every kernel is the one the distributed path maps over blocks
+        (the fused curate stage, sha dedup with min-doc_id reps, the
+        shared _probe_fn membership check) and the commit tail is the
+        SAME _finish_tick; forced-path equivalence is asserted in
+        tests/test_curate_index.py."""
+        import os
+
+        from ..functions.dedup import add_text_sha
+
+        if tick_id is None:
+            n = t_docs.num_rows
+            if n:
+                ids0 = t_docs.column("doc_id").to_numpy(
+                    zero_copy_only=False
+                )
+                tick_id = f"t{int(ids0.min())}-{int(ids0.max())}-{n}"
+            else:
+                tick_id = "tNone-None-0"
+        tick_dir = os.path.join(self.root, "ticks", tick_id)
+        if os.path.isdir(tick_dir):  # committed before: replay output
+            return pq.read_table(os.path.join(tick_dir, "output.parquet"))
+
+        s = _curate_stage_fn(self.quality_min)(t_docs)
+        sh = add_text_sha(s)
+        # within-tick exact dedup: representative = min doc_id per sha
+        ids = sh.column("doc_id").to_numpy(zero_copy_only=False)
+        enc = sh.column("text_sha256").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        if len(codes):
+            rep = np.full(len(enc.dictionary), np.iinfo(np.int64).max,
+                          np.int64)
+            np.minimum.at(rep, codes, ids)
+            sh = sh.filter(pa.array(ids == rep[codes]))
+        t = sh.drop_columns(["text"])
+        t = t.append_column(
+            "bucket",
+            pa.array(
+                _sha_bucket(t.column("text_sha256"), self.n_buckets),
+                pa.int64(),
+            ),
+        )
+        folded = self._folded()
+        committed = [x for x in self._committed_ticks() if x not in folded]
+        probe = _probe_fn(self.root, committed)
+        if t.num_rows:
+            t = t.sort_by("bucket")
+            bn = t.column("bucket").to_numpy(zero_copy_only=False)
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(bn)) + 1, [len(bn)]]
+            )
+            kept = [
+                probe(t.slice(starts[i], starts[i + 1] - starts[i]))
+                for i in range(len(starts) - 1)
+            ]
+            kept = [g for g in kept if g.num_rows]
+            t = (
+                pa.concat_tables(kept, promote_options="default")
+                if kept
+                else pa.table({})
+            )
+        else:
+            t = pa.table({})
+        return self._finish_tick(t, tick_id)
+
+    def _finish_tick(self, t: pa.Table, tick_id: str) -> pa.Table:
+        """Shared tail: order the surviving rows, two-phase-commit the
+        tick output + per-bucket sha files (stage dir + one atomic
+        rename)."""
+        import os
+        import shutil
+
+        tick_dir = os.path.join(self.root, "ticks", tick_id)
         if t.num_rows:
             t = t.sort_by("doc_id")
             result = t.drop_columns(["bucket", "text_sha256"])
@@ -397,8 +515,6 @@ class CurateIndex:
                 {k: pa.array([], v) for k, v in self._EMPTY.items()}
             )
 
-        # two-phase commit: stage output + per-bucket sha files, then
-        # one atomic rename makes the tick (and its shas) visible
         staged = os.path.join(self.root, "staged", tick_id)
         shutil.rmtree(staged, ignore_errors=True)
         os.makedirs(staged, exist_ok=True)
