@@ -187,3 +187,46 @@ def test_recall_on_clustered_fixture(tmp_path):
                              out["neighbor_id"].to_pylist())
     }
     assert all(hit[i] == 200 + i for i in range(10))
+
+
+def test_driver_tick_equals_distributed_tick(tmp_path, monkeypatch):
+    """Size-adaptive ANN tick: the driver leg must train identical
+    centroids (same sample, same dtype), land identical cell
+    assignments, and answer queries identically to the distributed
+    path."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    mat = _mk(n=120, clusters=4)
+    ids = np.arange(120)
+
+    def run(sub):
+        idx = IvfIndex(str(tmp_path / sub), n_centroids=8)
+        idx.add_tick(_ds(mat[:60], ids[:60]))
+        idx.add_tick(_ds(mat[60:], ids[60:]))
+        return idx
+
+    monkeypatch.setenv("W3R_ANN_DRIVER_TICK_ROWS", "0")
+    idx_d = run("dist")
+    monkeypatch.delenv("W3R_ANN_DRIVER_TICK_ROWS")
+    idx_v = run("drv")
+
+    assert np.allclose(idx_d.centroids(), idx_v.centroids())
+
+    def cells(root):
+        out = {}
+        for f in glob.glob(f"{root}/cells/bucket=*/*.parquet"):
+            b = int(f.split("bucket=")[1].split("/")[0])
+            for r in pq.read_table(f, columns=["vec_id"]).to_pylist():
+                out[r["vec_id"]] = b
+        return out
+
+    assert cells(idx_d.root) == cells(idx_v.root)
+    qd = idx_d.query(ids[:5], mat[:5], k=3, n_probe=4)
+    qv = idx_v.query(ids[:5], mat[:5], k=3, n_probe=4)
+    assert qd.sort_by([("query_id", "ascending"),
+                       ("neighbor_id", "ascending")]).equals(
+        qv.sort_by([("query_id", "ascending"),
+                    ("neighbor_id", "ascending")])
+    )

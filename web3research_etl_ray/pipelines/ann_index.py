@@ -133,7 +133,66 @@ class IvfIndex:
     ) -> int:
         """Assign the tick's vectors to cells and append them to the
         index.  First tick trains the quantizer on a bounded
-        driver-side sample (fixed memory at any corpus size)."""
+        driver-side sample (fixed memory at any corpus size).
+
+        Size-adaptive (same leg as the dedup/curate indices): a small
+        tick streams to the driver and runs assignment + per-cell
+        append in-process — same math, same sample (the stream
+        preserves the ``limit`` order, so a fresh index trains the
+        IDENTICAL centroids either way), zero extra Ray executions."""
+        limit = int(os.environ.get("W3R_ANN_DRIVER_TICK_ROWS", 50_000))
+        batches: list[pa.Table] = []
+        nrows = 0
+        small = True
+        for rb in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            batches.append(rb)
+            nrows += rb.num_rows
+            if nrows > limit:
+                small = False
+                break
+        if small:
+            t = (
+                pa.concat_tables(batches, promote_options="default")
+                if batches
+                else None
+            )
+            if t is None or t.num_rows == 0:
+                return 0
+            if not self.trained:
+                # same sample, same raw (unnormalized) float64 matrix
+                # the distributed path trains on — identical centroids
+                self.train_centroids(
+                    _batch_mat(t.slice(0, train_sample), vec_col).astype(
+                        np.float64
+                    )
+                )
+            cent = self.centroids()
+            mat = _normalize(_batch_mat(t, vec_col))
+            cells = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+            at = pa.table(
+                {
+                    "vec_id": t.column(id_col).cast(pa.int64()),
+                    "embedding": t.column(vec_col),
+                    "bucket": pa.array(cells, pa.int64()),
+                }
+            ).sort_by("bucket")
+            import uuid as _uuid
+
+            bn = at.column("bucket").to_numpy(zero_copy_only=False)
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(bn)) + 1, [len(bn)]]
+            )
+            for i in range(len(starts) - 1):
+                seg = at.slice(starts[i], starts[i + 1] - starts[i])
+                k = int(seg.column("bucket")[0].as_py())
+                d = os.path.join(self.root, "cells", f"bucket={k}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    seg.drop_columns(["bucket"]),
+                    os.path.join(d, f"{_uuid.uuid4().hex}.parquet"),
+                )
+            return int(t.num_rows)
+
         if not self.trained:
             rows = ds.limit(train_sample).take_all()
             self.train_centroids(
