@@ -387,6 +387,53 @@ class SpoolMerger:
         return winners if winners is not None else _empty_group(spec)
 
 
+#: path-keyed cache of prior partition tables for the fused tiny
+#: merge, validated by (mtime_ns, size) on every hit: committed
+#: partition files are immutable (a new generation writes new paths),
+#: but a crashed-then-rerun tick can REWRITE a staged path with
+#: different content — and a rerun through the distributed path would
+#: bypass this cache entirely — so a hit must prove the bytes on disk
+#: are the bytes it cached.  Bounded by total cached table bytes.
+_PRIOR_CACHE: "dict[str, tuple[int, int, pa.Table]]" = {}
+_PRIOR_CACHE_BYTES = [0]
+
+
+def _prior_cache_put(path: str, t: pa.Table) -> None:
+    cap = int(os.environ.get("W3R_PRIOR_CACHE_BYTES", 64 << 20))
+    size = t.nbytes
+    if size > cap:
+        return
+    old = _PRIOR_CACHE.pop(path, None)
+    if old is not None:
+        _PRIOR_CACHE_BYTES[0] -= old[2].nbytes
+    while _PRIOR_CACHE and _PRIOR_CACHE_BYTES[0] + size > cap:
+        _, ent = _PRIOR_CACHE.popitem()
+        _PRIOR_CACHE_BYTES[0] -= ent[2].nbytes
+    try:
+        st = os.stat(path)
+    except OSError:
+        return
+    _PRIOR_CACHE[path] = (st.st_mtime_ns, st.st_size, t)
+    _PRIOR_CACHE_BYTES[0] += size
+
+
+def _read_prior_cached(path: str) -> pa.Table:
+    try:
+        st = os.stat(path)
+        ent = _PRIOR_CACHE.get(path)
+        if (
+            ent is not None
+            and ent[0] == st.st_mtime_ns
+            and ent[1] == st.st_size
+        ):
+            return ent[2]
+    except OSError:
+        pass
+    t = pq.read_table(path)
+    _prior_cache_put(path, t)
+    return t
+
+
 def fused_tiny_merge(merger: Merger, folded: pa.Table) -> list[dict]:
     """ALL touched partitions merged in ONE pass — the tiny-lake leg of
     the driver-local tick (pipelines/replay.py, exchange='driver').
@@ -451,7 +498,7 @@ def fused_tiny_merge(merger: Merger, folded: pa.Table) -> list[dict]:
             continue
         f = merger.prior_files.get(pid)
         if f:
-            t = pq.read_table(f)
+            t = _read_prior_cached(f)
             prior_parts.append(
                 _prior_as_events(t, spec).append_column(
                     "part_id", pa.array([pid] * t.num_rows, pa.int64())
@@ -494,6 +541,13 @@ def fused_tiny_merge(merger: Merger, folded: pa.Table) -> list[dict]:
                 pq.write_table(
                     live, path, row_group_size=_ROW_GROUP_ROWS
                 )
+                # seed the prior cache with the table just written —
+                # the NEXT watch tick reads exactly this path (each
+                # generation writes fresh paths, so write-time
+                # insertion is the only way a tick ever hits).  The
+                # parquet round-trip is value-faithful for every lake
+                # type, so serving the in-memory table == re-reading.
+                _prior_cache_put(path, live)
         if nrows == 0:
             relpath = None
         repair = pid in merger.repair_pids
