@@ -518,9 +518,10 @@ def _replay_fanout_impl(
     # pays the ~13-tables-per-event derive single-threaded, so it wins
     # only for genuinely small heads (measured: 300 KB head 0.7 s vs
     # 1.0 s distributed; 2.8 MB head loses 1.9 s vs 1.4 s).
+    # gen-0 builds qualify too (prior_bytes is then 0): a tiny fresh
+    # 44-table lake pays the same two Ray executions a tick does
     use_driver = (
-        prior is not None
-        and input_bytes
+        input_bytes
         < int(os.environ.get("W3R_FANOUT_DRIVER_TICK_BYTES", 1 << 20))
         and prior_bytes
         < int(os.environ.get("W3R_FUSED_MERGE_BYTES", 16 << 20)) * 4
