@@ -205,3 +205,34 @@ def test_fold_lww_int_min_max_exact_above_2_53():
     assert rows["a"]["lo"] == big and rows["a"]["hi"] == big  # exact, odd
     assert rows["b"]["lo"] == big + 2 and rows["b"]["hi"] == big + 4
     assert rows["c"]["lo"] is None and rows["c"]["hi"] is None
+
+
+def test_prior_cache_staleness_guard(tmp_path):
+    """The fused-merge prior cache must serve a hit only while the
+    on-disk bytes are the cached bytes: a rewrite of the same path
+    (the crashed-then-rerun window) invalidates via (mtime_ns, size)."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from web3research_etl_ray.stages.merge import (
+        _PRIOR_CACHE,
+        _read_prior_cached,
+    )
+
+    p = str(tmp_path / "part.parquet")
+    t1 = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    pq.write_table(t1, p)
+    got1 = _read_prior_cached(p)
+    assert got1.equals(t1) and p in _PRIOR_CACHE
+    # hit: same object served
+    assert _read_prior_cached(p) is got1
+    # rewrite the path with different content (ensure mtime moves)
+    time.sleep(0.02)
+    t2 = pa.table({"a": pa.array([9, 9], pa.int64())})
+    pq.write_table(t2, p)
+    os.utime(p)
+    got2 = _read_prior_cached(p)
+    assert got2.equals(t2)
+    _PRIOR_CACHE.pop(p, None)
